@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized via a count-style action (no driver-side
+row transfer); wall time includes planning + execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sift_spark.queries import QUERIES
+    from sift_spark.session import get_spark
+
+    spark = get_spark("sift_spark_bench")
+
+    # headline set: one per operator family, heaviest variants
+    headline = [
+        "wikify",
+        "entity_counts",
+        "entity_name_counts",
+        "entity_inlinks",
+        "entity_vocab",
+        "entity_comentions",
+        "mapped_comentions",
+        "name_part_counts",
+        "term_frequencies",
+        "term_doc_frequencies",
+        "term_idfs",
+        "entity_mentions",
+        "entity_mention_tf",
+        "indexed_mentions",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "top_customers",
+        "events_tumbling",
+        "events_sessionize",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_embedding",
+        "ann_topk_bruteforce",
+        "ann_lsh_bucketed",
+        "lang_id",
+        "quality_score",
+        "token_stats",
+        "doc_fingerprint",
+    ]
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in headline:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Deterministic wikifier: lift the flat ``documents`` table into the
+reference's linked-document model.
+
+The reference operates on documents shaped ``{_id, text, links:
+[{target, start, stop}]}`` (reference sift/dataset.py:59
+``Documents.format_item``). The driver corpus has no links, so this
+module derives them deterministically: every occurrence of a token
+from the fixed :data:`~sift_spark.functions.core.ENTITY_TOKENS`
+lexicon is a mention whose target is ``wiki/<token>``. Pure built-in
+expressions (split/posexplode/window cumsum) so every downstream model
+has an exact DuckDB oracle.
+
+Scale note: the only shuffle is the per-document window for character
+offsets; its partition key is ``doc_id`` (perfectly distributable,
+partition size = one document's tokens). At 100 TB the token explode
+is map-local and offsets stay a within-doc window — no skew beyond
+document length itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sift_spark.functions.core import ENTITY_TOKENS, WIKI_PREFIX, tokens
+
+
+def token_table(docs: DataFrame) -> DataFrame:
+    """Explode documents into (doc_id, pos, anchor, start, stop).
+
+    ``pos`` is the 0-based token index; ``start``/``stop`` are char
+    offsets into ``text`` (documents are single-space tokenized, so
+    start = sum(len+1) over preceding tokens).
+    """
+    t = docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "anchor"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t.withColumn(
+            "start",
+            F.coalesce(F.sum(F.length("anchor") + 1).over(w), F.lit(0)).cast("int"),
+        )
+        .withColumn("stop", (F.col("start") + F.length("anchor")).cast("int"))
+    )
+
+
+def wikify_links(docs: DataFrame) -> DataFrame:
+    """Entity link table: (doc_id, pos, anchor, start, stop, target)."""
+    return (
+        token_table(docs)
+        .where(F.col("anchor").isin(*ENTITY_TOKENS))
+        .withColumn("target", F.concat(F.lit(WIKI_PREFIX), F.col("anchor")))
+    )
+
+
+def wikify(docs: DataFrame) -> DataFrame:
+    """Documents with a nested ``links`` column, mirroring the
+    reference document model (sift/dataset.py:59)."""
+    links = (
+        wikify_links(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "target", "start", "stop"))
+            ).alias("links")
+        )
+    )
+    return docs.join(links, "doc_id", "left").withColumn(
+        "links", F.coalesce(F.col("links"), F.array())
+    )

@@ -1,0 +1,167 @@
+"""Link-derived entity models (reference parity: sift/models/links.py).
+
+All builders take the exploded link table produced by
+``sift_spark.corpora.synthetic.wikify_links`` — schema
+``(doc_id, pos, anchor, start, stop, target)`` — or any DataFrame with
+the same columns (the Wikipedia corpus reader emits it too). Every
+model is a single declarative plan: one hash-aggregate shuffle on its
+natural key, map-side partial aggregation for free, no Python in the
+hot path.
+
+Determinism for the oracle gate: ranks are ``row_number`` over
+(count DESC, key ASC); set-valued outputs are emitted as sorted CSV
+strings so value hashes are stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def entity_counts(links: DataFrame, min_count: int = 1, prefix: str | None = None) -> DataFrame:
+    """Inlink counts per target (reference sift/models/links.py:13
+    ``EntityCounts``): count of link occurrences per target, keeping
+    targets with count > min_count, optional target-prefix filter."""
+    m = links
+    if prefix:
+        m = m.where(F.col("target").startswith(prefix))
+    return (
+        m.groupBy("target")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") > min_count)
+    )
+
+
+def entity_name_counts(links: DataFrame, lowercase: bool = False, prefix: str | None = None) -> DataFrame:
+    """Anchor-text → target distributions (reference links.py:41
+    ``EntityNameCounts``), flattened to (anchor, target, count)."""
+    m = links.where((F.col("anchor") != "") & (F.col("target") != ""))
+    if prefix:
+        m = m.where(F.col("target").startswith(prefix))
+    anchor = F.lower(F.col("anchor")) if lowercase else F.col("anchor")
+    return (
+        m.select(anchor.alias("anchor"), "target")
+        .groupBy("anchor", "target")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def name_part_counts(links: DataFrame, docs_tokens: DataFrame, max_ngram: int = 2) -> DataFrame:
+    """Span-position counts for anchor ngrams (reference links.py:79
+    ``NamePartCounts``): 'B'egin/'E'nd/'I'nside counts from anchors,
+    'O'utside counts from corpus ngrams with count > 1; keep terms
+    that occur outside anchors and in ≥1 anchor position.
+
+    ``docs_tokens`` is the full token table (pos-exploded documents).
+    Output flat: (term, spantype, count).
+    """
+    from sift_spark.models.text import word_ngrams
+
+    anchors = links.select(F.col("anchor"))
+    # anchors here are single tokens after wikify; B and E both fire
+    # (parts[0] → B, parts[-1] → E), I fires for interior parts.
+    parts = anchors.select(
+        F.posexplode(word_ngrams(F.split(F.col("anchor"), " "), 1, max_ngram)).alias("idx", "term"),
+        F.size(F.split(F.col("anchor"), " ")).alias("n_parts"),
+    )
+    # for single-gram partitions of the anchor: first part is B, last is E,
+    # middle are I (matches the reference's per-n enumeration)
+    bie = (
+        parts.select(
+            "term",
+            F.explode(
+                F.when(
+                    (F.col("idx") == 0) & (F.col("idx") == F.col("n_parts") - 1),
+                    F.array(F.lit("B"), F.lit("E")),
+                )
+                .when(F.col("idx") == 0, F.array(F.lit("B")))
+                .when(F.col("idx") == F.col("n_parts") - 1, F.array(F.lit("E")))
+                .otherwise(F.array(F.lit("I")))
+            ).alias("spantype"),
+        )
+        .groupBy("term", "spantype")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    outside = (
+        docs_tokens.select(F.col("anchor").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") > 1)
+        .select("term", F.lit("O").alias("spantype"), "count")
+    )
+    all_counts = bie.unionByName(outside)
+    # keep terms with an O count and at least one other span type
+    keeps = (
+        all_counts.groupBy("term")
+        .agg(
+            F.max(F.when(F.col("spantype") == "O", 1).otherwise(0)).alias("has_o"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .where((F.col("has_o") == 1) & (F.col("n_types") > 1))
+        .select("term")
+    )
+    return all_counts.join(keeps, "term")
+
+
+def entity_inlinks(links: DataFrame) -> DataFrame:
+    """Distinct inlink source set per target (reference links.py:136
+    ``EntityInlinks``), as sorted CSV plus count for stable hashing."""
+    return (
+        links.select("target", "doc_id")
+        .distinct()
+        .groupBy("target")
+        .agg(
+            F.count(F.lit(1)).alias("n_inlinks"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("inlinks"),
+        )
+    )
+
+
+def entity_vocab(links: DataFrame, min_rank: int | None = 0, max_rank: int | None = 10000) -> DataFrame:
+    """Dense df-ranked entity index (reference links.py:154
+    ``EntityVocab``): rank 0 = most frequent; ties broken by target
+    ascending (the reference's sortByKey leaves ties undefined — a
+    total order is required for cross-engine parity)."""
+    counts = links.groupBy("target").agg(F.count(F.lit(1)).alias("count"))
+    w = Window.orderBy(F.col("count").desc(), F.col("target").asc())
+    m = counts.withColumn("rank", F.row_number().over(w) - 1)
+    if min_rank is not None:
+        m = m.where(F.col("rank") >= min_rank)
+    if max_rank is not None:
+        m = m.where(F.col("rank") < max_rank)
+    return m
+
+
+def entity_comentions(links: DataFrame) -> DataFrame:
+    """Per-document distinct entity sets (reference links.py:191
+    ``EntityComentions``) as sorted CSV."""
+    return (
+        links.select("doc_id", "target")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.array_join(F.sort_array(F.collect_list("target")), ",").alias("entities"),
+        )
+    )
+
+
+def mapped_entity_comentions(links: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Comentions with entities mapped to vocab ranks (reference
+    links.py:215 ``MappedEntityComentions``), ordered by rank.
+
+    The reference broadcasts a collected vocab dict; here the vocab is
+    a DataFrame joined on target — Catalyst broadcasts it when small,
+    and at 100 TB it stays a distributed shuffle join instead of
+    failing on driver memory.
+    """
+    mapped = (
+        links.select("doc_id", "target")
+        .distinct()
+        .join(vocab.select("target", "rank"), "target")
+    )
+    return mapped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.array_join(F.sort_array(F.collect_list("rank")), ",").alias("entity_ranks"),
+    )

@@ -1,0 +1,165 @@
+"""Text statistics & mention models (reference parity: sift/models/text.py).
+
+Documents in the synthetic corpus are single-space token streams with
+no sentence punctuation, so mention context is token-windowed rather
+than sentence-windowed (the reference's sentence heuristics — sift/
+util.py:35 ``iter_sent_spans`` — degenerate to whole-document there;
+the Wikipedia corpus path exposes sentence segmentation instead).
+
+Everything is built-in expressions; the ngram generator is a
+higher-order-function pipeline (``transform`` over ``sequence``), not
+a UDF, so it stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sift_spark.functions.core import tokens
+
+
+def _ngrams_n(toks: Column, n: int) -> Column:
+    # NOTE: the lambda must take exactly one parameter — PySpark counts
+    # lambda parameters to decide (element) vs (element, index) form.
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(toks: Column, min_n: int = 1, max_n: int = 1) -> Column:
+    """All word n-grams (space-joined) for n in [min_n, max_n]
+    (reference sift/util.py:5 ``ngrams``)."""
+    parts = [_ngrams_n(toks, n) for n in range(min_n, max_n + 1)]
+    return parts[0] if len(parts) == 1 else F.flatten(F.array(*parts))
+
+
+def term_frequencies(docs: DataFrame, max_ngram: int = 1, lowercase: bool = False, min_count: int = 1) -> DataFrame:
+    """Corpus term frequencies (reference text.py:15
+    ``TermFrequencies``): ngram counts with count > min_count."""
+    text = F.lower(F.col("text")) if lowercase else F.col("text")
+    return (
+        docs.select(F.explode(word_ngrams(tokens(text), 1, max_ngram)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") > min_count)
+    )
+
+
+def term_doc_frequencies(docs: DataFrame, max_ngram: int = 1, lowercase: bool = False, min_df: int = 2) -> DataFrame:
+    """Document frequencies (reference text.py:110
+    ``TermDocumentFrequencies``): per-term distinct-doc counts with
+    df > min_df. Distinct-per-doc before the global count keeps the
+    aggregation two map-side-combinable hash aggs."""
+    text = F.lower(F.col("text")) if lowercase else F.col("text")
+    return (
+        docs.select("doc_id", F.explode(word_ngrams(tokens(text), 1, max_ngram)).alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > min_df)
+    )
+
+
+def term_vocab(docs: DataFrame, max_rank: int | None = 10000, min_rank: int | None = 0,
+               max_ngram: int = 1, lowercase: bool = False, min_df: int = 0) -> DataFrame:
+    """Df-ranked term index (reference text.py:128 ``TermVocab``);
+    ties broken by term ascending for cross-engine determinism."""
+    dfs = term_doc_frequencies(docs, max_ngram=max_ngram, lowercase=lowercase, min_df=min_df)
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    m = dfs.withColumn("rank", F.row_number().over(w) - 1)
+    if min_rank is not None:
+        m = m.where(F.col("rank") >= min_rank)
+    if max_rank is not None:
+        m = m.where(F.col("rank") < max_rank)
+    return m
+
+
+def term_idfs(docs: DataFrame, max_ngram: int = 1, lowercase: bool = False, min_df: int = 2) -> DataFrame:
+    """idf = ln(N / df) per term (reference text.py:157 ``TermIdfs``).
+
+    N comes from a 1-row aggregate cross-joined in (broadcast by
+    Catalyst) — no driver-side ``count()`` round trip.
+    """
+    dfs = term_doc_frequencies(docs, max_ngram=max_ngram, lowercase=lowercase, min_df=min_df)
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return dfs.crossJoin(n).select(
+        "term", F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf")
+    )
+
+
+def entity_mentions(docs: DataFrame, links: DataFrame, window: int = 2) -> DataFrame:
+    """Context windows around each link (reference text.py:39
+    ``EntityMentions``): ±window tokens of context, span tracked as
+    token offsets within the mention text.
+
+    Output: (target, source, pos, mention, span_start, span_stop).
+    """
+    toks = docs.select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
+    m = links.select("doc_id", "pos", "target").join(toks, "doc_id")
+    lo = F.greatest(F.lit(0), F.col("pos") - window)
+    hi = F.least(F.size("toks") - 1, F.col("pos") + window)
+    return m.select(
+        F.col("target"),
+        F.col("doc_id").alias("source"),
+        F.col("pos"),
+        F.array_join(F.slice("toks", lo + 1, hi - lo + 1), " ").alias("mention"),
+        (F.col("pos") - lo).cast("int").alias("span_start"),
+        (F.col("pos") - lo + 1).cast("int").alias("span_stop"),
+    )
+
+
+def entity_mention_term_frequency(mentions: DataFrame, idfs: DataFrame, normalize: bool = True) -> DataFrame:
+    """L2-normalized sqrt(tf)·idf entity profiles over mention
+    contexts (reference text.py:176 ``EntityMentionTermFrequency``).
+
+    Output: (target, term, weight). The idf join key is ``term``;
+    both sides are pre-aggregated so at scale this is a well-behaved
+    shuffle join (or broadcast when the vocab is small — Catalyst
+    decides via AQE).
+    """
+    tf = (
+        mentions.select("target", F.explode(tokens(F.col("mention"))).alias("term"))
+        .groupBy("target", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    weighted = tf.join(idfs, "term").select(
+        "target", "term", (F.sqrt(F.col("tf")) * F.col("idf")).alias("w")
+    )
+    if normalize:
+        norm = Window.partitionBy("target")
+        weighted = weighted.withColumn(
+            "w", F.col("w") / F.sqrt(F.sum(F.col("w") * F.col("w")).over(norm))
+        )
+    return weighted.select("target", "term", F.round("w", 6).alias("weight"))
+
+
+def indexed_mentions(mentions: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Mention token streams mapped to vocab ranks (reference
+    text.py:90 ``IndexMappedMentions``); unknown terms → -1.
+
+    Output: (target, source, pos, indexes, span_start, span_stop)
+    with ``indexes`` a CSV of ranks in token order.
+    """
+    toked = mentions.select(
+        "target", "source", "pos", "span_start", "span_stop",
+        F.posexplode(tokens(F.col("mention"))).alias("tok_idx", "term"),
+    )
+    mapped = (
+        toked.join(vocab.select("term", "rank"), "term", "left")
+        .withColumn("rank", F.coalesce(F.col("rank"), F.lit(-1)))
+    )
+    grp = mapped.groupBy("target", "source", "pos", "span_start", "span_stop").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tok_idx", "rank"))),
+                lambda s: s["rank"].cast("string"),
+            ),
+            ",",
+        ).alias("indexes")
+    )
+    return grp.select("target", "source", "pos", "indexes", "span_start", "span_stop")

@@ -1,0 +1,72 @@
+"""Batch event analytics: tumbling windows and gap sessionization.
+
+These are the batch twins of the Structured Streaming operators in
+``sift_spark/streaming/events.py`` — same semantics, verifiable
+against a SQL oracle; the streaming variants are exercised in tests
+with an ``availableNow`` trigger.
+
+The driver's ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS),
+which Spark reads as int64 nanoseconds under
+``spark.sql.legacy.parquet.nanosAsLong``; :func:`epoch_seconds`
+normalizes either representation with integer arithmetic (a double
+division would lose precision above 2^53 ns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def epoch_seconds(events: DataFrame, col: str = "ts") -> Column:
+    dt = dict(events.dtypes).get(col)
+    if dt in ("bigint", "long"):
+        return F.expr(f"{col} DIV 1000000000")
+    return F.unix_timestamp(col)
+
+
+def tumbling_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
+    """Event counts + value sums per (tumbling window, event_type).
+
+    The window key is epoch seconds (not a timestamp) so the value is
+    timezone-independent and hash-identical across engines.
+    """
+    secs = minutes * 60
+    bucket = (epoch_seconds(events) - (epoch_seconds(events) % secs)).alias("window_start")
+    return events.groupBy(bucket, F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when
+    the gap since the previous event exceeds ``gap_minutes``.
+
+    Pure window functions (lag → boundary flag → running sum), no
+    UDFs; the only shuffle is the partition by user_id.
+    Output: (user_id, session_id, session_start, session_end,
+    n_events, sum_value) with session bounds in epoch seconds.
+    """
+    es = epoch_seconds(events)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = gap_minutes * 60
+    flagged = events.withColumn("es", es).withColumn(
+        "new_session",
+        F.when(F.lag("es").over(w).isNull(), 1)
+        .when(F.col("es") - F.lag("es").over(w) > gap, 1)
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.min("es").alias("session_start"),
+            F.max("es").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

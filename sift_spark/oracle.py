@@ -1,0 +1,273 @@
+"""DuckDB oracle SQL twins for every entry in ``sift_spark.queries``.
+
+The SQL is generated from the same constants the Spark operators use
+(entity lexicon, hash construction, window sizes), so semantics can't
+drift. Tables ``region nation customer supplier part orders lineitem
+events documents embeddings`` are pre-registered views on the same
+parquet the Spark queries read.
+"""
+
+from __future__ import annotations
+
+from sift_spark.functions.core import WIKI_PREFIX, sql_entity_set
+
+# token table: (doc_id, pos [0-based int], anchor)
+TOK = """tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS anchor
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)"""
+
+LINKS = f"""links AS (
+  SELECT doc_id, pos, anchor, '{WIKI_PREFIX}' || anchor AS target
+  FROM tok WHERE anchor IN {sql_entity_set()}
+)"""
+
+# documents as (doc_id, toks list)
+DTOKS = """dtoks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)"""
+
+# entity vocab (rank by inlink count desc, target asc)
+EVOCAB = """evocab AS (
+  SELECT target, count, CAST(row_number() OVER (ORDER BY count DESC, target ASC) - 1 AS INT) AS rank
+  FROM (SELECT target, count(*) AS count FROM links GROUP BY target)
+)"""
+
+# term vocab over unigrams, min_df=0 (all terms), rank by df desc, term asc
+TVOCAB = """tvocab AS (
+  SELECT term, df, CAST(row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS INT) AS rank
+  FROM (SELECT anchor AS term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, anchor FROM tok) GROUP BY anchor)
+)"""
+
+# idf over unigrams with df > 2 (min_df=2), idf rounded to 6dp
+IDF = """idf AS (
+  SELECT term, round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS idf
+  FROM (SELECT anchor AS term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, anchor FROM tok) GROUP BY anchor
+        HAVING count(*) > 2)
+)"""
+
+# mention context (window = ±2 tokens) term pairs
+CTX = """ctx AS (
+  SELECT l.doc_id, l.pos, l.target, t.pos AS tpos, t.anchor AS term
+  FROM links l JOIN tok t ON l.doc_id = t.doc_id AND t.pos BETWEEN l.pos - 2 AND l.pos + 2
+)"""
+
+ORACLE: dict[str, str] = {}
+
+ORACLE["wikify"] = f"""
+WITH {TOK},
+off AS (
+  SELECT doc_id, pos, anchor,
+    CAST(COALESCE(SUM(length(anchor) + 1) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS start
+  FROM tok)
+SELECT doc_id, CAST(pos AS INT) AS pos, anchor, start,
+       CAST(start + length(anchor) AS INT) AS stop,
+       '{WIKI_PREFIX}' || anchor AS target
+FROM off WHERE anchor IN {sql_entity_set()}
+"""
+
+ORACLE["entity_counts"] = f"""
+WITH {TOK}, {LINKS}
+SELECT target, count(*) AS count FROM links GROUP BY target HAVING count(*) > 1
+"""
+
+ORACLE["entity_name_counts"] = f"""
+WITH {TOK}, {LINKS}
+SELECT anchor, target, count(*) AS count
+FROM links WHERE anchor != '' AND target != ''
+GROUP BY anchor, target
+"""
+
+ORACLE["name_part_counts"] = f"""
+WITH {TOK}, {LINKS},
+allc AS (
+  SELECT anchor AS term, 'B' AS spantype, count(*) AS count FROM links GROUP BY anchor
+  UNION ALL
+  SELECT anchor AS term, 'E' AS spantype, count(*) AS count FROM links GROUP BY anchor
+  UNION ALL
+  SELECT anchor AS term, 'O' AS spantype, count(*) AS count FROM tok
+  GROUP BY anchor HAVING count(*) > 1
+),
+keeps AS (
+  SELECT term FROM allc GROUP BY term
+  HAVING max(CASE WHEN spantype = 'O' THEN 1 ELSE 0 END) = 1 AND count(*) > 1
+)
+SELECT a.term, a.spantype, a.count FROM allc a JOIN keeps USING (term)
+"""
+
+ORACLE["entity_inlinks"] = f"""
+WITH {TOK}, {LINKS}
+SELECT target, count(*) AS n_inlinks,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS inlinks
+FROM (SELECT DISTINCT target, doc_id FROM links)
+GROUP BY target
+"""
+
+ORACLE["entity_vocab"] = f"""
+WITH {TOK}, {LINKS}, {EVOCAB}
+SELECT target, count, rank FROM evocab WHERE rank >= 0 AND rank < 10000
+"""
+
+ORACLE["entity_comentions"] = f"""
+WITH {TOK}, {LINKS}
+SELECT doc_id, count(*) AS n_entities,
+       string_agg(target, ',' ORDER BY target) AS entities
+FROM (SELECT DISTINCT doc_id, target FROM links)
+GROUP BY doc_id
+"""
+
+ORACLE["mapped_comentions"] = f"""
+WITH {TOK}, {LINKS}, {EVOCAB}
+SELECT doc_id, count(*) AS n_entities,
+       string_agg(CAST(rank AS VARCHAR), ',' ORDER BY rank) AS entity_ranks
+FROM (SELECT DISTINCT doc_id, target FROM links) JOIN evocab USING (target)
+GROUP BY doc_id
+"""
+
+ORACLE["term_frequencies"] = f"""
+WITH {TOK},
+grams AS (
+  SELECT anchor AS term FROM tok
+  UNION ALL
+  SELECT term FROM (
+    SELECT anchor || ' ' || lead(anchor) OVER (PARTITION BY doc_id ORDER BY pos) AS term
+    FROM tok) WHERE term IS NOT NULL
+)
+SELECT term, count(*) AS count FROM grams GROUP BY term HAVING count(*) > 1
+"""
+
+ORACLE["term_doc_frequencies"] = f"""
+WITH {TOK}
+SELECT anchor AS term, count(*) AS df
+FROM (SELECT DISTINCT doc_id, anchor FROM tok)
+GROUP BY anchor HAVING count(*) > 2
+"""
+
+ORACLE["term_vocab"] = f"""
+WITH {TOK}, {TVOCAB}
+SELECT term, df, rank FROM tvocab WHERE rank >= 0 AND rank < 10000
+"""
+
+ORACLE["term_idfs"] = f"""
+WITH {TOK}, {IDF}
+SELECT term, idf FROM idf
+"""
+
+ORACLE["entity_mentions"] = f"""
+WITH {TOK}, {LINKS}, {DTOKS}
+SELECT l.target, l.doc_id AS source, CAST(l.pos AS INT) AS pos,
+  array_to_string(t.toks[CAST(greatest(0, l.pos - 2) + 1 AS INT):CAST(least(len(t.toks) - 1, l.pos + 2) + 1 AS INT)], ' ') AS mention,
+  CAST(l.pos - greatest(0, l.pos - 2) AS INT) AS span_start,
+  CAST(l.pos - greatest(0, l.pos - 2) + 1 AS INT) AS span_stop
+FROM links l JOIN dtoks t USING (doc_id)
+"""
+
+ORACLE["entity_mention_tf"] = f"""
+WITH {TOK}, {LINKS}, {CTX}, {IDF},
+tf AS (SELECT target, term, count(*) AS tf FROM ctx GROUP BY target, term),
+w AS (SELECT target, term, sqrt(tf) * idf AS w FROM tf JOIN idf USING (term))
+SELECT target, term,
+       round(w / sqrt(sum(w * w) OVER (PARTITION BY target)), 6) AS weight
+FROM w
+"""
+
+ORACLE["indexed_mentions"] = f"""
+WITH {TOK}, {LINKS}, {CTX}, {TVOCAB}
+SELECT c.target, c.doc_id AS source, CAST(c.pos AS INT) AS pos,
+  string_agg(CAST(COALESCE(v.rank, -1) AS VARCHAR), ',' ORDER BY c.tpos) AS indexes,
+  CAST(c.pos - greatest(0, c.pos - 2) AS INT) AS span_start,
+  CAST(c.pos - greatest(0, c.pos - 2) + 1 AS INT) AS span_stop
+FROM ctx c LEFT JOIN tvocab v ON v.term = c.term
+GROUP BY c.target, c.doc_id, c.pos
+"""
+
+ORACLE["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_extendedprice), 6) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLE["q3_shipping_priority"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > '1995-03-15' AND o_orderdate < '1995-03-15'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLE["q5_local_supplier"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+  AND c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+ORACLE["top_customers"] = """
+SELECT c_mktsegment, rank, c_custkey, c_name, total_spend, n_orders
+FROM (
+  SELECT c.c_mktsegment, c.c_custkey, c.c_name, t.total_spend, t.n_orders,
+         CAST(row_number() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY t.total_spend DESC, c.c_custkey ASC) AS INT) AS rank
+  FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey) t
+  JOIN customer c ON c.c_custkey = t.o_custkey
+)
+WHERE rank <= 5
+"""
+
+ORACLE["events_tumbling"] = """
+SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+ORACLE["events_sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1
+         ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(floor(min(epoch(ts))) AS BIGINT) AS session_start,
+       CAST(floor(max(epoch(ts))) AS BIGINT) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""

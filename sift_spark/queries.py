@@ -1,0 +1,168 @@
+"""Driver-facing query registry: name → (spark, sf_dir) → DataFrame.
+
+Every entry has a DuckDB oracle twin in ``sift_spark/oracle.py``
+(same constants, same total orderings, floats rounded at the edge) —
+this pairing is the correctness gate. Column names/aliases MUST match
+the oracle exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sift_spark.corpora.synthetic import token_table, wikify_links
+from sift_spark.io import table
+from sift_spark.models import links as L
+from sift_spark.models import text as TX
+from sift_spark.operators import events as EV
+from sift_spark.operators import relational as R
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents")
+
+
+# --- corpora ---------------------------------------------------------------
+
+def q_wikify(spark, sf_dir):
+    return wikify_links(_docs(spark, sf_dir)).select(
+        "doc_id", "pos", "anchor", "start", "stop", "target"
+    )
+
+
+# --- link models -----------------------------------------------------------
+
+def q_entity_counts(spark, sf_dir):
+    return L.entity_counts(wikify_links(_docs(spark, sf_dir)), min_count=1)
+
+
+def q_entity_name_counts(spark, sf_dir):
+    return L.entity_name_counts(wikify_links(_docs(spark, sf_dir)))
+
+
+def q_name_part_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return L.name_part_counts(wikify_links(docs), token_table(docs), max_ngram=2)
+
+
+def q_entity_inlinks(spark, sf_dir):
+    return L.entity_inlinks(wikify_links(_docs(spark, sf_dir)))
+
+
+def q_entity_vocab(spark, sf_dir):
+    return L.entity_vocab(wikify_links(_docs(spark, sf_dir)), 0, 10000)
+
+
+def q_entity_comentions(spark, sf_dir):
+    return L.entity_comentions(wikify_links(_docs(spark, sf_dir)))
+
+
+def q_mapped_comentions(spark, sf_dir):
+    links = wikify_links(_docs(spark, sf_dir))
+    return L.mapped_entity_comentions(links, L.entity_vocab(links, 0, 10000))
+
+
+# --- text models -----------------------------------------------------------
+
+def q_term_frequencies(spark, sf_dir):
+    return TX.term_frequencies(_docs(spark, sf_dir), max_ngram=2, min_count=1)
+
+
+def q_term_doc_frequencies(spark, sf_dir):
+    return TX.term_doc_frequencies(_docs(spark, sf_dir), min_df=2)
+
+
+def q_term_vocab(spark, sf_dir):
+    return TX.term_vocab(_docs(spark, sf_dir), max_rank=10000, min_rank=0, min_df=0)
+
+
+def q_term_idfs(spark, sf_dir):
+    return TX.term_idfs(_docs(spark, sf_dir), min_df=2)
+
+
+def q_entity_mentions(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return TX.entity_mentions(docs, wikify_links(docs), window=2)
+
+
+def q_entity_mention_tf(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    mentions = TX.entity_mentions(docs, wikify_links(docs), window=2)
+    return TX.entity_mention_term_frequency(mentions, TX.term_idfs(docs, min_df=2))
+
+
+def q_indexed_mentions(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    mentions = TX.entity_mentions(docs, wikify_links(docs), window=2)
+    return TX.indexed_mentions(mentions, TX.term_vocab(docs, max_rank=10000, min_rank=0, min_df=0))
+
+
+# --- relational ------------------------------------------------------------
+
+def q_q1(spark, sf_dir):
+    return R.q1_pricing_summary(table(spark, sf_dir, "lineitem"))
+
+
+def q_q3(spark, sf_dir):
+    return R.q3_shipping_priority(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_q5(spark, sf_dir):
+    return R.q5_local_supplier_volume(
+        table(spark, sf_dir, "region"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    return R.top_customers_per_segment(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders"), k=5
+    )
+
+
+# --- events ----------------------------------------------------------------
+
+def q_events_tumbling(spark, sf_dir):
+    return EV.tumbling_counts(table(spark, sf_dir, "events"), minutes=5)
+
+
+def q_events_sessionize(spark, sf_dir):
+    return EV.sessionize(table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+QUERIES: dict[str, QueryFn] = {
+    "wikify": q_wikify,
+    "entity_counts": q_entity_counts,
+    "entity_name_counts": q_entity_name_counts,
+    "name_part_counts": q_name_part_counts,
+    "entity_inlinks": q_entity_inlinks,
+    "entity_vocab": q_entity_vocab,
+    "entity_comentions": q_entity_comentions,
+    "mapped_comentions": q_mapped_comentions,
+    "term_frequencies": q_term_frequencies,
+    "term_doc_frequencies": q_term_doc_frequencies,
+    "term_vocab": q_term_vocab,
+    "term_idfs": q_term_idfs,
+    "entity_mentions": q_entity_mentions,
+    "entity_mention_tf": q_entity_mention_tf,
+    "indexed_mentions": q_indexed_mentions,
+    "q1_pricing_summary": q_q1,
+    "q3_shipping_priority": q_q3,
+    "q5_local_supplier": q_q5,
+    "top_customers": q_top_customers,
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
+}

@@ -1,0 +1,44 @@
+"""Every queries() entry must hash-match its DuckDB oracle — the same
+check the driver runs at sf0.01, run here at sf0.001 for speed."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.parity import assert_parity, duck_con
+
+
+def _pairs():
+    from sift_spark.oracle import ORACLE
+    from sift_spark.queries import QUERIES
+
+    for name in QUERIES:
+        if name in ORACLE:
+            yield name
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_con(SF_SMOKE)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", list(_pairs()))
+def test_parity(spark, con, name):
+    from sift_spark.oracle import ORACLE
+    from sift_spark.queries import QUERIES
+
+    df = QUERIES[name](spark, SF_SMOKE)
+    assert_parity(df, con, ORACLE[name], name)
+
+
+def test_all_queries_have_oracle_or_are_declared():
+    from sift_spark.oracle import ORACLE
+    from sift_spark.queries import QUERIES
+
+    # queries without oracle must be the explicitly-declared [r] set
+    declared_rows_only = {"skipgram_embeddings"}
+    missing = set(QUERIES) - set(ORACLE) - declared_rows_only
+    assert not missing, f"queries missing oracle twins: {missing}"
