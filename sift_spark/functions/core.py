@@ -43,6 +43,49 @@ MOD31 = 2147483647
 STOPWORDS = ("a", "the")
 
 
+def _py_h64(s: str) -> int:
+    """Python twin of hash64 for generating embedded constants."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# --- MinHash-LSH constants (embedded identically in oracle SQL) ----------
+MINHASH_K = 16          # permutations
+MINHASH_BANDS = 4       # 4 bands × 4 rows
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+MINHASH_A = tuple(_py_h64(f"mh_a_{i}") % (MOD31 - 1) + 1 for i in range(MINHASH_K))
+MINHASH_B = tuple(_py_h64(f"mh_b_{i}") % MOD31 for i in range(MINHASH_K))
+
+# --- SimHash ---------------------------------------------------------------
+SIMHASH_BITS = 32
+
+# --- Random-hyperplane LSH for ANN ----------------------------------------
+# Multi-table banding: L tables × B planes each. One table of L·B bits
+# has near-zero recall for moderate-similarity neighbors; OR-ing L
+# smaller signatures trades candidate volume for recall exactly like
+# MinHash bands (P(cand) = 1-(1-p^B)^L with p = 1-θ/π).
+LSH_TABLES = 4
+LSH_BITS = 6
+EMBED_DIM = 64
+LSH_PLANES = tuple(
+    tuple(
+        tuple((_py_h64(f"plane_{t}_{j}_{d}") % 2001 - 1000) / 1000.0 for d in range(EMBED_DIM))
+        for j in range(LSH_BITS)
+    )
+    for t in range(LSH_TABLES)
+)
+
+# --- Language-ID stopword profiles ----------------------------------------
+LANG_PROFILES = (
+    ("de", ("der", "die", "das", "und", "ist")),
+    ("en", ("a", "the", "and", "is", "of")),
+    ("es", ("el", "los", "las", "y", "es")),
+    ("fr", ("le", "les", "et", "est", "une")),
+    ("zh", ("de", "shi", "he", "zai", "le")),
+)
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization → array<string> (no empty tokens)."""
     return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")

@@ -1,0 +1,249 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, correctness-checked against DuckDB oracles built from
+the same constants:
+
+- exact:       md5 content hash → hash-groupBy (one shuffle)
+- minhash-lsh: shingle → k linear-perm minhashes → banded signatures
+               → bucket equi-join candidates → exact-jaccard verify
+- simhash:     tf-weighted 32-bit simhash → byte-band candidates →
+               hamming filter
+- ngram-jaccard: shared-shingle candidate join → exact jaccard
+
+Scale posture: no operator ever builds a full cross join. Candidate
+generation is always an equi-join on a banded/bucketed key, so the
+shuffle is keyed and AQE can split skewed buckets. The shared-shingle
+join (ngram-jaccard) is the heaviest; at very large corpora cap
+shingle document-frequency (drop shingles with df > cap — they only
+ever connect already-connected near-dup clusters) via ``max_df``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sift_spark.functions.core import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_BANDS,
+    MINHASH_K,
+    MINHASH_ROWS,
+    MOD31,
+    SIMHASH_BITS,
+    cosine_sim,
+    hash31,
+)
+from sift_spark.models.text import word_ngrams
+from sift_spark.functions.core import tokens
+
+
+def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate groups by md5(text): (text_hash, keep_doc_id,
+    n_docs). ``keep_doc_id`` is the minimum doc_id (keep-first)."""
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def dedup_exact(docs: DataFrame, cols: tuple[str, ...] = ("text",)) -> DataFrame:
+    """Generic exact dedup: keep exactly one row (lowest doc_id) per
+    distinct key — row_number per key group, robust even when doc_ids
+    themselves repeat."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws("\x1f", *cols))
+    w = Window.partitionBy("__key").orderBy("doc_id")
+    return (
+        docs.withColumn("__key", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__key", "__rn")
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct token n-gram shingles with 31-bit hashes:
+    (doc_id, shingle, h)."""
+    return (
+        docs.select("doc_id", F.explode(word_ngrams(tokens(F.col("text")), n, n)).alias("shingle"))
+        .distinct()
+        .withColumn("h", hash31(F.col("shingle")))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """MinHash signatures: (doc_id, mh_0 … mh_{K-1}) via K linear
+    permutations (a·h+b) mod 2^31-1 — one aggregate shuffle total."""
+    sh = shingles(docs, n)
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(MOD31)).alias(f"mh_{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_table(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Banded signatures: (doc_id, band, sig) — md5 over each band's
+    row values; the (band, sig) pair is the LSH bucket key."""
+    mh = minhash_signatures(docs, n)
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = [F.col(f"mh_{b * MINHASH_ROWS + r}").cast("string") for r in range(MINHASH_ROWS)]
+        bands.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("sig")))
+    return mh.select("doc_id", F.explode(F.array(*bands)).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH with exact-jaccard verify:
+    (doc1, doc2, jaccard). Candidates come from band-bucket equi-joins
+    (never a cross join); jaccard is computed exactly on the candidate
+    set only."""
+    bt = minhash_band_table(docs, n)
+    cand = (
+        bt.alias("l")
+        .join(bt.alias("r"), (F.col("l.band") == F.col("r.band")) & (F.col("l.sig") == F.col("r.sig")))
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
+        .distinct()
+    )
+    return _jaccard_verify(cand, shingles(docs, n), threshold)
+
+
+def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc1"), F.col("shingle")), "doc1")
+        .join(sh.select(F.col("doc_id").alias("doc2"), F.col("shingle")), ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")), "doc1")
+        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_table(docs: DataFrame) -> DataFrame:
+    """TF-weighted 32-bit SimHash per document: (doc_id, simhash).
+
+    Bit b of the hash is set when Σ_tokens tf·sign(bit b of h(token))
+    is positive — expressed as 32 conditional-sum aggregates in one
+    hash aggregate (single shuffle, JVM codegen)."""
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", hash31(F.col("tok")))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"s_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates by SimHash: byte-band bucketing (a pair
+    within hamming ≤ 3 of 32 bits must agree on ≥1 of 4 bytes), then
+    exact hamming filter via bit_count(xor): (doc1, doc2, hamming)."""
+    st = simhash_table(docs)
+    bands = st.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias("byte"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte"))
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), (F.col("l.band") == F.col("r.band")) & (F.col("l.byte") == F.col("r.byte")))
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc1"),
+            F.col("r.doc_id").alias("doc2"),
+            F.col("l.simhash").alias("h1"),
+            F.col("r.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                        max_df: int | None = None) -> DataFrame:
+    """Exact jaccard over token n-gram shingle sets for pairs sharing
+    ≥1 shingle: (doc1, doc2, jaccard ≥ threshold).
+
+    ``max_df`` (scale path): drop shingles appearing in more than
+    max_df docs before pairing — ubiquitous shingles dominate the
+    candidate join while contributing almost nothing to jaccard
+    precision at high thresholds."""
+    sh = shingles(docs, n)
+    join_sh = sh
+    if max_df is not None:
+        rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
+        join_sh = sh.join(rare.select("shingle"), "shingle")
+    cand = (
+        join_sh.alias("l")
+        .join(join_sh.alias("r"), F.col("l.shingle") == F.col("r.shingle"))
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
+        .distinct()
+    )
+    return _jaccard_verify(cand, sh, threshold)
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4, n_blocks: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (id1, id2, cos ≥ threshold).
+
+    Exact all-pairs baseline, executed as block-tiled GEMM
+    (``similarity._tile_sims``): the threshold filter runs inside the
+    numpy kernel so only qualifying pairs leave a tile. The cheaper
+    scale path for lower thresholds is hyperplane-LSH bucketing
+    (``similarity.ann_lsh_topk``)."""
+    from sift_spark.operators.similarity import _tile_sims
+
+    def emit(key, S, lids, rids):
+        import numpy as np
+        import pandas as pd
+
+        Sr = np.round(S, 6)
+        ii, jj = np.where(Sr >= threshold)
+        keep = lids[ii] < rids[jj]
+        return pd.DataFrame(
+            {"vec_id": lids[ii][keep], "neighbor_id": rids[jj][keep], "sim": Sr[ii, jj][keep]}
+        )
+
+    return _tile_sims(emb, n_blocks, emit).select(
+        F.col("vec_id").alias("id1"), F.col("neighbor_id").alias("id2"), F.col("sim").alias("cos")
+    )

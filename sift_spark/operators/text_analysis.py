@@ -1,0 +1,85 @@
+"""Text analysis operators: language-ID, quality scoring, token
+statistics, document fingerprinting.
+
+All pure built-in expressions (token explode + hash aggregates); each
+has an exact DuckDB oracle twin. These run per-document with no
+cross-document state, so they scale embarrassingly (map-side only,
+except the small explode→agg for per-doc stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sift_spark.functions.core import LANG_PROFILES, MOD31, STOPWORDS, hash31, tokens
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-profile language classifier:
+    (doc_id, lang_pred, score). Score = fraction of tokens in the
+    language's stopword list; ties break toward the alphabetically
+    first language (stable cross-engine)."""
+    langs = [(lang, list(words)) for lang, words in LANG_PROFILES]
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    scored = None
+    for lang, words in langs:
+        s = tok.groupBy("doc_id").agg(
+            F.lit(lang).alias("lang"),
+            F.round(F.avg(F.when(F.col("tok").isin(*words), 1.0).otherwise(0.0)), 6).alias("score"),
+        )
+        scored = s if scored is None else scored.unionByName(s)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("lang_pred"), "score")
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score per document:
+    (doc_id, n_tokens, distinct_ratio, stopword_ratio, mean_tok_len,
+    score). Composite = distinct_ratio − stopword_ratio +
+    min(n_tokens, 200)/200, rounded."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    feats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.count_distinct(F.col("tok")) / F.count(F.lit(1)), 6).alias("distinct_ratio"),
+        F.round(F.avg(F.when(F.col("tok").isin(*STOPWORDS), 1.0).otherwise(0.0)), 6).alias("stopword_ratio"),
+        F.round(F.avg(F.length("tok")), 6).alias("mean_tok_len"),
+    )
+    return feats.withColumn(
+        "score",
+        F.round(
+            F.col("distinct_ratio")
+            - F.col("stopword_ratio")
+            + F.least(F.col("n_tokens"), F.lit(200)) / 200.0,
+            6,
+        ),
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens, characters, and a BPE-ish
+    subword estimate (Σ ceil(len(token)/4) — ~4 chars per merge-built
+    subword): (doc_id, n_tokens, n_chars, n_subwords)."""
+    tok = docs.select("doc_id", F.length("text").alias("n_chars"), F.explode(tokens(F.col("text"))).alias("tok"))
+    return tok.groupBy("doc_id", "n_chars").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.ceil(F.length("tok") / 4.0)).alias("n_subwords"),
+    ).select("doc_id", "n_tokens", "n_chars", "n_subwords")
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Position-sensitive rolling-hash fingerprint:
+    fp = Σ_pos (h31(token)·((pos mod 64)+1) mod P) mod P, P=2^31-1.
+    (doc_id, fingerprint). Order-sensitive (token swaps change it),
+    bounded arithmetic (no overflow in int64 partial sums)."""
+    tok = docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    term = (hash31(F.col("tok")) * ((F.col("pos") % 64) + 1)) % F.lit(MOD31)
+    return (
+        tok.select("doc_id", term.alias("t"))
+        .groupBy("doc_id")
+        .agg((F.sum("t") % F.lit(MOD31)).alias("fingerprint"))
+    )

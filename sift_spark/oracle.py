@@ -250,6 +250,10 @@ FROM events
 GROUP BY 1, 2
 """
 
+from sift_spark.oracle_ops import ORACLE_OPS  # noqa: E402
+
+ORACLE.update(ORACLE_OPS)
+
 ORACLE["events_sessionize"] = """
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,

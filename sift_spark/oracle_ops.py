@@ -1,0 +1,251 @@
+"""DuckDB oracle SQL for the dedup / similarity / text-analysis
+operators — generated programmatically from the SAME constants the
+Spark operators use (sift_spark.functions.core), so the two engines
+cannot drift."""
+
+from __future__ import annotations
+
+from sift_spark.functions.core import (
+    LANG_PROFILES,
+    LSH_PLANES,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_BANDS,
+    MINHASH_K,
+    MINHASH_ROWS,
+    MOD31,
+    SIMHASH_BITS,
+    STOPWORDS,
+)
+
+TOKCTE = """tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS anchor
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)"""
+
+
+def _h64(expr: str) -> str:
+    return f"cast(concat('0x', substr(md5({expr}), 1, 15)) as bigint)"
+
+
+def _h31(expr: str) -> str:
+    return f"({_h64(expr)} % {MOD31})"
+
+
+SHINGLES = f"""sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+),
+shh AS (SELECT doc_id, shingle, {_h31('shingle')} AS h FROM sh)"""
+
+_mh_aggs = ",\n    ".join(
+    f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MOD31}) AS mh_{i}" for i in range(MINHASH_K)
+)
+MINHASH = f"""mh AS (
+  SELECT doc_id,
+    {_mh_aggs}
+  FROM shh GROUP BY doc_id
+)"""
+
+_band_rows = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band, md5({concat}) AS sig FROM mh".format(
+        b=b,
+        concat="concat_ws(',', "
+        + ", ".join(f"CAST(mh_{b * MINHASH_ROWS + r} AS VARCHAR)" for r in range(MINHASH_ROWS))
+        + ")",
+    )
+    for b in range(MINHASH_BANDS)
+)
+BANDS = f"""bands AS (
+{_band_rows}
+)"""
+
+JACCARD_VERIFY = """sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc1
+  JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+  GROUP BY c.doc1, c.doc2
+),
+jac AS (
+  SELECT i.doc1, i.doc2,
+         round(i.inter * 1.0 / (x.n_sh + y.n_sh - i.inter), 6) AS jaccard
+  FROM inter i
+  JOIN sizes x ON x.doc_id = i.doc1
+  JOIN sizes y ON y.doc_id = i.doc2
+)"""
+
+ORACLE_OPS: dict[str, str] = {}
+
+ORACLE_OPS["dedup_exact"] = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_docs
+FROM documents GROUP BY md5(text)
+"""
+
+ORACLE_OPS["dedup_minhash_lsh"] = f"""
+WITH {SHINGLES}, {MINHASH}, {BANDS},
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+{JACCARD_VERIFY}
+SELECT doc1, doc2, jaccard FROM jac WHERE jaccard >= 0.8
+"""
+
+_bit_sums = ",\n    ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s_{b}" for b in range(SIMHASH_BITS)
+)
+_sim_terms = " + ".join(f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS))
+SIMHASH = f"""tf AS (
+  SELECT doc_id, anchor AS tok, count(*) AS tf, {_h31('anchor')} AS h
+  FROM tok GROUP BY doc_id, anchor
+),
+bitsums AS (
+  SELECT doc_id,
+    {_bit_sums}
+  FROM tf GROUP BY doc_id
+),
+simh AS (SELECT doc_id, CAST({_sim_terms} AS BIGINT) AS simhash FROM bitsums)"""
+
+ORACLE_OPS["dedup_simhash"] = f"""
+WITH {TOKCTE}, {SIMHASH},
+bands AS (
+  SELECT doc_id, simhash, b AS band, (simhash >> (8 * b)) & 255 AS byte
+  FROM simh, unnest([0, 1, 2, 3]) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
+                  l.simhash AS h1, r.simhash AS h2
+  FROM bands l JOIN bands r ON l.band = r.band AND l.byte = r.byte AND l.doc_id < r.doc_id
+)
+SELECT doc1, doc2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+"""
+
+ORACLE_OPS["dedup_ngram_jaccard"] = f"""
+WITH {SHINGLES},
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+),
+{JACCARD_VERIFY}
+SELECT doc1, doc2, jaccard FROM jac WHERE jaccard >= 0.8
+"""
+
+EMB = """e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)"""
+
+_COS = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+ORACLE_OPS["dedup_embedding"] = f"""
+WITH {EMB},
+p AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2, round({_COS}, 6) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id1, id2, cos FROM p WHERE cos >= 0.4
+"""
+
+ORACLE_OPS["ann_topk_bruteforce"] = f"""
+WITH {EMB},
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, round({_COS}, 6) AS sim
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+r AS (
+  SELECT vec_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM p
+)
+SELECT vec_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+"""
+
+
+def _plane_sql(vec: tuple[float, ...]) -> str:
+    return "[" + ", ".join(repr(v) for v in vec) + "]"
+
+
+def _table_bucket_terms(t: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql(LSH_PLANES[t][j])}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(len(LSH_PLANES[t]))
+    )
+
+
+_sig_unions = "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, v, {t} AS t, CAST({_table_bucket_terms(t)} AS INT) AS bucket FROM e"
+    for t in range(len(LSH_PLANES))
+)
+
+ORACLE_OPS["ann_lsh_bucketed"] = f"""
+WITH {EMB},
+sig AS (
+{_sig_unions}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+p AS (
+  SELECT c.vec_id, c.neighbor_id, round({_COS}, 6) AS sim
+  FROM cand c JOIN e a ON a.vec_id = c.vec_id JOIN e b ON b.vec_id = c.neighbor_id
+),
+r AS (
+  SELECT vec_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM p
+)
+SELECT vec_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+"""
+
+_lang_unions = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, '{lang}' AS lang, round(avg(CASE WHEN anchor IN ({words}) THEN 1.0 ELSE 0.0 END), 6) AS score FROM tok GROUP BY doc_id".format(
+        lang=lang, words=", ".join(f"'{w}'" for w in words)
+    )
+    for lang, words in LANG_PROFILES
+)
+
+ORACLE_OPS["lang_id"] = f"""
+WITH {TOKCTE},
+scored AS (
+{_lang_unions}
+)
+SELECT doc_id, lang AS lang_pred, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scored)
+WHERE rn = 1
+"""
+
+_stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+ORACLE_OPS["quality_score"] = f"""
+WITH {TOKCTE},
+feats AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    round(count(DISTINCT anchor) * 1.0 / count(*), 6) AS distinct_ratio,
+    round(avg(CASE WHEN anchor IN ({_stop_in}) THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio,
+    round(avg(length(anchor)), 6) AS mean_tok_len
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio, mean_tok_len,
+       round(distinct_ratio - stopword_ratio + least(n_tokens, 200) / 200.0, 6) AS score
+FROM feats
+"""
+
+ORACLE_OPS["token_stats"] = f"""
+WITH {TOKCTE}
+SELECT t.doc_id, count(*) AS n_tokens, d.n_chars,
+       CAST(sum(CAST(ceil(length(t.anchor) / 4.0) AS BIGINT)) AS BIGINT) AS n_subwords
+FROM tok t JOIN (SELECT doc_id, length(text) AS n_chars FROM documents) d USING (doc_id)
+GROUP BY t.doc_id, d.n_chars
+"""
+
+ORACLE_OPS["doc_fingerprint"] = f"""
+WITH {TOKCTE}
+SELECT doc_id,
+       CAST(CAST(sum(({_h31('anchor')} * ((pos % 64) + 1)) % {MOD31}) AS BIGINT) % {MOD31} AS BIGINT) AS fingerprint
+FROM tok GROUP BY doc_id
+"""

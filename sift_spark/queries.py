@@ -143,6 +143,78 @@ def q_events_sessionize(spark, sf_dir):
     return EV.sessionize(table(spark, sf_dir, "events"), gap_minutes=30)
 
 
+# --- dedup / similarity / text analysis ------------------------------------
+
+def _emb(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from sift_spark.operators.dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from sift_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from sift_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from sift_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    from sift_spark.operators.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def q_ann_topk_bruteforce(spark, sf_dir):
+    from sift_spark.operators.similarity import ann_topk_bruteforce
+
+    return ann_topk_bruteforce(_emb(spark, sf_dir), k=5)
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    from sift_spark.operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_emb(spark, sf_dir), k=5)
+
+
+def q_lang_id(spark, sf_dir):
+    from sift_spark.operators.text_analysis import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    from sift_spark.operators.text_analysis import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    from sift_spark.operators.text_analysis import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from sift_spark.operators.text_analysis import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, QueryFn] = {
     "wikify": q_wikify,
     "entity_counts": q_entity_counts,
@@ -165,4 +237,15 @@ QUERIES: dict[str, QueryFn] = {
     "top_customers": q_top_customers,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_stats": q_token_stats,
+    "doc_fingerprint": q_doc_fingerprint,
 }

@@ -1,0 +1,75 @@
+"""Semantic/property tests for dedup + similarity operators."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH pairs must equal the exact ngram-jaccard pairs at this
+    threshold (bands tuned so P(candidate | j >= 0.8) ≈ 1)."""
+    from sift_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _docs(spark)
+    lsh = {(r.doc1, r.doc2) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    exact = {(r.doc1, r.doc2) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert lsh == exact, f"missed={exact - lsh}, spurious={lsh - exact}"
+    assert exact, "test corpus should contain planted near-dups"
+
+
+def test_dedup_exact_api(spark):
+    from sift_spark.operators.dedup import dedup_exact
+
+    docs = _docs(spark)
+    d1 = docs.unionByName(docs)  # duplicate every row
+    out = dedup_exact(d1, cols=("text",))
+    assert out.count() == docs.select("text").distinct().count()
+
+
+def test_ann_lsh_recall(spark):
+    """Bucketed ANN must recover a reasonable share of the true
+    top-5 neighbors (8-bit buckets on random vectors is a coarse
+    filter; we assert recall > 0.05 and correctness of what it does
+    return: every LSH neighbor's sim matches the exact sim)."""
+    from sift_spark.operators.similarity import ann_lsh_topk, ann_topk_bruteforce
+
+    emb = _emb(spark)
+    exact = {(r.vec_id, r.neighbor_id): r.sim for r in ann_topk_bruteforce(emb, k=5).collect()}
+    approx = {(r.vec_id, r.neighbor_id): r.sim for r in ann_lsh_topk(emb, k=5).collect()}
+    hits = set(exact) & set(approx)
+    assert len(hits) / len(exact) > 0.1
+    for key in hits:
+        assert abs(exact[key] - approx[key]) < 1e-9
+
+
+def test_simhash_near_dups_have_low_hamming(spark):
+    """Planted near-dup pairs (jaccard >= 0.8) should appear among
+    low-hamming simhash pairs."""
+    from sift_spark.operators.dedup import ngram_jaccard_pairs, simhash_pairs
+
+    docs = _docs(spark)
+    near = {(r.doc1, r.doc2) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    sim = {(r.doc1, r.doc2) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    if near:
+        assert len(near & sim) / len(near) >= 0.8
+
+
+def test_fingerprint_order_sensitive(spark):
+    from pyspark.sql import Row
+
+    from sift_spark.operators.text_analysis import doc_fingerprint
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c"), Row(doc_id=2, text="c b a"), Row(doc_id=3, text="a b c")]
+    )
+    rows = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
+    assert rows[1] == rows[3]
+    assert rows[1] != rows[2]
