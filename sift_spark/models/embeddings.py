@@ -1,0 +1,63 @@
+"""Entity/word skip-gram embeddings (reference parity:
+sift/models/embeddings.py:11 ``EntitySkipGramEmbeddings``).
+
+The reference trains gensim Word2Vec on the driver against a
+``toLocalIterator`` of mention token streams — a single-node
+bottleneck. Here training is ``pyspark.ml.feature.Word2Vec``
+(distributed skip-gram, negative-sampling-free hierarchical softmax
+in Spark ML), fed token sequences where every entity mention token is
+replaced by its ``wiki/<token>`` URI so entities and context words
+share one vector space — the reference's core trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sift_spark.functions.core import ENTITY_TOKENS, WIKI_PREFIX, tokens
+
+
+def entity_sentences(docs: DataFrame) -> DataFrame:
+    """(doc_id, sentence: array<string>) with entity tokens rewritten
+    to their URIs."""
+    seq = F.transform(
+        tokens(F.col("text")),
+        lambda t: F.when(t.isin(*ENTITY_TOKENS), F.concat(F.lit(WIKI_PREFIX), t)).otherwise(t),
+    )
+    return docs.select("doc_id", seq.alias("sentence"))
+
+
+def skipgram_embeddings(docs: DataFrame, dimensions: int = 32, min_count: int = 5,
+                        seed: int = 42) -> DataFrame:
+    """Train skip-gram embeddings over entity-rewritten token streams:
+    (term, vector array<float>). Deterministic vocab; vector values
+    depend on Spark ML's parallel training order (rows-only checked).
+    """
+    from pyspark.ml.feature import Word2Vec
+
+    sents = entity_sentences(docs)
+    w2v = Word2Vec(
+        vectorSize=dimensions,
+        minCount=min_count,
+        seed=seed,
+        inputCol="sentence",
+        outputCol="vec",
+        numPartitions=1,
+        maxIter=1,
+    )
+    model = w2v.fit(sents)
+    vecs = model.getVectors()  # (word, vector: VectorUDT)
+    from pyspark.ml.functions import vector_to_array
+
+    return vecs.select(
+        F.col("word").alias("term"),
+        vector_to_array(F.col("vector"), "float32").alias("vector"),
+    )
+
+
+def embedding_vocab(docs: DataFrame, dimensions: int = 32, min_count: int = 5) -> DataFrame:
+    """Deterministic projection of the trained model: (term, dim) —
+    what the driver's rows-only gate checks."""
+    vecs = skipgram_embeddings(docs, dimensions=dimensions, min_count=min_count)
+    return vecs.select("term", F.size("vector").alias("dim"))

@@ -243,6 +243,57 @@ FROM tok t JOIN (SELECT doc_id, length(text) AS n_chars FROM documents) d USING 
 GROUP BY t.doc_id, d.n_chars
 """
 
+def _values_sql(pairs) -> str:
+    return ", ".join(f"('{s}', '{t}')" for s, t in pairs)
+
+
+def _redirect_oracles() -> dict[str, str]:
+    from sift_spark.corpora.redirects import SYNTH_REDIRECTS, SYNTH_REDIRECTS_B
+    from sift_spark.functions.core import sql_entity_set
+
+    rds = f"rds(source, target) AS (VALUES {_values_sql(SYNTH_REDIRECTS)})"
+    rds_b = f"rds_b(source, target) AS (VALUES {_values_sql(SYNTH_REDIRECTS_B)})"
+    resolved = """walk AS (
+  SELECT source, target, 1 AS depth FROM rds
+  UNION ALL
+  SELECT w.source, r.target, w.depth + 1 FROM walk w JOIN rds r ON w.target = r.source WHERE w.depth < 8
+),
+resolved AS (
+  SELECT source, target
+  FROM (SELECT source, target, row_number() OVER (PARTITION BY source ORDER BY depth DESC) AS rn FROM walk)
+  WHERE rn = 1
+)"""
+    out = {}
+    out["resolve_redirects"] = f"""
+WITH RECURSIVE {rds},
+{resolved}
+SELECT source, target FROM resolved
+"""
+    out["map_redirects"] = f"""
+WITH {rds}, {rds_b}
+SELECT a.source, coalesce(b.target, a.target) AS target
+FROM rds a LEFT JOIN rds_b b ON a.target = b.source
+"""
+    out["redirect_documents"] = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS anchor
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+links AS (
+  SELECT doc_id, pos, anchor, 'wiki/' || anchor AS target
+  FROM tok WHERE anchor IN {sql_entity_set()}
+),
+{rds},
+{resolved}
+SELECT coalesce(r.target, l.target) AS target, count(*) AS count
+FROM links l LEFT JOIN resolved r ON l.target = r.source
+GROUP BY 1
+"""
+    return out
+
+
+ORACLE_OPS.update(_redirect_oracles())
+
 ORACLE_OPS["doc_fingerprint"] = f"""
 WITH {TOKCTE}
 SELECT doc_id,

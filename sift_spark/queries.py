@@ -143,6 +143,36 @@ def q_events_sessionize(spark, sf_dir):
     return EV.sessionize(table(spark, sf_dir, "events"), gap_minutes=30)
 
 
+# --- redirects --------------------------------------------------------------
+
+def q_resolve_redirects(spark, sf_dir):
+    from sift_spark.corpora.redirects import resolve_transitive, synth_redirects
+
+    return resolve_transitive(synth_redirects(spark))
+
+
+def q_map_redirects(spark, sf_dir):
+    from sift_spark.corpora.redirects import (
+        SYNTH_REDIRECTS_B,
+        compose_redirects,
+        synth_redirects,
+    )
+
+    return compose_redirects(synth_redirects(spark), synth_redirects(spark, SYNTH_REDIRECTS_B))
+
+
+def q_redirect_documents(spark, sf_dir):
+    from sift_spark.corpora.redirects import redirect_links, resolve_transitive, synth_redirects
+
+    links = wikify_links(_docs(spark, sf_dir))
+    rr = resolve_transitive(synth_redirects(spark))
+    return (
+        redirect_links(links, rr)
+        .groupBy("target")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
 # --- dedup / similarity / text analysis ------------------------------------
 
 def _emb(spark, sf_dir):
@@ -215,6 +245,14 @@ def q_doc_fingerprint(spark, sf_dir):
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+def q_skipgram_embeddings(spark, sf_dir):
+    """[r] rows-only: Word2Vec vector values are training-order
+    dependent; the deterministic projection (term, dim) is returned."""
+    from sift_spark.models.embeddings import embedding_vocab
+
+    return embedding_vocab(_docs(spark, sf_dir), dimensions=16, min_count=5)
+
+
 QUERIES: dict[str, QueryFn] = {
     "wikify": q_wikify,
     "entity_counts": q_entity_counts,
@@ -237,6 +275,9 @@ QUERIES: dict[str, QueryFn] = {
     "top_customers": q_top_customers,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
+    "resolve_redirects": q_resolve_redirects,
+    "map_redirects": q_map_redirects,
+    "redirect_documents": q_redirect_documents,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -248,4 +289,5 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": q_quality_score,
     "token_stats": q_token_stats,
     "doc_fingerprint": q_doc_fingerprint,
+    "skipgram_embeddings": q_skipgram_embeddings,
 }

@@ -1,0 +1,173 @@
+"""Structured Streaming operators over the events stream.
+
+Streaming twins of ``sift_spark.operators.events``: same semantics,
+expressed as an unbounded plan. Tests run them with
+``Trigger.AvailableNow`` over the parquet corpus and assert equality
+with the batch operators; in production the same code points at a
+file/Kafka source and runs continuously with watermarked state.
+
+- tumbling: window() aggregate + watermark (late events beyond 10
+  minutes are dropped deterministically).
+- sessionization: ``applyInPandasWithState`` keyed by user_id — the
+  canonical custom-stateful-operator pattern (timeout-driven session
+  close), since gap sessions aren't expressible as a fixed window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # int64 nanos (parquet TIMESTAMP_NS)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of event rows with a proper timestamp col."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    return raw.withColumn("ts_ts", F.timestamp_seconds(F.expr("ts DIV 1000000000")))
+
+
+def stream_tumbling_counts(events: DataFrame, minutes: int = 5,
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Windowed counts with late-data watermark; same output columns
+    as the batch twin (window_start as epoch seconds)."""
+    return (
+        events.withWatermark("ts_ts", watermark)
+        .groupBy(F.window("ts_ts", f"{minutes} minutes"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("session_id", T.LongType()),
+        T.StructField("start_s", T.LongType()),
+        T.StructField("last_s", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("session_start", T.LongType()),
+        T.StructField("session_end", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
+                      state_timeout_ms: int | None = None) -> DataFrame:
+    """Stateful gap sessionization via ``applyInPandasWithState``.
+
+    State per user: the open session. Batches advance it event by
+    event (events within a micro-batch are sorted by time); a gap >
+    ``gap_minutes`` closes and emits the open session.
+
+    ``state_timeout_ms`` (production knob): with a processing-time
+    timeout, idle users' open sessions are flushed after the timeout.
+    Leave ``None`` for bounded drains (Trigger.AvailableNow) — a
+    pending timeout makes the scheduler keep running empty batches,
+    so an AvailableNow run would never terminate.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+    use_timeout = state_timeout_ms is not None
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                sid, start_s, last_s, n, sv = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [
+                        {
+                            "user_id": user_id,
+                            "session_id": sid,
+                            "session_start": start_s,
+                            "session_end": last_s,
+                            "n_events": n,
+                            "sum_value": round(sv, 2),
+                        }
+                    ]
+                )
+            return
+
+        rows = pd.concat(list(pdfs))
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(["es", "event_id"])
+        if state.exists:
+            sid, start_s, last_s, n, sv = state.get
+        else:
+            sid, start_s, last_s, n, sv = 0, None, None, 0, 0.0
+        closed = []
+        for es, val in zip(rows["es"], rows["value"]):
+            es = int(es)
+            if start_s is None:
+                sid, start_s, last_s, n, sv = sid + 1, es, es, 1, float(val)
+            elif es - last_s > gap_s:
+                closed.append((user_id, sid, start_s, last_s, n, round(sv, 2)))
+                sid, start_s, last_s, n, sv = sid + 1, es, es, 1, float(val)
+            else:
+                last_s, n, sv = es, n + 1, sv + float(val)
+        state.update((sid, start_s, last_s, n, sv))
+        if use_timeout:
+            state.setTimeoutDuration(state_timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_id", "session_start", "session_end", "n_events", "sum_value"],
+            )
+
+    keyed = events.select(
+        "user_id", "event_id", "value", F.unix_timestamp("ts_ts").alias("es")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout if use_timeout else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "update") -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into a memory sink
+    and return the materialized result (test/driver helper)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

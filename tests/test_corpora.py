@@ -1,0 +1,120 @@
+"""Corpora readers: Wikipedia XML, Wikidata JSON, WARC, redirects."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+WIKI_XML = """<mediawiki>
+  <page>
+    <title>Apache Spark</title>
+    <ns>0</ns>
+    <id>1</id>
+    <revision><text>'''Apache Spark''' is an engine. {{Infobox|x=1}} It powers [[MapReduce|map reduce]] jobs and [[Hadoop]].&lt;!--c--&gt;</text></revision>
+  </page>
+  <page>
+    <title>Spark</title>
+    <ns>0</ns>
+    <id>2</id>
+    <redirect title="Apache Spark" />
+    <revision><text>#REDIRECT [[Apache Spark]]</text></revision>
+  </page>
+  <page>
+    <title>Talk:Apache Spark</title>
+    <ns>1</ns>
+    <id>3</id>
+    <revision><text>talk page</text></revision>
+  </page>
+</mediawiki>
+"""
+
+
+@pytest.fixture(scope="module")
+def wiki_dump(tmp_path_factory):
+    p = tmp_path_factory.mktemp("wiki") / "dump.xml"
+    # the page splitter keys on the reference delimiter layout
+    p.write_text(WIKI_XML.replace("</page>", "</page>").replace("  </page>", "  </page>"))
+    return str(p)
+
+
+def test_wikipedia_dump_parse(spark, wiki_dump):
+    from sift_spark.corpora.wikipedia import dump_articles, dump_redirects, read_dump
+
+    pages = read_dump(spark, wiki_dump)
+    rows = {r.uri: r for r in pages.collect()}
+    assert len(rows) == 3
+    spark_page = rows["en.wikipedia.org/wiki/Apache_Spark"]
+    assert spark_page.ns == "0" and spark_page.pid == 1 and spark_page.redirect is None
+
+    rds = dump_redirects(pages).collect()
+    assert [(r.source, r.target) for r in rds] == [
+        ("en.wikipedia.org/wiki/Spark", "en.wikipedia.org/wiki/Apache_Spark")
+    ]
+
+    arts = {r.uri: r for r in dump_articles(pages).collect()}
+    assert list(arts) == ["en.wikipedia.org/wiki/Apache_Spark"]  # ns-0 non-redirects only
+    art = arts["en.wikipedia.org/wiki/Apache_Spark"]
+    assert "{{" not in art.text and "[[" not in art.text and "<!--" not in art.text
+    targets = {l.target for l in art.links}
+    assert "en.wikipedia.org/wiki/MapReduce" in targets
+    assert "en.wikipedia.org/wiki/Hadoop" in targets
+    # first-bold self link injected
+    assert "en.wikipedia.org/wiki/Apache_Spark" in targets
+    # offsets index the anchor text
+    for l in art.links:
+        assert art.text[l.start:l.stop].strip() != ""
+
+
+WIKIDATA_LINES = [
+    '{"id":"Q1","labels":{"en":{"value":"universe"}},"sitelinks":{"enwiki":{"title":"Universe"}},"claims":{"P31":[{"mainsnak":{"snaktype":"value","datatype":"wikibase-item","datavalue":{"type":"wikibase-entityid","value":{"numeric-id":2}}}}],"P571":[{"mainsnak":{"snaktype":"value","datatype":"time","datavalue":{"type":"time","value":{"time":"-13798000000"}}}}]}}',
+    '{"id":"Q2","labels":{"en":{"value":"thing"}},"sitelinks":{},"claims":{}}',
+    '{"id":"P31","labels":{"en":{"value":"instance of"}},"claims":{}}',
+    '{"id":"P571","labels":{"en":{"value":"inception"}},"claims":{}}',
+]
+
+
+def test_wikidata_relations(spark, tmp_path):
+    from sift_spark.corpora.wikidata import read_items, relations
+
+    p = tmp_path / "wd.json"
+    p.write_text("\n".join(WIKIDATA_LINES))
+    items = read_items(spark, str(p))
+    assert items.count() == 4
+    rels = {(r.entity, r.predicate, r.value) for r in relations(items).collect()}
+    assert ("Universe", "instance of", "thing") in rels
+    assert ("Universe", "inception", "-13798000000") in rels
+
+
+def _warc_record(url: str, html: str) -> str:
+    http = f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n{html}"
+    head = f"WARC-Type: response\r\nWARC-Target-URI: {url}\r\n\r\n"
+    return "WARC/1.0\r\n" + head + http + "\r\n\r\n"
+
+
+def test_warc_articles(spark, tmp_path):
+    from sift_spark.corpora.warc import read_warc, warc_articles
+
+    p = tmp_path / "crawl.warc"
+    p.write_text(
+        _warc_record("http://x.test/a", '<html><body><p>Hello <a href="http://y.test/b">world link</a> end</p><script>var x=1;</script></body></html>')
+        + _warc_record("http://x.test/b", "<html><body>No links here</body></html>")
+    )
+    recs = read_warc(spark, str(p))
+    assert recs.count() == 2
+    arts = {r.uri: r for r in warc_articles(recs).collect()}
+    a = arts["http://x.test/a"]
+    assert "Hello" in a.text and "world link" in a.text and "script" not in a.text.lower()
+    assert [l.target for l in a.links] == ["http://y.test/b"]
+    assert a.text[a.links[0].start:a.links[0].stop] == "world link"
+
+
+def test_redirect_fixpoint(spark):
+    from sift_spark.corpora.redirects import resolve_transitive, synth_redirects
+
+    resolved = {(r.source, r.target) for r in resolve_transitive(synth_redirects(spark)).collect()}
+    assert ("wiki/vector", "wiki/table") in resolved  # 2-hop chain collapsed
+    assert ("wiki/column", "wiki/table") in resolved
+    # fixpoint property: no resolved target is still a redirect source
+    sources = {s for s, _ in resolved}
+    assert not any(t in sources and t != s for s, t in resolved if (t, t) not in resolved)

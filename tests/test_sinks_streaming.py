@@ -1,0 +1,121 @@
+"""Sinks (json/tsv/redis-proto), streaming twins, embeddings,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from tests.conftest import SF_SMOKE
+
+
+def test_json_lines_sink(spark):
+    from sift_spark.sinks.formats import to_json_lines
+
+    df = spark.createDataFrame([Row(_id="a", count=2)])
+    [r] = to_json_lines(df).collect()
+    assert json.loads(r.value) == {"_id": "a", "count": 2}
+
+
+def test_tsv_sink_escapes(spark):
+    from sift_spark.sinks.formats import to_tsv
+
+    df = spark.createDataFrame([Row(a="x\ty", b=1), Row(a=None, b=2)])
+    vals = sorted(r.value for r in to_tsv(df).collect())
+    assert vals == ["\t2", "x y\t1"]
+
+
+def test_redis_proto_sink(spark):
+    from sift_spark.sinks.formats import to_redis_proto
+
+    df = spark.createDataFrame([Row(_id="k1", count=3)])
+    [r] = to_redis_proto(df, key_col="_id", prefix="ec:").collect()
+    assert r.value == '*3\r\n$3\r\nSET\r\n$5\r\nec:k1\r\n$11\r\n{"count":3}\r\n'
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # file stream sources require a directory, not a single file
+    d = tmp_path_factory.mktemp("events_stream")
+    (d / "events.parquet").symlink_to(f"{SF_SMOKE}/events.parquet")
+    return str(d)
+
+
+def test_stream_tumbling_matches_batch(spark, events_dir):
+    from sift_spark.operators.events import tumbling_counts
+    from sift_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        stream_tumbling_counts,
+    )
+
+    stream = read_event_stream(spark, events_dir)
+    out = run_available_now(stream_tumbling_counts(stream), "t_tumble")
+    batch = tumbling_counts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    got = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in out.collect()}
+    want = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_sessionize_closed_sessions_match_batch(spark, events_dir):
+    from sift_spark.operators.events import sessionize
+    from sift_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        stream_sessionize,
+    )
+
+    stream = read_event_stream(spark, events_dir)
+    out = run_available_now(stream_sessionize(stream), "t_sess", output_mode="append")
+    batch = sessionize(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    got = {(r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events, r.sum_value)
+           for r in out.collect()}
+    want_all = {(r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events, r.sum_value)
+                for r in batch.collect()}
+    # streaming emits CLOSED sessions; the last session per user stays
+    # open in state. Every emitted session must match its batch twin.
+    assert got, "stream should close at least some sessions"
+    for k, v in got.items():
+        assert want_all[k] == v
+    # and the closed set = all batch sessions minus each user's last
+    last = {}
+    for (u, sid) in want_all:
+        last[u] = max(last.get(u, 0), sid)
+    want_closed = {k for k in want_all if k[1] != last[k[0]]}
+    assert set(got) == want_closed
+
+
+def test_skipgram_embeddings(spark):
+    from sift_spark.models.embeddings import skipgram_embeddings
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    vecs = skipgram_embeddings(docs, dimensions=16, min_count=5)
+    rows = vecs.collect()
+    terms = {r.term for r in rows}
+    assert "wiki/spark" in terms and "wiki/table" in terms  # entities in the space
+    assert all(len(r.vector) == 16 for r in rows)
+
+
+def test_multimodal_plumbing(spark):
+    from sift_spark.operators.multimodal import (
+        decode_features,
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(20)
+    media = synth_media(docs)
+    feats = decode_features(media, allow_fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(r.n_bytes == 16 for r in rows)  # md5 payload
+    assert all(len(r.byte_head) == 8 for r in rows)
+
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 8, 8)
+
+    frames = sample_frames(media, every_ms=500)
+    assert frames.count() == 40  # 1000ms / 500ms = 2 frames each
