@@ -20,30 +20,43 @@ from sift_spark.functions.core import tokens
 
 
 def _ngrams_n(toks: Column, n: int) -> Column:
+    # Per-gram cost is n O(1) element_at lookups — a slice+array_join
+    # per index measured ~10× slower (array copy per gram).
     # NOTE: the lambda must take exactly one parameter — PySpark counts
     # lambda parameters to decide (element) vs (element, index) form.
     return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
 
 def word_ngrams(toks: Column, min_n: int = 1, max_n: int = 1) -> Column:
     """All word n-grams (space-joined) for n in [min_n, max_n]
-    (reference sift/util.py:5 ``ngrams``)."""
+    (reference sift/util.py:5 ``ngrams``).
+
+    PERF: pass a *materialized column* (``F.col``), not a computed
+    expression — expressions referenced inside higher-order lambdas
+    are re-evaluated per element (a regex-split here measured 10×
+    slower than tokenizing into a column first)."""
     parts = [_ngrams_n(toks, n) for n in range(min_n, max_n + 1)]
     return parts[0] if len(parts) == 1 else F.flatten(F.array(*parts))
+
+
+def with_tokens(docs: DataFrame, lowercase: bool = False) -> DataFrame:
+    """(doc_id, toks) with the token array materialized once."""
+    text = F.lower(F.col("text")) if lowercase else F.col("text")
+    return docs.select("doc_id", tokens(text).alias("toks"))
 
 
 def term_frequencies(docs: DataFrame, max_ngram: int = 1, lowercase: bool = False, min_count: int = 1) -> DataFrame:
     """Corpus term frequencies (reference text.py:15
     ``TermFrequencies``): ngram counts with count > min_count."""
-    text = F.lower(F.col("text")) if lowercase else F.col("text")
     return (
-        docs.select(F.explode(word_ngrams(tokens(text), 1, max_ngram)).alias("term"))
+        with_tokens(docs, lowercase)
+        .select(F.explode(word_ngrams(F.col("toks"), 1, max_ngram)).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("count"))
         .where(F.col("count") > min_count)
@@ -55,10 +68,11 @@ def term_doc_frequencies(docs: DataFrame, max_ngram: int = 1, lowercase: bool = 
     ``TermDocumentFrequencies``): per-term distinct-doc counts with
     df > min_df. Distinct-per-doc before the global count keeps the
     aggregation two map-side-combinable hash aggs."""
-    text = F.lower(F.col("text")) if lowercase else F.col("text")
+    # per-doc dedup happens map-side via array_distinct — one shuffle
+    # total (the term count), instead of distinct + groupBy
     return (
-        docs.select("doc_id", F.explode(word_ngrams(tokens(text), 1, max_ngram)).alias("term"))
-        .distinct()
+        with_tokens(docs, lowercase)
+        .select(F.explode(F.array_distinct(word_ngrams(F.col("toks"), 1, max_ngram))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > min_df)

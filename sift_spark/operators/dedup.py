@@ -66,10 +66,14 @@ def dedup_exact(docs: DataFrame, cols: tuple[str, ...] = ("text",)) -> DataFrame
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct token n-gram shingles with 31-bit hashes:
-    (doc_id, shingle, h)."""
+    (doc_id, shingle, h). Per-doc dedup is map-side (array_distinct
+    before the explode); tokens materialized once (see word_ngrams
+    perf note)."""
+    from sift_spark.models.text import with_tokens
+
     return (
-        docs.select("doc_id", F.explode(word_ngrams(tokens(F.col("text")), n, n)).alias("shingle"))
-        .distinct()
+        with_tokens(docs)
+        .select("doc_id", F.explode(F.array_distinct(word_ngrams(F.col("toks"), n, n))).alias("shingle"))
         .withColumn("h", hash31(F.col("shingle")))
     )
 
@@ -213,14 +217,27 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     if max_df is not None:
         rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
         join_sh = sh.join(rare.select("shingle"), "shingle")
-    cand = (
+    # intersection sizes come straight off the shared-shingle join
+    # (shingles are distinct per doc), skipping the candidate-distinct
+    # + re-join passes — one shuffle join + one aggregate
+    inter = (
         join_sh.alias("l")
         .join(join_sh.alias("r"), F.col("l.shingle") == F.col("r.shingle"))
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
-        .distinct()
+        .groupBy(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return _jaccard_verify(cand, sh, threshold)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")), "doc1")
+        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4, n_blocks: int = 8) -> DataFrame:

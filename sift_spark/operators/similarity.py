@@ -153,17 +153,31 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5) -> DataFrame:
         .select(F.col("l.vec_id").alias("vec_id"), F.col("r.vec_id").alias("neighbor_id"))
         .distinct()
     )
-    e = emb.select("vec_id", "embedding")
+    # norms are computed once per vector (map-side), so each candidate
+    # pair evaluates a single dot-product aggregate instead of three
+    norm = F.sqrt(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double"))
+    )
+    e = emb.select("vec_id", "embedding").withColumn("nrm", norm)
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("emb_r"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
     pairs = (
-        cand.join(e.withColumnRenamed("vec_id", "vec_id").alias("a"), "vec_id")
+        cand.join(e.alias("a"), "vec_id")
         .join(
-            e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_r")).alias("b"),
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("emb_r"),
+                F.col("nrm").alias("nrm_r"),
+            ).alias("b"),
             "neighbor_id",
         )
         .select(
             "vec_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("embedding"), F.col("emb_r")), 6).alias("sim"),
+            F.round(dot / (F.col("nrm") * F.col("nrm_r")), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())

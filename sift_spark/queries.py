@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sift_spark.corpora.synthetic import token_table, wikify_links
+from sift_spark.corpora.synthetic import token_pos_table, wikify_links
 from sift_spark.io import table
 from sift_spark.models import links as L
 from sift_spark.models import text as TX
@@ -30,7 +30,7 @@ def _docs(spark, sf_dir):
 # --- corpora ---------------------------------------------------------------
 
 def q_wikify(spark, sf_dir):
-    return wikify_links(_docs(spark, sf_dir)).select(
+    return wikify_links(_docs(spark, sf_dir), with_offsets=True).select(
         "doc_id", "pos", "anchor", "start", "stop", "target"
     )
 
@@ -47,7 +47,7 @@ def q_entity_name_counts(spark, sf_dir):
 
 def q_name_part_counts(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    return L.name_part_counts(wikify_links(docs), token_table(docs), max_ngram=2)
+    return L.name_part_counts(wikify_links(docs), token_pos_table(docs), max_ngram=2)
 
 
 def q_entity_inlinks(spark, sf_dir):
