@@ -47,6 +47,14 @@ def main() -> None:
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_local_supplier",
+        "q4_order_priority",
+        "customers_without_orders",
+        "revenue_rollup",
+        "order_status_pivot",
+        "price_percentiles",
+        "events_json_buckets",
+        "events_running",
+        "asof_clicks_errors",
         "top_customers",
         "events_tumbling",
         "events_sessionize",

@@ -81,6 +81,120 @@ def q5_local_supplier_volume(region: DataFrame, nation: DataFrame, customer: Dat
     return df
 
 
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame,
+                      date_from: str = "1996-07-01", date_to: str = "1996-10-01") -> DataFrame:
+    """TPC-H Q4 shape: order counts by priority for orders with at
+    least one line shipped after the order date (EXISTS → left-semi
+    join; Catalyst builds it without materializing the subquery)."""
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate"))
+    return (
+        orders.where((F.col("o_orderdate") >= date_from) & (F.col("o_orderdate") < date_to))
+        .join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """NOT EXISTS → left-anti join; counts by market segment."""
+    return (
+        customer.join(orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def revenue_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP (year, quarter) revenue totals; null grouping levels
+    surfaced as -1 so the output is stable across engines."""
+    base = orders.select(
+        F.year("o_orderdate").alias("o_year"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        "o_totalprice",
+    )
+    return (
+        base.rollup("o_year", "o_quarter")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_year"), F.lit(-1)).alias("o_year"),
+            F.coalesce(F.col("o_quarter"), F.lit(-1)).alias("o_quarter"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+def order_status_pivot(orders: DataFrame, statuses: tuple[str, ...] = ("O", "F", "P")) -> DataFrame:
+    """Pivot: order counts per priority × status (fixed pivot values —
+    at scale an explicit value list avoids the extra distinct pass)."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(statuses))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}") for s in statuses],
+        )
+    )
+
+
+def price_percentiles(part: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles of retail price per part brand
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``)."""
+    return part.groupBy("p_brand").agg(
+        F.round(F.percentile("p_retailprice", 0.25), 6).alias("p25"),
+        F.round(F.percentile("p_retailprice", 0.5), 6).alias("p50"),
+        F.round(F.percentile("p_retailprice", 0.75), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+def events_json_buckets(events: DataFrame) -> DataFrame:
+    """JSON extraction from the ``props`` column: bucket by
+    ``props.k % 10``, count + sum(value)."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def events_running(events: DataFrame) -> DataFrame:
+    """Per-user running aggregates: cumulative value sum + 3-row
+    moving average, ordered by time (window surface)."""
+    from sift_spark.operators.events import epoch_seconds
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        epoch_seconds(events).alias("es"),
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("cum_value"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("mov_avg3"),
+    )
+
+
+def clicks_last_error_asof(events: DataFrame) -> DataFrame:
+    """As-of join demo on the event stream: for every click, the
+    epoch-seconds of that user's most recent error at or before it."""
+    from sift_spark.operators.asof import asof_join
+    from sift_spark.operators.events import epoch_seconds
+
+    es = epoch_seconds(events)
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", es.alias("click_es")
+    )
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id", es.alias("error_es")
+    )
+    return asof_join(
+        clicks, errors, partition_col="user_id", left_ts="click_es",
+        right_ts="error_es", value_cols=["error_es"], suffix="",
+    ).select("user_id", "event_id", "click_es", F.col("error_es").alias("last_error_es"))
+
+
 def top_customers_per_segment(customer: DataFrame, orders: DataFrame, k: int = 5) -> DataFrame:
     """Top-k customers by total order value within each market segment
     (window/rank surface). Deterministic: ties broken by custkey."""

@@ -243,6 +243,78 @@ FROM (
 WHERE rank <= 5
 """
 
+ORACLE["q4_order_priority"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+ORACLE["customers_without_orders"] = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+ORACLE["revenue_rollup"] = """
+SELECT CAST(coalesce(o_year, -1) AS INT) AS o_year,
+       CAST(coalesce(o_quarter, -1) AS INT) AS o_quarter,
+       round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(quarter(o_orderdate) AS INT) AS o_quarter, o_totalprice
+      FROM orders)
+GROUP BY ROLLUP (o_year, o_quarter)
+"""
+
+ORACLE["order_status_pivot"] = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+ORACLE["price_percentiles"] = """
+SELECT p_brand,
+       CAST(round(quantile_cont(p_retailprice, 0.25), 6) AS DOUBLE) AS p25,
+       CAST(round(quantile_cont(p_retailprice, 0.5), 6) AS DOUBLE) AS p50,
+       CAST(round(quantile_cont(p_retailprice, 0.75), 6) AS DOUBLE) AS p75,
+       count(*) AS n_parts
+FROM part GROUP BY p_brand
+"""
+
+ORACLE["events_json_buckets"] = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+ORACLE["events_running"] = """
+SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value,
+  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3
+FROM events
+"""
+
+ORACLE["asof_clicks_errors"] = """
+WITH clicks AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS click_es
+  FROM events WHERE event_type = 'click'
+),
+errors AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS error_es
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.user_id, c.event_id, c.click_es, e.error_es AS last_error_es
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.click_es >= e.error_es
+"""
+
 ORACLE["events_tumbling"] = """
 SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
        event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value

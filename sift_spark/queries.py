@@ -133,6 +133,38 @@ def q_top_customers(spark, sf_dir):
     )
 
 
+def q_q4(spark, sf_dir):
+    return R.q4_order_priority(table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem"))
+
+
+def q_customers_without_orders(spark, sf_dir):
+    return R.customers_without_orders(table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders"))
+
+
+def q_revenue_rollup(spark, sf_dir):
+    return R.revenue_rollup(table(spark, sf_dir, "orders"))
+
+
+def q_order_status_pivot(spark, sf_dir):
+    return R.order_status_pivot(table(spark, sf_dir, "orders"))
+
+
+def q_price_percentiles(spark, sf_dir):
+    return R.price_percentiles(table(spark, sf_dir, "part"))
+
+
+def q_events_json_buckets(spark, sf_dir):
+    return R.events_json_buckets(table(spark, sf_dir, "events"))
+
+
+def q_events_running(spark, sf_dir):
+    return R.events_running(table(spark, sf_dir, "events"))
+
+
+def q_asof_clicks_errors(spark, sf_dir):
+    return R.clicks_last_error_asof(table(spark, sf_dir, "events"))
+
+
 # --- events ----------------------------------------------------------------
 
 def q_events_tumbling(spark, sf_dir):
@@ -273,6 +305,14 @@ QUERIES: dict[str, QueryFn] = {
     "q3_shipping_priority": q_q3,
     "q5_local_supplier": q_q5,
     "top_customers": q_top_customers,
+    "q4_order_priority": q_q4,
+    "customers_without_orders": q_customers_without_orders,
+    "revenue_rollup": q_revenue_rollup,
+    "order_status_pivot": q_order_status_pivot,
+    "price_percentiles": q_price_percentiles,
+    "events_json_buckets": q_events_json_buckets,
+    "events_running": q_events_running,
+    "asof_clicks_errors": q_asof_clicks_errors,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "resolve_redirects": q_resolve_redirects,
