@@ -176,6 +176,28 @@ def dump_redirects(pages: DataFrame) -> DataFrame:
     )
 
 
+def article_links(articles: DataFrame) -> DataFrame:
+    """Adapter: nested article link arrays → the flat link table the
+    model layer consumes (doc_id, pos, anchor, start, stop, target).
+    ``pos`` is the per-document link ordinal (links are emitted in
+    text order). Pure built-ins: explode + substring."""
+    exploded = articles.select(
+        F.col("uri").alias("doc_id"),
+        F.col("text"),
+        F.posexplode("links").alias("pos", "link"),
+    )
+    return exploded.select(
+        "doc_id",
+        "pos",
+        F.trim(
+            F.expr("substring(text, link.start + 1, link.stop - link.start)")
+        ).alias("anchor"),
+        F.col("link.start").alias("start"),
+        F.col("link.stop").alias("stop"),
+        F.col("link.target").alias("target"),
+    )
+
+
 def dump_articles(pages: DataFrame) -> DataFrame:
     """Markup-stripped article corpus with offset links:
     (uri, text, links) — mirrors WikipediaArticles (wikipedia.py:68)."""

@@ -147,6 +147,36 @@ def entity_comentions(links: DataFrame) -> DataFrame:
     )
 
 
+def entity_relatedness(links: DataFrame, min_inlinks: int = 1) -> DataFrame:
+    """Pairwise entity relatedness as jaccard over inlink sets — the
+    inlink-based relatedness modeling the reference advertises
+    (README: 'Model entity popularity, alternative names and
+    relatedness using inlinks'; built on links.py:136 inlink sets).
+
+    Candidates are entity pairs sharing ≥1 inlinking document (a
+    keyed self-join on doc_id), so disconnected pairs are never
+    materialized. Output: (e1, e2, relatedness)."""
+    il = links.select("doc_id", "target").distinct()
+    sizes = il.groupBy("target").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        il.alias("l")
+        .join(il.alias("r"), "doc_id")
+        .where(F.col("l.target") < F.col("r.target"))
+        .groupBy(F.col("l.target").alias("e1"), F.col("r.target").alias("e2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("target").alias("e1"), F.col("n").alias("n1")), "e1")
+        .join(sizes.select(F.col("target").alias("e2"), F.col("n").alias("n2")), "e2")
+        .where((F.col("n1") >= min_inlinks) & (F.col("n2") >= min_inlinks))
+        .select(
+            "e1",
+            "e2",
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6).alias("relatedness"),
+        )
+    )
+
+
 def mapped_entity_comentions(links: DataFrame, vocab: DataFrame) -> DataFrame:
     """Comentions with entities mapped to vocab ranks (reference
     links.py:215 ``MappedEntityComentions``), ordered by rank.

@@ -120,6 +120,20 @@ FROM (SELECT DISTINCT doc_id, target FROM links)
 GROUP BY doc_id
 """
 
+ORACLE["entity_relatedness"] = f"""
+WITH {TOK}, {LINKS},
+il AS (SELECT DISTINCT doc_id, target FROM links),
+sizes AS (SELECT target, count(*) AS n FROM il GROUP BY target),
+inter AS (
+  SELECT l.target AS e1, r.target AS e2, count(*) AS inter
+  FROM il l JOIN il r ON l.doc_id = r.doc_id AND l.target < r.target
+  GROUP BY l.target, r.target
+)
+SELECT e1, e2, round(inter * 1.0 / (x.n + y.n - inter), 6) AS relatedness
+FROM inter JOIN sizes x ON x.target = e1 JOIN sizes y ON y.target = e2
+WHERE x.n >= 1 AND y.n >= 1
+"""
+
 ORACLE["mapped_comentions"] = f"""
 WITH {TOK}, {LINKS}, {EVOCAB}
 SELECT doc_id, count(*) AS n_entities,

@@ -62,6 +62,10 @@ def q_entity_comentions(spark, sf_dir):
     return L.entity_comentions(wikify_links(_docs(spark, sf_dir)))
 
 
+def q_entity_relatedness(spark, sf_dir):
+    return L.entity_relatedness(wikify_links(_docs(spark, sf_dir)))
+
+
 def q_mapped_comentions(spark, sf_dir):
     links = wikify_links(_docs(spark, sf_dir))
     return L.mapped_entity_comentions(links, L.entity_vocab(links, 0, 10000))
@@ -293,6 +297,7 @@ QUERIES: dict[str, QueryFn] = {
     "entity_inlinks": q_entity_inlinks,
     "entity_vocab": q_entity_vocab,
     "entity_comentions": q_entity_comentions,
+    "entity_relatedness": q_entity_relatedness,
     "mapped_comentions": q_mapped_comentions,
     "term_frequencies": q_term_frequencies,
     "term_doc_frequencies": q_term_doc_frequencies,
