@@ -143,6 +143,14 @@ def read_dump(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for xml_str in pdf["page_xml"]:
+                # records normally end at the stripped delimiter and we
+                # re-append </page>; a trailing fragment (EOF, or a dump
+                # whose layout differs from the 2-space convention) may
+                # still carry its own </page> plus trailing content —
+                # cut at the first close tag so ET sees one element.
+                close = xml_str.find("</page>")
+                if close != -1:
+                    xml_str = xml_str[: close + len("</page>")]
                 try:
                     e = ET.fromstring(xml_str)
                 except ET.ParseError:

@@ -152,6 +152,73 @@ def entity_mention_term_frequency(mentions: DataFrame, idfs: DataFrame, normaliz
     return weighted.select("target", "term", F.round("w", 6).alias("weight"))
 
 
+def sentence_mentions(articles: DataFrame, window: int = 1, strict: bool = True) -> DataFrame:
+    """Sentence-context mentions for prose corpora (reference
+    text.py:39 ``EntityMentions`` with its sentence alignment,
+    text.py:48 ``iter_mentions``): for each link, the surrounding
+    ``window`` sentences with the span re-based into the mention.
+
+    Input: articles (uri, text, links[{target,start,stop}]) — the
+    Wikipedia/WARC shape. Sentence spans need offset bookkeeping over
+    the raw text, so this runs in ``mapInPandas`` (stdlib ``re`` +
+    ``bisect``), like the markup stage it follows.
+
+    Output: (target, source, mention, span_start, span_stop); strict
+    mode drops list-item/unterminated pseudo-sentences.
+    """
+    from collections.abc import Iterator
+
+    out_schema = "target string, source string, mention string, span_start int, span_stop int"
+
+    def run(batches: Iterator) -> Iterator:
+        import re
+        from bisect import bisect_left, bisect_right
+
+        import pandas as pd
+
+        from sift_spark.functions.sentences import SENTENCE_SPLIT_RE
+
+        splitter = re.compile(SENTENCE_SPLIT_RE)
+        for pdf in batches:
+            rows = []
+            for uri, text, links in zip(pdf["uri"], pdf["text"], pdf["links"]):
+                # sentence spans: gaps between split matches
+                spans = []
+                last = 0
+                for m in splitter.finditer(text):
+                    if m.start() > last:
+                        spans.append((last, m.start()))
+                    last = m.end()
+                if last < len(text):
+                    spans.append((last, len(text)))
+                if not spans:
+                    continue
+                starts = [s for s, _ in spans]
+                for link in links:
+                    ls, lstop = int(link["start"]), int(link["stop"])
+                    si = max(0, bisect_right(starts, ls) - 1)
+                    se = max(0, bisect_left(starts, lstop) - 1)
+                    lhs = window // 2
+                    rhs = (window - lhs) - 1
+                    si = max(0, si - lhs)
+                    se = min(len(spans) - 1, se + rhs)
+                    m_start = spans[si][0]
+                    mention = text[m_start : spans[se][1]]
+                    span = (ls - m_start, lstop - m_start)
+                    if span == (0, len(mention)):
+                        continue  # mention is the whole sentence
+                    if strict:
+                        sm = mention.strip()
+                        if not sm or sm.startswith("*") or sm[-1] not in ".!?\"'":
+                            continue
+                    rows.append((link["target"], uri, mention, span[0], span[1]))
+            yield pd.DataFrame(
+                rows, columns=["target", "source", "mention", "span_start", "span_stop"]
+            )
+
+    return articles.select("uri", "text", "links").mapInPandas(run, out_schema)
+
+
 def indexed_mentions(mentions: DataFrame, vocab: DataFrame) -> DataFrame:
     """Mention token streams mapped to vocab ranks (reference
     text.py:90 ``IndexMappedMentions``); unknown terms → -1.

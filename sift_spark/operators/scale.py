@@ -1,0 +1,61 @@
+"""Scale utilities: layout control (partitioned/bucketed writes) and
+skew mitigation (key salting).
+
+These are the knobs a 100 TB deployment turns that a local test never
+forces: bucketing pre-shuffles fact tables once at write time so
+later joins/aggregations on the bucket key are shuffle-free;
+salting splits a pathological hot key across reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      fmt: str = "parquet") -> None:
+    """Hive-style partitioned layout — partition pruning makes
+    predicate-on-partition-col queries touch only matching dirs."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
+                   n_buckets: int = 32, sort_col: str | None = None) -> None:
+    """Bucketed + sorted table: joins/groupBys on ``bucket_col``
+    between co-bucketed tables skip the shuffle entirely."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
+def salted_aggregate(df: DataFrame, key_col: str, aggs: dict[str, tuple[str, str]],
+                     n_salts: int = 16) -> DataFrame:
+    """Two-phase aggregation for skewed keys: aggregate on
+    (key, salt) first — spreading a hot key over ``n_salts``
+    reducers — then combine the partials per key.
+
+    ``aggs``: output_name → (fn, col) with fn ∈ sum/count/min/max
+    (the re-aggregatable functions; decompose avg into sum+count).
+    """
+    first = {
+        "sum": F.sum,
+        "count": lambda c: F.count(F.lit(1)),
+        "min": F.min,
+        "max": F.max,
+    }
+    recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    salted = df.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    partial = salted.groupBy(key_col, "__salt").agg(
+        *[first[fn](col).alias(name) for name, (fn, col) in aggs.items()]
+    )
+    return partial.groupBy(key_col).agg(
+        *[recombine[fn](name).alias(name) for name, (fn, _) in aggs.items()]
+    )
+
+
+def explain_shuffles(df: DataFrame) -> int:
+    """Count Exchange operators in the physical plan (plan-shape
+    telemetry for tests/tuning)."""
+    return df._jdf.queryExecution().executedPlan().toString().count("Exchange")

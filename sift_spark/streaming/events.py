@@ -159,6 +159,13 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
     )
 
 
+def stream_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact-dedup on event_id with watermarked state —
+    duplicate deliveries (at-least-once sources) are dropped; state
+    for ids older than the watermark is evicted."""
+    return events.withWatermark("ts_ts", watermark).dropDuplicates(["event_id"])
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "update") -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink
     and return the materialized result (test/driver helper)."""

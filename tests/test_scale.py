@@ -1,0 +1,108 @@
+"""Scale utilities: salting, bucketed/partitioned layout, sketches,
+streaming dedup, sentence mentions on prose."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from sift_spark.operators.scale import salted_aggregate
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    plain = {
+        (r.event_type): (r.n, round(r.s, 2))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.event_type): (r.n, round(r.s, 2))
+        for r in salted_aggregate(
+            ev, "event_type", {"n": ("count", "value"), "s": ("sum", "value")}, n_salts=8
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from sift_spark.operators.scale import write_partitioned
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = str(tmp_path / "by_lang")
+    write_partitioned(docs, out, ["lang"])
+    back = spark.read.parquet(out).where(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan  # pruning engaged
+    assert back.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    from sift_spark.operators.scale import explain_shuffles, write_bucketed
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    write_bucketed(orders, "b_orders", "o_custkey", n_buckets=8)
+    write_bucketed(
+        orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")),
+        "b_counts", "o_custkey", n_buckets=8,
+    )
+    try:
+        # force sort-merge (the planner would otherwise broadcast these
+        # tiny tables — also shuffle-free, but not what we're testing)
+        j = spark.table("b_orders").hint("merge").join(spark.table("b_counts"), "o_custkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucketing replaced the shuffle
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_counts")
+
+
+def test_sketches_within_tolerance(spark):
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    exact = ev.select(F.count_distinct("user_id")).first()[0]
+    approx = ev.select(F.approx_count_distinct("user_id")).first()[0]
+    assert abs(approx - exact) / exact < 0.05
+    med_exact = ev.select(F.percentile("value", 0.5)).first()[0]
+    med_approx = ev.select(F.percentile_approx("value", 0.5)).first()[0]
+    assert abs(med_approx - med_exact) <= max(0.5, 0.1 * abs(med_exact))
+
+
+def test_stream_dedup(spark, tmp_path):
+    from sift_spark.streaming.events import read_event_stream, run_available_now, stream_dedup
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    (d / "events.parquet").symlink_to(f"{SF_SMOKE}/events.parquet")
+    (d / "events_dup.parquet").symlink_to(f"{SF_SMOKE}/events.parquet")  # duplicate delivery
+    out = run_available_now(stream_dedup(read_event_stream(spark, str(d))), "t_dedup", "append")
+    n_unique = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert out.count() == n_unique
+
+
+def test_sentence_mentions_on_prose(spark):
+    from sift_spark.models.text import sentence_mentions
+
+    articles = spark.createDataFrame(
+        [
+            Row(
+                uri="doc://1",
+                text="Alpha is a thing. It relates to Beta project. Standalone!",
+                links=[
+                    Row(target="kb/Alpha", start=0, stop=5),
+                    Row(target="kb/Beta", start=32, stop=36),
+                ],
+            )
+        ]
+    )
+    rows = {r.target: r for r in sentence_mentions(articles, window=1).collect()}
+    a = rows["kb/Alpha"]
+    assert a.mention == "Alpha is a thing."
+    assert a.mention[a.span_start:a.span_stop] == "Alpha"
+    b = rows["kb/Beta"]
+    assert b.mention == "It relates to Beta project."
+    assert b.mention[b.span_start:b.span_stop] == "Beta"
