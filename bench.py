@@ -69,6 +69,10 @@ def main() -> None:
         "quality_score",
         "token_stats",
         "doc_fingerprint",
+        "entity_relatedness",
+        "tfidf_search",
+        "stratified_sample",
+        "train_test_split",
     ]
 
     times: dict[str, float] = {}

@@ -1,0 +1,50 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+All sampling here is hash-based (md5-derived, seeded by a salt
+string), NOT ``rand()``: the same row lands in the same
+split/sample on every run, on any cluster, regardless of partitioning
+— the property training-data lineage needs. ``F.rand`` is
+seed-stable only under identical partitioning, so it silently
+reshuffles membership when the input layout changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sift_spark.functions.core import hash64
+
+
+def hash_bucket(key: Column, salt: str = "sample", n: int = 100) -> Column:
+    """Stable bucket in [0, n) from a key column + salt."""
+    return hash64(F.concat(F.lit(salt + ":"), key.cast("string"))) % n
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float,
+                         salt: str = "sample") -> DataFrame:
+    """Keep rows whose hash bucket < fraction·100 (percent
+    granularity — use a larger modulus for finer rates)."""
+    return df.where(hash_bucket(F.col(key_col), salt) < int(fraction * 100))
+
+
+def stratified_sample(df: DataFrame, key_col: str, stratum_col: str,
+                      fractions: dict[str, float], salt: str = "sample") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep rare ones whole)."""
+    bucket = hash_bucket(F.col(key_col), salt)
+    cond = None
+    for stratum, frac in fractions.items():
+        c = (F.col(stratum_col) == stratum) & (bucket < int(frac * 100))
+        cond = c if cond is None else cond | c
+    known = F.col(stratum_col).isin(*fractions.keys())
+    return df.where(cond | ~known)
+
+
+def train_test_split(df: DataFrame, key_col: str, test_fraction: float = 0.1,
+                     salt: str = "split") -> tuple[DataFrame, DataFrame]:
+    """(train, test) with stable membership; a row's side never
+    changes across runs or repartitions."""
+    bucket = hash_bucket(F.col(key_col), salt)
+    cut = int(test_fraction * 100)
+    return df.where(bucket >= cut), df.where(bucket < cut)

@@ -71,6 +71,48 @@ def token_stats(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "n_tokens", "n_chars", "n_subwords")
 
 
+def tfidf_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
+                 min_df: int = 2) -> DataFrame:
+    """TF-IDF ranked document search: score = Σ_q sqrt(tf)·idf over
+    the query terms, L2-normalized by the document's full tf-idf
+    vector (cosine against a binary query vector, up to the query
+    norm constant). Top-k by (score desc, doc_id asc).
+
+    Plan shape: doc-term tf (one shuffle), idf broadcast join, per-doc
+    norm from the full vector, query-term filter before the final
+    top-k — no full-corpus sort, just one aggregation + window."""
+    from sift_spark.models.text import term_idfs, with_tokens
+
+    tf = (
+        with_tokens(docs)
+        .select("doc_id", F.explode(F.col("toks")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idfs = term_idfs(docs, min_df=min_df)
+    w = tf.join(idfs, "term").select(
+        "doc_id", "term", (F.sqrt(F.col("tf")) * F.col("idf")).alias("w")
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    qscore = (
+        w.where(F.col("term").isin(*query_terms))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("qw"))
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        qscore.join(norms, "doc_id")
+        .select("doc_id", F.round(F.col("qw") / F.col("norm"), 6).alias("score"))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())),
+        )
+        .where(F.col("rank") <= k)
+    )
+    return ranked
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Position-sensitive rolling-hash fingerprint:
     fp = Σ_pos (h31(token)·((pos mod 64)+1) mod P) mod P, P=2^31-1.

@@ -294,6 +294,44 @@ GROUP BY 1
 
 ORACLE_OPS.update(_redirect_oracles())
 
+_search_terms_sql = ", ".join(f"'{t}'" for t in ("spark", "window", "merge"))
+
+ORACLE_OPS["tfidf_search"] = f"""
+WITH {TOKCTE},
+tf AS (SELECT doc_id, anchor AS term, count(*) AS tf FROM tok GROUP BY doc_id, anchor),
+idf AS (
+  SELECT term, round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS idf
+  FROM (SELECT anchor AS term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, anchor FROM tok) GROUP BY anchor
+        HAVING count(*) > 2)
+),
+w AS (SELECT doc_id, term, sqrt(tf) * idf AS w FROM tf JOIN idf USING (term)),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
+q AS (SELECT doc_id, sum(w) AS qw FROM w WHERE term IN ({_search_terms_sql}) GROUP BY doc_id),
+scored AS (SELECT q.doc_id, round(q.qw / n.norm, 6) AS score FROM q JOIN norms n ON n.doc_id = q.doc_id)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+_sample_h = _h64("concat('sample:', cast(doc_id as varchar))")
+_split_h = _h64("concat('split:', cast(doc_id as varchar))")
+
+ORACLE_OPS["stratified_sample"] = f"""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang, {_sample_h} % 100 AS b FROM documents)
+WHERE (lang = 'en' AND b < 20) OR (lang = 'de' AND b < 50)
+   OR lang NOT IN ('en', 'de')
+"""
+
+ORACLE_OPS["train_test_split"] = f"""
+SELECT 'train' AS split, count(*) AS n_docs FROM documents WHERE {_split_h} % 100 >= 10
+UNION ALL
+SELECT 'test' AS split, count(*) AS n_docs FROM documents WHERE {_split_h} % 100 < 10
+"""
+
 ORACLE_OPS["doc_fingerprint"] = f"""
 WITH {TOKCTE}
 SELECT doc_id,

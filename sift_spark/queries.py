@@ -281,6 +281,33 @@ def q_doc_fingerprint(spark, sf_dir):
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+SEARCH_TERMS = ("spark", "window", "merge")
+
+
+def q_tfidf_search(spark, sf_dir):
+    from sift_spark.operators.text_analysis import tfidf_search
+
+    return tfidf_search(_docs(spark, sf_dir), SEARCH_TERMS, k=10)
+
+
+def q_stratified_sample(spark, sf_dir):
+    from sift_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "doc_id", "lang", {"en": 0.2, "de": 0.5}
+    ).select("doc_id", "lang")
+
+
+def q_train_test_split(spark, sf_dir):
+    """Split sizes + disjointness summary (stable across runs)."""
+    from sift_spark.operators.sampling import train_test_split
+
+    train, test = train_test_split(_docs(spark, sf_dir), "doc_id", 0.1)
+    t1 = train.select(F.lit("train").alias("split"), "doc_id")
+    t2 = test.select(F.lit("test").alias("split"), "doc_id")
+    return t1.unionByName(t2).groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_skipgram_embeddings(spark, sf_dir):
     """[r] rows-only: Word2Vec vector values are training-order
     dependent; the deterministic projection (term, dim) is returned."""
@@ -334,5 +361,8 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": q_quality_score,
     "token_stats": q_token_stats,
     "doc_fingerprint": q_doc_fingerprint,
+    "tfidf_search": q_tfidf_search,
+    "stratified_sample": q_stratified_sample,
+    "train_test_split": q_train_test_split,
     "skipgram_embeddings": q_skipgram_embeddings,
 }
