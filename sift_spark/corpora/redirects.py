@@ -40,15 +40,18 @@ def synth_redirects(spark, pairs=SYNTH_REDIRECTS) -> DataFrame:
     return spark.createDataFrame(list(pairs), "source string, target string")
 
 
-def resolve_transitive(redirects: DataFrame, max_iters: int = 8) -> DataFrame:
+def resolve_transitive(redirects: DataFrame, max_hops: int = 8) -> DataFrame:
     """Collapse redirect chains to their terminal targets.
 
-    Iterates target←target' joins until a fixpoint (or ``max_iters``,
-    which also guards against cycles). Equivalent, for acyclic sets,
-    to walking each chain to its end."""
+    Iterates target←target' joins until a fixpoint, capped at
+    ``max_hops`` total hops (cycle guard). The cap is hop-exact with
+    the oracle's recursive CTE (walk depth ≤ max_hops): the initial
+    set is 1 hop, each iteration adds one, so the loop runs
+    ``max_hops - 1`` times — a cycle resolves to the same
+    parity-of-hops node in both engines."""
     resolved = redirects.select("source", "target")
     nxt = redirects.select(F.col("source").alias("__s"), F.col("target").alias("__t"))
-    for _ in range(max_iters):
+    for _ in range(max_hops - 1):
         # fixpoint: done when no target is still a redirect source
         if resolved.join(nxt, resolved["target"] == nxt["__s"], "left_semi").limit(1).count() == 0:
             break

@@ -46,8 +46,12 @@ def html_to_text(html: F.Column) -> F.Column:
     dragnet content extraction (commoncrawl.py:71) — same output
     contract, simplified boilerplate removal."""
     c = F.regexp_replace(html, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
-    c = F.regexp_replace(c, r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', '<a href="$1">$2</a>')
-    c = F.regexp_replace(c, r"(?s)<(?!a\s|/a)[^>]*>", " ")
+    # protect href anchors behind control-char sentinels, strip ALL
+    # remaining tags (incl. <a name=...> and its orphaned </a>, </abbr>,
+    # <article> — tag-name-prefix guards leak those), then restore
+    c = F.regexp_replace(c, r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', "\x01$1\x02$2\x03")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    c = F.regexp_replace(c, "\x01([^\x02]*)\x02([^\x03]*)\x03", '<a href="$1">$2</a>')
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
 

@@ -227,7 +227,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         .groupBy(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # sizes from the SAME (possibly df-capped) shingle set as the
+    # intersections — mixed universes would under-report jaccard
+    sizes = join_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     return (
         inter.join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")), "doc1")
         .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")), "doc2")
@@ -248,13 +250,13 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4, n_blocks: int = 
     numpy kernel so only qualifying pairs leave a tile. The cheaper
     scale path for lower thresholds is hyperplane-LSH bucketing
     (``similarity.ann_lsh_topk``)."""
-    from sift_spark.operators.similarity import _tile_sims
+    from sift_spark.operators.similarity import _tile_sims, round6_half_away
 
     def emit(key, S, lids, rids):
         import numpy as np
         import pandas as pd
 
-        Sr = np.round(S, 6)
+        Sr = round6_half_away(S)
         ii, jj = np.where(Sr >= threshold)
         keep = lids[ii] < rids[jj]
         return pd.DataFrame(

@@ -56,25 +56,18 @@ def synth_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     )
 
 
-def _have_pil() -> bool:
-    try:
-        import PIL  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 def decode_features(media: DataFrame, allow_fake: bool = False) -> DataFrame:
     """Decode → per-item features via ``mapInPandas`` (Arrow batches).
 
-    Real path requires an image codec (not in this container); the
-    fake path computes deterministic byte statistics with identical
-    schema and batching."""
-    real = _have_pil()
-    if not real and not allow_fake:
+    The real decode kernel is NOT implemented (this environment ships
+    no codec); only the deterministic fake (byte statistics, same
+    schema and batching) exists, and it only runs when explicitly
+    requested — the gate is on ``allow_fake``, never on whether a
+    codec happens to be importable, so fake features are never
+    silently passed off as decoded ones."""
+    if not allow_fake:
         raise NotImplementedError(
-            "no media codec available in this environment; "
+            "real media decode is not implemented; "
             "pass allow_fake=True to run the deterministic fake decoder"
         )
 

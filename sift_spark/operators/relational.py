@@ -46,7 +46,9 @@ def q3_shipping_priority(customer: DataFrame, orders: DataFrame, lineitem: DataF
         lineitem.where(F.col("l_shipdate") > cutoff)
         .join(orders.where(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(customer.where(F.col("c_mktsegment") == segment)),
+            # no forced broadcast: customer grows with SF; Catalyst/AQE
+            # broadcasts when it actually fits under the threshold
+            customer.where(F.col("c_mktsegment") == segment),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -71,8 +73,9 @@ def q5_local_supplier_volume(region: DataFrame, nation: DataFrame, customer: Dat
     df = (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .where((F.col("o_orderdate") >= date_from) & (F.col("o_orderdate") < date_to))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # supplier/customer grow with SF — leave broadcast to AQE
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")

@@ -23,9 +23,10 @@ def hash_bucket(key: Column, salt: str = "sample", n: int = 100) -> Column:
 
 def deterministic_sample(df: DataFrame, key_col: str, fraction: float,
                          salt: str = "sample") -> DataFrame:
-    """Keep rows whose hash bucket < fraction·100 (percent
-    granularity — use a larger modulus for finer rates)."""
-    return df.where(hash_bucket(F.col(key_col), salt) < int(fraction * 100))
+    """Keep rows whose hash bucket < round(fraction·100) (percent
+    granularity — use a larger modulus for finer rates; rounding, not
+    truncation: int(0.29*100) is 28 under float error)."""
+    return df.where(hash_bucket(F.col(key_col), salt) < round(fraction * 100))
 
 
 def stratified_sample(df: DataFrame, key_col: str, stratum_col: str,
@@ -35,7 +36,7 @@ def stratified_sample(df: DataFrame, key_col: str, stratum_col: str,
     bucket = hash_bucket(F.col(key_col), salt)
     cond = None
     for stratum, frac in fractions.items():
-        c = (F.col(stratum_col) == stratum) & (bucket < int(frac * 100))
+        c = (F.col(stratum_col) == stratum) & (bucket < round(frac * 100))
         cond = c if cond is None else cond | c
     known = F.col(stratum_col).isin(*fractions.keys())
     return df.where(cond | ~known)
@@ -46,5 +47,5 @@ def train_test_split(df: DataFrame, key_col: str, test_fraction: float = 0.1,
     """(train, test) with stable membership; a row's side never
     changes across runs or repartitions."""
     bucket = hash_bucket(F.col(key_col), salt)
-    cut = int(test_fraction * 100)
+    cut = round(test_fraction * 100)
     return df.where(bucket >= cut), df.where(bucket < cut)

@@ -21,6 +21,15 @@ from pyspark.sql import functions as F
 from sift_spark.functions.core import LSH_PLANES, LSH_TABLES, cosine_sim
 
 
+def round6_half_away(a):
+    """6-dp rounding with ties away from zero — matches Spark
+    ``F.round`` (HALF_UP) and DuckDB ``round``. ``np.round`` is
+    half-to-even and diverges on exact 6-dp midpoints (e.g. 1/128)."""
+    import numpy as np
+
+    return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
+
 def _plane_lit(vec: tuple[float, ...]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
@@ -116,7 +125,7 @@ def ann_topk_bruteforce(emb: DataFrame, k: int = 5, n_blocks: int = 8) -> DataFr
         import numpy as np
         import pandas as pd
 
-        Sr = np.round(S, 6)
+        Sr = round6_half_away(S)
         out_v, out_n, out_s = [], [], []
         for i in range(S.shape[0]):
             cand = np.where(rids != lids[i])[0]

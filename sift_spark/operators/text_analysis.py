@@ -9,7 +9,7 @@ except the small explode→agg for per-doc stats).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sift_spark.functions.core import LANG_PROFILES, MOD31, STOPWORDS, hash31, tokens
@@ -20,20 +20,31 @@ def lang_id(docs: DataFrame) -> DataFrame:
     (doc_id, lang_pred, score). Score = fraction of tokens in the
     language's stopword list; ties break toward the alphabetically
     first language (stable cross-engine)."""
-    langs = [(lang, list(words)) for lang, words in LANG_PROFILES]
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    scored = None
-    for lang, words in langs:
-        s = tok.groupBy("doc_id").agg(
-            F.lit(lang).alias("lang"),
-            F.round(F.avg(F.when(F.col("tok").isin(*words), 1.0).otherwise(0.0)), 6).alias("score"),
-        )
-        scored = s if scored is None else scored.unionByName(s)
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("lang_pred"), "score")
+    # one scan + one shuffle: all language scores as columns of a
+    # single aggregation (a per-language union would re-explode and
+    # re-shuffle the corpus once per language)
+    scored = tok.groupBy("doc_id").agg(
+        *[
+            F.round(F.avg(F.when(F.col("tok").isin(*words), 1.0).otherwise(0.0)), 6).alias(f"s_{lang}")
+            for lang, words in LANG_PROFILES
+        ]
+    )
+    # argmax with tie-break toward the alphabetically first language:
+    # greatest() on structs compares score, then -index (LANG_PROFILES
+    # is sorted by language, so max(-index) = min(lang))
+    pick = F.greatest(
+        *[
+            F.struct(
+                F.col(f"s_{lang}").alias("score"),
+                F.lit(-i).alias("ni"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, _) in enumerate(LANG_PROFILES)
+        ]
+    )
+    return scored.select(
+        "doc_id", pick["lang"].alias("lang_pred"), pick["score"].alias("score")
     )
 
 

@@ -299,13 +299,15 @@ def q_stratified_sample(spark, sf_dir):
 
 
 def q_train_test_split(spark, sf_dir):
-    """Split sizes + disjointness summary (stable across runs)."""
+    """Split sizes summary (stable across runs). Global aggregates —
+    not groupBy — so an empty side still yields its 0-count row,
+    matching the oracle's two scalar-count branches."""
     from sift_spark.operators.sampling import train_test_split
 
     train, test = train_test_split(_docs(spark, sf_dir), "doc_id", 0.1)
-    t1 = train.select(F.lit("train").alias("split"), "doc_id")
-    t2 = test.select(F.lit("test").alias("split"), "doc_id")
-    return t1.unionByName(t2).groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    t1 = train.agg(F.count(F.lit(1)).alias("n_docs")).select(F.lit("train").alias("split"), "n_docs")
+    t2 = test.agg(F.count(F.lit(1)).alias("n_docs")).select(F.lit("test").alias("split"), "n_docs")
+    return t1.unionByName(t2)
 
 
 def q_skipgram_embeddings(spark, sf_dir):
