@@ -56,33 +56,38 @@ def name_part_counts(links: DataFrame, docs_tokens: DataFrame, max_ngram: int = 
     ``docs_tokens`` is the full token table (pos-exploded documents).
     Output flat: (term, spantype, count).
     """
-    from sift_spark.models.text import word_ngrams
+    from sift_spark.models.text import _ngrams_n
 
-    anchors = links.select(F.col("anchor"))
-    # anchors here are single tokens after wikify; B and E both fire
-    # (parts[0] → B, parts[-1] → E), I fires for interior parts.
-    parts = anchors.select(
-        F.posexplode(word_ngrams(F.split(F.col("anchor"), " "), 1, max_ngram)).alias("idx", "term"),
-        F.size(F.split(F.col("anchor"), " ")).alias("n_parts"),
-    )
-    # for single-gram partitions of the anchor: first part is B, last is E,
-    # middle are I (matches the reference's per-n enumeration)
-    bie = (
-        parts.select(
-            "term",
-            F.explode(
-                F.when(
-                    (F.col("idx") == 0) & (F.col("idx") == F.col("n_parts") - 1),
-                    F.array(F.lit("B"), F.lit("E")),
-                )
-                .when(F.col("idx") == 0, F.array(F.lit("B")))
-                .when(F.col("idx") == F.col("n_parts") - 1, F.array(F.lit("E")))
-                .otherwise(F.array(F.lit("I")))
-            ).alias("spantype"),
+    # per-n enumeration exactly as the reference (links.py:100
+    # iter_span_count_types): for EACH n, the n-gram partition of the
+    # anchor contributes parts[0]→B, parts[-1]→E, interior→I — a
+    # single-part partition fires both B and E. A flattened cross-n
+    # index would mislabel higher-n grams of multi-word anchors as I.
+    anchors = links.select(F.split(F.col("anchor"), " ").alias("toks"))
+    per_n = []
+    for n in range(1, max_ngram + 1):
+        parts = anchors.select(
+            F.posexplode(_ngrams_n(F.col("toks"), n)).alias("idx", "term"),
+            (F.size("toks") - n + 1).alias("n_parts"),
         )
-        .groupBy("term", "spantype")
-        .agg(F.count(F.lit(1)).alias("count"))
-    )
+        per_n.append(
+            parts.select(
+                "term",
+                F.explode(
+                    F.when(
+                        (F.col("idx") == 0) & (F.col("idx") == F.col("n_parts") - 1),
+                        F.array(F.lit("B"), F.lit("E")),
+                    )
+                    .when(F.col("idx") == 0, F.array(F.lit("B")))
+                    .when(F.col("idx") == F.col("n_parts") - 1, F.array(F.lit("E")))
+                    .otherwise(F.array(F.lit("I")))
+                ).alias("spantype"),
+            )
+        )
+    all_parts = per_n[0]
+    for p in per_n[1:]:
+        all_parts = all_parts.unionByName(p)
+    bie = all_parts.groupBy("term", "spantype").agg(F.count(F.lit(1)).alias("count"))
     outside = (
         docs_tokens.select(F.col("anchor").alias("term"))
         .groupBy("term")

@@ -1,0 +1,71 @@
+"""Multi-word name_part_counts semantics, URL normalization, model
+save/load round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+
+def test_name_part_counts_multiword_anchors(spark):
+    from sift_spark.models.links import name_part_counts
+
+    # anchors: "new york" (×2), "york" (×1); corpus tokens make O counts
+    links = spark.createDataFrame(
+        [
+            Row(doc_id=1, pos=0, anchor="new york", target="wiki/NY"),
+            Row(doc_id=2, pos=0, anchor="new york", target="wiki/NY"),
+            Row(doc_id=3, pos=0, anchor="york", target="wiki/York"),
+        ]
+    )
+    toks = spark.createDataFrame(
+        [Row(doc_id=i, pos=p, anchor=t) for i, (p, t) in enumerate(
+            [(0, "new"), (1, "new"), (2, "york"), (3, "york"), (4, "new york")] * 2
+        )]
+    )
+    out = {(r.term, r.spantype): r["count"] for r in name_part_counts(links, toks, max_ngram=2).collect()}
+    # "new": B of the unigram partition of "new york" ×2 — never E or I
+    assert out[("new", "B")] == 2 and ("new", "E") not in out and ("new", "I") not in out
+    # "york": E ×2 (from "new york") + B&E ×1 (single-part anchor "york")
+    assert out[("york", "E")] == 3 and out[("york", "B")] == 1
+    # bigram partition of "new york" has ONE part -> B and E, not I
+    assert ("new york", "I") not in out
+    assert out[("new york", "B")] == 2 and out[("new york", "E")] == 2
+
+
+def test_url_normalization(spark):
+    from sift_spark.functions.urls import normalize_target
+
+    df = spark.createDataFrame(
+        [
+            Row(t="https://en.wikipedia.org/wiki/Spark#History"),
+            Row(t="en.wikipedia.org/wiki/Plain"),
+            Row(t="http://x.test/page#frag#frag2"),
+        ]
+    )
+    got = [r.n for r in df.select(normalize_target(F.col("t")).alias("n")).collect()]
+    assert got == [
+        "en.wikipedia.org/wiki/Spark",
+        "en.wikipedia.org/wiki/Plain",
+        "x.test/page",
+    ]
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    """Model outputs persist as parquet and json-lines and read back
+    identically (reference dataset.py:18-23 save/load contract)."""
+    from sift_spark.corpora.synthetic import wikify_links
+    from sift_spark.models.links import entity_counts
+    from sift_spark.sinks.formats import to_json_lines, write_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = entity_counts(wikify_links(docs))
+    want = {(r.target, r["count"]) for r in model.collect()}
+
+    pq = str(tmp_path / "m.parquet")
+    model.write.mode("overwrite").parquet(pq)
+    assert {(r.target, r["count"]) for r in spark.read.parquet(pq).collect()} == want
+
+    js = str(tmp_path / "m.json")
+    write_text(to_json_lines(model), js, compression=None)
+    back = spark.read.json(js)
+    assert {(r.target, r["count"]) for r in back.collect()} == want
