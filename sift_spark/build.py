@@ -1,0 +1,80 @@
+"""Command-line model builder (reference parity: sift/build.py
+``DatasetBuilder`` — the reference's main entry point).
+
+    python -m sift_spark.build EntityCounts \
+        --input /root/testdata/sf0.01 --save /tmp/out --format json
+
+Reads the corpus (driver parquet dir, or a Wikipedia dump with
+``--corpus wikipedia``), builds the named model, and writes it with
+the chosen sink (json / tsv / parquet), or prints a sample.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _model_registry():
+    from sift_spark.corpora.synthetic import token_pos_table, wikify_links
+    from sift_spark.models import links as L
+    from sift_spark.models import text as TX
+
+    def docs_of(spark, path):
+        from sift_spark.io import table
+
+        return table(spark, path, "documents")
+
+    return {
+        "EntityCounts": lambda s, p: L.entity_counts(wikify_links(docs_of(s, p))),
+        "EntityNameCounts": lambda s, p: L.entity_name_counts(wikify_links(docs_of(s, p))),
+        "NamePartCounts": lambda s, p: L.name_part_counts(
+            wikify_links(docs_of(s, p)), token_pos_table(docs_of(s, p))
+        ),
+        "EntityInlinks": lambda s, p: L.entity_inlinks(wikify_links(docs_of(s, p))),
+        "EntityVocab": lambda s, p: L.entity_vocab(wikify_links(docs_of(s, p))),
+        "EntityComentions": lambda s, p: L.entity_comentions(wikify_links(docs_of(s, p))),
+        "EntityRelatedness": lambda s, p: L.entity_relatedness(wikify_links(docs_of(s, p))),
+        "TermFrequencies": lambda s, p: TX.term_frequencies(docs_of(s, p), max_ngram=2),
+        "TermDocumentFrequencies": lambda s, p: TX.term_doc_frequencies(docs_of(s, p)),
+        "TermVocab": lambda s, p: TX.term_vocab(docs_of(s, p)),
+        "TermIdfs": lambda s, p: TX.term_idfs(docs_of(s, p)),
+        "EntityMentions": lambda s, p: TX.entity_mentions(docs_of(s, p), wikify_links(docs_of(s, p))),
+        "EntityMentionTermFrequency": lambda s, p: TX.entity_mention_term_frequency(
+            TX.entity_mentions(docs_of(s, p), wikify_links(docs_of(s, p))),
+            TX.term_idfs(docs_of(s, p)),
+        ),
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    registry = _model_registry()
+    p = argparse.ArgumentParser(prog="sift_spark.build", description=__doc__)
+    p.add_argument("model", choices=sorted(registry))
+    p.add_argument("--input", required=True, help="corpus dir (driver parquet layout)")
+    p.add_argument("--save", default=None, help="output path (default: print a sample)")
+    p.add_argument("--format", choices=["json", "tsv", "parquet"], default="json")
+    p.add_argument("--sample", type=int, default=5)
+    args = p.parse_args(argv)
+
+    from sift_spark.session import get_spark
+    from sift_spark.sinks.formats import to_json_lines, to_tsv, write_text
+
+    spark = get_spark(f"build_{args.model}")
+    model = registry[args.model](spark, args.input)
+
+    if args.save:
+        if args.format == "parquet":
+            model.write.mode("overwrite").parquet(args.save)
+        else:
+            fmt = to_json_lines if args.format == "json" else to_tsv
+            write_text(fmt(model), args.save)
+        print(f"saved {args.model} -> {args.save} ({args.format})")
+    else:
+        for row in model.limit(args.sample).collect():
+            print(row.asDict())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

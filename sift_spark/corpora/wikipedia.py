@@ -194,6 +194,8 @@ def article_links(articles: DataFrame) -> DataFrame:
         F.col("text"),
         F.posexplode("links").alias("pos", "link"),
     )
+    from sift_spark.functions.urls import normalize_target
+
     return exploded.select(
         "doc_id",
         "pos",
@@ -202,7 +204,9 @@ def article_links(articles: DataFrame) -> DataFrame:
         ).alias("anchor"),
         F.col("link.start").alias("start"),
         F.col("link.stop").alias("stop"),
-        F.col("link.target").alias("target"),
+        # protocol + #fragment trimming, as every reference link model
+        # applies to targets (sift/models/links.py:20-24)
+        normalize_target(F.col("link.target")).alias("target"),
     )
 
 
