@@ -56,6 +56,20 @@ def html_to_text(html: F.Column) -> F.Column:
     return F.trim(c)
 
 
+def filter_language(articles: DataFrame, lang: str, text_col: str = "text",
+                    min_score: float = 0.0) -> DataFrame:
+    """Keep documents classified as ``lang`` by the stopword-profile
+    classifier (reference commoncrawl.py:34 ``try_get_lang`` used
+    pycld2; same contract, heuristic classifier, pure built-ins)."""
+    from sift_spark.operators.text_analysis import lang_id
+
+    ided = lang_id(articles.select(F.col("uri").alias("doc_id"), F.col(text_col).alias("text")))
+    keep = ided.where((F.col("lang_pred") == lang) & (F.col("score") >= min_score)).select(
+        F.col("doc_id").alias("uri")
+    )
+    return articles.join(keep, "uri", "left_semi")
+
+
 def warc_articles(warc: DataFrame) -> DataFrame:
     """(url, text, links) from WARC responses — anchors become offset
     links exactly like the Wikipedia path (shares

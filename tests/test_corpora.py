@@ -109,6 +109,21 @@ def test_warc_articles(spark, tmp_path):
     assert a.text[a.links[0].start:a.links[0].stop] == "world link"
 
 
+def test_warc_language_filter(spark, tmp_path):
+    from sift_spark.corpora.warc import filter_language, read_warc, warc_articles
+
+    p = tmp_path / "lf.warc"
+    p.write_text(
+        _warc_record("http://x.test/en", "<html><body>the cat is on the mat and the dog is here</body></html>")
+        + _warc_record("http://x.test/fr", "<html><body>le chat est sur le tapis et le chien est la</body></html>")
+    )
+    arts = warc_articles(read_warc(spark, str(p)))
+    en = [r.uri for r in filter_language(arts, "en").collect()]
+    fr = [r.uri for r in filter_language(arts, "fr").collect()]
+    assert en == ["http://x.test/en"]
+    assert fr == ["http://x.test/fr"]
+
+
 def test_redirect_fixpoint(spark):
     from sift_spark.corpora.redirects import resolve_transitive, synth_redirects
 
