@@ -65,6 +65,7 @@ def main() -> None:
         "dedup_embedding",
         "ann_topk_bruteforce",
         "ann_lsh_bucketed",
+        "ann_ivf_bucketed",
         "lang_id",
         "quality_score",
         "token_stats",

@@ -76,6 +76,26 @@ LSH_PLANES = tuple(
     for t in range(LSH_TABLES)
 )
 
+# --- IVF ANN: deterministic coarse-quantizer centroids --------------------
+# Fixed pseudo-random centroids (not trained k-means — determinism across
+# engines matters more than cell balance for the correctness gate; a
+# kmeans-trained codebook drops in by replacing this constant).
+IVF_N_CELLS = 16
+
+
+def _unit(vec):
+    n = sum(x * x for x in vec) ** 0.5
+    return tuple(x / n for x in vec)
+
+
+# Unit-normalized: with raw random centroids the |c|² term dominates
+# the distance argmin and every vector collapses into the smallest-
+# norm cell (measured: one 2000-vector cell → quadratic candidates).
+IVF_CENTROIDS = tuple(
+    _unit(tuple((_py_h64(f"ivf_{c}_{d}") % 2001 - 1000) / 1000.0 for d in range(EMBED_DIM)))
+    for c in range(IVF_N_CELLS)
+)
+
 # --- Language-ID stopword profiles ----------------------------------------
 LANG_PROFILES = (
     ("de", ("der", "die", "das", "und", "ist")),

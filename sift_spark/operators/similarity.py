@@ -145,6 +145,72 @@ def ann_topk_bruteforce(emb: DataFrame, k: int = 5, n_blocks: int = 8) -> DataFr
     return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ann_ivf_topk(emb: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to their nearest coarse-
+    quantizer cell; each query probes its ``nprobe`` nearest cells
+    and ranks exact cosine within them.
+
+    The codebook is the deterministic constant
+    :data:`~sift_spark.functions.core.IVF_CENTROIDS` (so the DuckDB
+    oracle reproduces it exactly); swap in a k-means-trained codebook
+    for production recall. Plan: centroid distances via a broadcast
+    cells table (N·C dots), per-vector rank window, candidate
+    equi-join on cell id — communication O(N·nprobe), never a cross
+    join over vectors.
+    """
+    from sift_spark.functions.core import IVF_CENTROIDS
+
+    spark = emb.sparkSession
+    cells = spark.createDataFrame(
+        [(c, list(v), sum(x * x for x in v)) for c, v in enumerate(IVF_CENTROIDS)],
+        "cid int, cv array<double>, n2 double",
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double"))
+    )
+    e = emb.select("vec_id", "embedding").withColumn("nrm", norm)
+    dot_c = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("cv"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    # argmin of squared distance = argmin of (-2 v·c + |c|²)
+    celld = e.crossJoin(F.broadcast(cells)).select(
+        "vec_id", (F.lit(-2.0) * dot_c + F.col("n2")).alias("d"), "cid"
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    ranked = celld.withColumn("rn", F.row_number().over(w))
+    assign = ranked.where(F.col("rn") == 1).select("vec_id", F.col("cid").alias("cell"))
+    probes = ranked.where(F.col("rn") <= nprobe).select("vec_id", "cid")
+    cand = (
+        probes.join(
+            assign.select(F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("cid")), "cid"
+        )
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("emb_r"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    pairs = (
+        cand.join(e, "vec_id")
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("emb_r"),
+                F.col("nrm").alias("nrm_r"),
+            ),
+            "neighbor_id",
+        )
+        .select("vec_id", "neighbor_id", F.round(dot / (F.col("nrm") * F.col("nrm_r")), 6).alias("sim"))
+    )
+    wk = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return pairs.withColumn("rank", F.row_number().over(wk)).where(F.col("rank") <= k)
+
+
 def ann_lsh_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     """Multi-table LSH approximate top-k: candidates are vector pairs
     sharing any table's bucket (OR over L tables), then exact cosine

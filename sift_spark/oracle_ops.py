@@ -202,6 +202,47 @@ r AS (
 SELECT vec_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
 """
 
+def _ivf_oracle() -> str:
+    from sift_spark.functions.core import IVF_CENTROIDS
+
+    cell_values = ", ".join(
+        "({c}, {v}, {n2!r})".format(
+            c=c, v=_plane_sql(v), n2=sum(x * x for x in v)
+        )
+        for c, v in enumerate(IVF_CENTROIDS)
+    )
+    return f"""
+WITH {EMB},
+cells(cid, cv, n2) AS (VALUES {cell_values}),
+celld AS (
+  SELECT e.vec_id, (-2 * list_dot_product(e.v, c.cv) + c.n2) AS d, c.cid
+  FROM e, cells c
+),
+ranked AS (
+  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM celld
+),
+assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id, cid FROM ranked WHERE rn <= 2),
+cand AS (
+  SELECT DISTINCT p.vec_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cid AND a.vec_id != p.vec_id
+),
+p AS (
+  SELECT c.vec_id, c.neighbor_id, round({_COS}, 6) AS sim
+  FROM cand c JOIN e a ON a.vec_id = c.vec_id JOIN e b ON b.vec_id = c.neighbor_id
+),
+r AS (
+  SELECT vec_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM p
+)
+SELECT vec_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+"""
+
+
+ORACLE_OPS["ann_ivf_bucketed"] = _ivf_oracle()
+
 _lang_unions = "\n  UNION ALL\n".join(
     "  SELECT doc_id, '{lang}' AS lang, round(avg(CASE WHEN anchor IN ({words}) THEN 1.0 ELSE 0.0 END), 6) AS score FROM tok GROUP BY doc_id".format(
         lang=lang, words=", ".join(f"'{w}'" for w in words)

@@ -251,6 +251,12 @@ def q_ann_topk_bruteforce(spark, sf_dir):
     return ann_topk_bruteforce(_emb(spark, sf_dir), k=5)
 
 
+def q_ann_ivf_bucketed(spark, sf_dir):
+    from sift_spark.operators.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(_emb(spark, sf_dir), k=5, nprobe=2)
+
+
 def q_ann_lsh_bucketed(spark, sf_dir):
     from sift_spark.operators.similarity import ann_lsh_topk
 
@@ -359,6 +365,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "ann_ivf_bucketed": q_ann_ivf_bucketed,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_stats": q_token_stats,

@@ -1,0 +1,63 @@
+"""Incremental maintenance: slice-merge equals full recompute;
+stream-static enrichment joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_merge_counts_equals_full_recompute(spark):
+    from sift_spark.corpora.synthetic import wikify_links
+    from sift_spark.models.links import entity_counts
+    from sift_spark.operators.incremental import merge_counts
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    half1 = docs.where(F.col("doc_id") % 2 == 0)
+    half2 = docs.where(F.col("doc_id") % 2 == 1)
+    # min_count=0 on the slices: thresholds apply after merging
+    c1 = entity_counts(wikify_links(half1), min_count=0)
+    c2 = entity_counts(wikify_links(half2), min_count=0)
+    merged = merge_counts(c1, c2, ["target"], ["count"]).where(F.col("count") > 1)
+    full = entity_counts(wikify_links(docs), min_count=1)
+    assert {(r.target, r["count"]) for r in merged.collect()} == {
+        (r.target, r["count"]) for r in full.collect()
+    }
+
+
+def test_upsert_latest(spark):
+    from sift_spark.operators.incremental import upsert_latest
+
+    old = spark.createDataFrame(
+        [Row(k="a", v="old-a", ver=1), Row(k="b", v="old-b", ver=5)]
+    )
+    delta = spark.createDataFrame(
+        [Row(k="a", v="new-a", ver=2), Row(k="b", v="stale-b", ver=5), Row(k="c", v="new-c", ver=1)]
+    )
+    out = {r.k: r.v for r in upsert_latest(old, delta, ["k"], "ver").collect()}
+    # a: delta newer; b: tie -> delta wins; c: insert
+    assert out == {"a": "new-a", "b": "stale-b", "c": "new-c"}
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: streaming events enriched with a static
+    per-user profile (the standard dimension-enrichment pattern)."""
+    from sift_spark.streaming.events import read_event_stream, run_available_now
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    (d / "events.parquet").symlink_to(f"{SF_SMOKE}/events.parquet")
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    profile = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("lifetime_events"))
+
+    stream = read_event_stream(spark, str(d))
+    enriched = stream.join(profile, "user_id")  # stream-static join
+    out = run_available_now(
+        enriched.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.max("lifetime_events").alias("le")
+        ),
+        "t_enrich",
+    )
+    rows = out.collect()
+    assert rows and all(r.n == r.le for r in rows)  # every event matched its profile
