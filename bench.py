@@ -76,6 +76,11 @@ def main() -> None:
         "train_test_split",
     ]
 
+    # warmup: JVM/codegen/parquet-footer costs land here, not on the
+    # first measured query
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(10).count()
+
     times: dict[str, float] = {}
     total = 0.0
     for name in headline:
