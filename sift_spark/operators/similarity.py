@@ -179,7 +179,8 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
         "vec_id", (F.lit(-2.0) * dot_c + F.col("n2")).alias("d"), "cid"
     )
     w = Window.partitionBy("vec_id").orderBy("d", "cid")
-    ranked = celld.withColumn("rn", F.row_number().over(w))
+    # persist: assign and probes both derive from this ranking
+    ranked = celld.withColumn("rn", F.row_number().over(w)).persist()
     assign = ranked.where(F.col("rn") == 1).select("vec_id", F.col("cid").alias("cell"))
     probes = ranked.where(F.col("rn") <= nprobe).select("vec_id", "cid")
     cand = (
@@ -216,7 +217,9 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     sharing any table's bucket (OR over L tables), then exact cosine
     + per-query top-k on the candidate set only:
     (vec_id, neighbor_id, sim, rank)."""
-    bt = lsh_bucket_table(emb.select("vec_id", "embedding"))
+    # persist: both sides of the candidate self-join read this table,
+    # and without caching the 24 signature dot-products run twice
+    bt = lsh_bucket_table(emb.select("vec_id", "embedding")).persist()
     cand = (
         bt.alias("l")
         .join(
