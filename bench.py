@@ -55,6 +55,7 @@ def main() -> None:
         "events_json_buckets",
         "events_running",
         "asof_clicks_errors",
+        "clicks_errors_interval",
         "top_customers",
         "events_tumbling",
         "events_sessionize",

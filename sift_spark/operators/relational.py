@@ -198,6 +198,40 @@ def clicks_last_error_asof(events: DataFrame) -> DataFrame:
     ).select("user_id", "event_id", "click_es", F.col("error_es").alias("last_error_es"))
 
 
+def clicks_errors_interval(events: DataFrame, max_lag_minutes: int = 30) -> DataFrame:
+    """Interval (range) join: every (click, error) pair for the same
+    user with the error in the ``max_lag_minutes`` before the click.
+
+    Batch twin of :func:`sift_spark.streaming.events.
+    stream_interval_join` — equi-join on user_id carries the shuffle;
+    the range predicate is a post-join filter, so per-key cost is
+    bounded by that user's event count (no cross join)."""
+    from sift_spark.operators.events import epoch_seconds
+
+    es = epoch_seconds(events)
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), es.alias("click_es")
+    )
+    errors = events.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("event_id").alias("error_id"), es.alias("error_es")
+    )
+    lag = max_lag_minutes * 60
+    return (
+        clicks.join(
+            errors,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("error_es") <= F.col("click_es"))
+            & (F.col("error_es") >= F.col("click_es") - lag),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "error_id",
+            (F.col("click_es") - F.col("error_es")).alias("lag_s"),
+        )
+    )
+
+
 def top_customers_per_segment(customer: DataFrame, orders: DataFrame, k: int = 5) -> DataFrame:
     """Top-k customers by total order value within each market segment
     (window/rank surface). Deterministic: ties broken by custkey."""

@@ -329,6 +329,22 @@ FROM clicks c ASOF LEFT JOIN errors e
   ON c.user_id = e.user_id AND c.click_es >= e.error_es
 """
 
+ORACLE["clicks_errors_interval"] = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, CAST(floor(epoch(ts)) AS BIGINT) AS click_es
+  FROM events WHERE event_type = 'click'
+),
+errors AS (
+  SELECT user_id AS e_user, event_id AS error_id, CAST(floor(epoch(ts)) AS BIGINT) AS error_es
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.user_id, c.click_id, e.error_id, c.click_es - e.error_es AS lag_s
+FROM clicks c JOIN errors e
+  ON c.user_id = e.e_user
+ AND e.error_es <= c.click_es
+ AND e.error_es >= c.click_es - 1800
+"""
+
 ORACLE["events_tumbling"] = """
 SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
        event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -169,6 +169,10 @@ def q_asof_clicks_errors(spark, sf_dir):
     return R.clicks_last_error_asof(table(spark, sf_dir, "events"))
 
 
+def q_clicks_errors_interval(spark, sf_dir):
+    return R.clicks_errors_interval(table(spark, sf_dir, "events"))
+
+
 # --- events ----------------------------------------------------------------
 
 def q_events_tumbling(spark, sf_dir):
@@ -353,6 +357,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_json_buckets": q_events_json_buckets,
     "events_running": q_events_running,
     "asof_clicks_errors": q_asof_clicks_errors,
+    "clicks_errors_interval": q_clicks_errors_interval,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "resolve_redirects": q_resolve_redirects,

@@ -159,6 +159,41 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
     )
 
 
+def stream_interval_join(clicks: DataFrame, errors: DataFrame,
+                         max_lag_minutes: int = 30,
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join: each click matched to that user's
+    errors in the preceding ``max_lag_minutes``.
+
+    The canonical watermarked stream-stream join: both sides are
+    watermarked, and the join condition bounds event-time distance so
+    Spark can evict buffered rows once the watermark passes —
+    without the range bound, state grows forever. Output:
+    (user_id, click_id, error_id, lag_s).
+    """
+    c = clicks.withWatermark("ts_ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_ts").alias("click_ts"),
+    )
+    e = errors.withWatermark("ts_ts", watermark).select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts_ts").alias("error_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") <= F.col("click_ts"))
+        & (F.col("error_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {max_lag_minutes} MINUTES"))
+    )
+    return c.join(e, cond).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "error_id",
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("error_ts")).alias("lag_s"),
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact-dedup on event_id with watermarked state —
     duplicate deliveries (at-least-once sources) are dropped; state

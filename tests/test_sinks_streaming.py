@@ -87,6 +87,68 @@ def test_stream_sessionize_closed_sessions_match_batch(spark, events_dir):
     assert set(got) == want_closed
 
 
+def test_stream_interval_join_matches_batch(spark, events_dir):
+    from sift_spark.operators.relational import clicks_errors_interval
+    from sift_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        stream_interval_join,
+    )
+
+    stream = read_event_stream(spark, events_dir)
+    clicks = stream.where("event_type = 'click'")
+    errors = stream.where("event_type = 'error'")
+    out = run_available_now(
+        stream_interval_join(clicks, errors), "t_ivj", output_mode="append"
+    )
+    batch = clicks_errors_interval(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    got = {(r.user_id, r.click_id, r.error_id): r.lag_s for r in out.collect()}
+    want = {(r.user_id, r.click_id, r.error_id): r.lag_s for r in batch.collect()}
+    assert got == want and got
+
+
+def test_upsert_parquet_unpartitioned(spark, tmp_path):
+    from sift_spark.sinks.upsert import upsert_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([Row(k=1, v="a", ver=1), Row(k=2, v="b", ver=1)])
+    upsert_parquet(base, path, ["k"], "ver")
+    delta = spark.createDataFrame([Row(k=2, v="b2", ver=2), Row(k=3, v="c", ver=1)])
+    upsert_parquet(delta, path, ["k"], "ver")
+    got = {r.k: (r.v, r.ver) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 1)}
+
+
+def test_upsert_parquet_partitioned_rewrites_only_affected(spark, tmp_path):
+    import os
+
+    from sift_spark.sinks.upsert import upsert_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [Row(k=1, v="a", ver=1, pt="p0"), Row(k=2, v="b", ver=1, pt="p1")]
+    )
+    upsert_parquet(base, path, ["k"], "ver", partition_cols=["pt"])
+    p0_files = set(os.listdir(f"{path}/pt=p0"))
+    delta = spark.createDataFrame([Row(k=2, v="b2", ver=2, pt="p1"), Row(k=4, v="d", ver=1, pt="p1")])
+    upsert_parquet(delta, path, ["k"], "ver", partition_cols=["pt"])
+    got = {r.k: (r.v, r.ver, r.pt) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 1, "p0"), 2: ("b2", 2, "p1"), 4: ("d", 1, "p1")}
+    # untouched partition keeps its exact files (pruned merge, not a rewrite)
+    assert set(os.listdir(f"{path}/pt=p0")) == p0_files
+    assert not os.path.exists(path + "__upsert_staging")
+
+
+def test_upsert_parquet_delta_version_wins_ties(spark, tmp_path):
+    from sift_spark.sinks.upsert import upsert_parquet
+
+    path = str(tmp_path / "t")
+    upsert_parquet(spark.createDataFrame([Row(k=1, v="old", ver=5)]), path, ["k"], "ver")
+    upsert_parquet(spark.createDataFrame([Row(k=1, v="new", ver=5)]), path, ["k"], "ver")
+    [r] = spark.read.parquet(path).collect()
+    assert r.v == "new"
+
+
 def test_skipgram_embeddings(spark):
     from sift_spark.models.embeddings import skipgram_embeddings
 
