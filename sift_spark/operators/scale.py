@@ -55,6 +55,30 @@ def salted_aggregate(df: DataFrame, key_col: str, aggs: dict[str, tuple[str, str
     )
 
 
+def salted_join(big: DataFrame, small: DataFrame, key_col: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join: the big (skewed) side gets a random salt
+    in [0, n_salts); the small side is replicated once per salt value
+    (an ``explode(sequence)``, so its shuffle volume grows n_salts×
+    — use for genuinely small-but-too-big-to-broadcast sides). The
+    join key becomes (key, salt), spreading a hot key's rows over
+    ``n_salts`` reducers instead of one straggler.
+
+    AQE's skew-join split handles moderate skew automatically; manual
+    salting is for the pathological case (one key ≫ a partition) or
+    when AQE is unavailable (e.g. under a required sort).
+    """
+    if how.replace("_", "") not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        # replicating the small side makes right/full joins emit each
+        # unmatched small row n_salts times — not expressible this way
+        raise ValueError(f"salted_join supports left-side joins only, got {how!r}")
+    salted_big = big.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_big.join(salted_small, [key_col, "__salt"], how).drop("__salt")
+
+
 def explain_shuffles(df: DataFrame) -> int:
     """Count Exchange operators in the physical plan (plan-shape
     telemetry for tests/tuning)."""

@@ -28,6 +28,46 @@ def test_salted_aggregate_matches_plain(spark):
     assert salted == plain
 
 
+def test_salted_join_matches_plain_under_skew(spark):
+    """Induced skew: 90% of fact rows share one key. The salted join
+    must produce exactly the plain join's multiset of rows, for inner
+    and left joins (including the unmatched-left null row)."""
+    from sift_spark.operators.scale import salted_join
+
+    fact = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("fact_id"),
+    )
+    dim = spark.createDataFrame([Row(k=i, label=f"d{i}") for i in range(40)])
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r.k, r.fact_id, r.label)
+            for r in fact.join(dim, "k", how).collect()
+        )
+        salted = sorted(
+            (r.k, r.fact_id, r.label)
+            for r in salted_join(fact, dim, "k", n_salts=8, how=how).collect()
+        )
+        assert salted == plain, how
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must land in >1 task partition after the
+    salted shuffle (the whole point of salting)."""
+    from sift_spark.operators.scale import salted_join
+
+    fact = spark.range(0, 2000).select(F.lit(7).alias("k"), F.col("id").alias("fact_id"))
+    dim = spark.createDataFrame([Row(k=7, label="hot")])
+    joined = salted_join(fact, dim, "k", n_salts=8).repartition(8, "k", "fact_id")
+    # count distinct salts actually assigned pre-join
+    n_salts_used = (
+        fact.withColumn("__salt", (F.rand(seed=42) * 8).cast("int"))
+        .select("__salt").distinct().count()
+    )
+    assert n_salts_used > 1
+    assert joined.count() == 2000
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     from sift_spark.operators.scale import write_partitioned
 
