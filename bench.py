@@ -71,6 +71,7 @@ def main() -> None:
         "quality_score",
         "token_stats",
         "doc_fingerprint",
+        "contamination_check",
         "entity_relatedness",
         "tfidf_search",
         "stratified_sample",

@@ -124,6 +124,61 @@ def tfidf_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
     return ranked
 
 
+def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 3) -> DataFrame:
+    """Benchmark-contamination screen for training corpora: per doc,
+    the fraction of its distinct token n-gram shingles that appear
+    anywhere in the benchmark (eval) set.
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination).
+
+    Scale shape: eval sets are tiny relative to the corpus, so the
+    benchmark shingle set is broadcast and the hit-test is a
+    broadcast left-semi join — the 100 TB side never shuffles; the
+    only keyed shuffle is the per-doc count aggregate. The doc
+    shingle table is persisted (feeds both the size and hit counts).
+    """
+    from sift_spark.operators.dedup import shingles
+
+    doc_sh = shingles(docs, n).persist()
+    bench_sh = shingles(benchmark, n).select("shingle").distinct()
+    n_doc = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    n_hit = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        n_doc.join(n_hit, "doc_id", "left")
+        .fillna(0, subset=["n_contaminated"])
+        .withColumn(
+            "contamination", F.round(F.col("n_contaminated") / F.col("n_shingles"), 6)
+        )
+    )
+
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing: redact emails, phone numbers, and IPv4 literals
+    to ``[TYPE]`` tokens, with per-type match counts.
+
+    Sequential redaction (email → phone → ipv4), each pattern applied
+    to the previous pattern's output so overlapping matches are
+    attributed once. Pure ``regexp_replace``/``regexp_count``
+    expressions — map-side only, no shuffle, codegen-friendly."""
+    out = docs
+    clean = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(clean, F.lit(pat)))
+        clean = F.regexp_replace(clean, pat, f"[{name.upper()}]")
+    return out.withColumn("clean_text", clean).drop(text_col)
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Position-sensitive rolling-hash fingerprint:
     fp = Σ_pos (h31(token)·((pos mod 64)+1) mod P) mod P, P=2^31-1.

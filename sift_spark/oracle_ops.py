@@ -373,6 +373,29 @@ UNION ALL
 SELECT 'test' AS split, count(*) AS n_docs FROM documents WHERE {_split_h} % 100 < 10
 """
 
+def _shingle_sql(where: str) -> str:
+    return f"""(
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE {where}))
+)"""
+
+
+ORACLE_OPS["contamination_check"] = f"""
+WITH sh AS {_shingle_sql("doc_id % 20 <> 0")},
+bsh AS (SELECT DISTINCT shingle FROM {_shingle_sql("doc_id % 20 = 0")}),
+n_doc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+n_hit AS (
+  SELECT doc_id, count(*) AS n_contaminated FROM sh
+  WHERE shingle IN (SELECT shingle FROM bsh) GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_shingles,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       round(coalesce(h.n_contaminated, 0) * 1.0 / d.n_shingles, 6) AS contamination
+FROM n_doc d LEFT JOIN n_hit h ON d.doc_id = h.doc_id
+"""
+
 ORACLE_OPS["doc_fingerprint"] = f"""
 WITH {TOKCTE}
 SELECT doc_id,

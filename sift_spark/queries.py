@@ -291,6 +291,17 @@ def q_doc_fingerprint(spark, sf_dir):
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+def q_contamination_check(spark, sf_dir):
+    """Every 20th doc stands in for a benchmark/eval set; the rest is
+    the training corpus being screened."""
+    from sift_spark.operators.text_analysis import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    return contamination_check(
+        docs.where(F.col("doc_id") % 20 != 0), docs.where(F.col("doc_id") % 20 == 0)
+    )
+
+
 SEARCH_TERMS = ("spark", "window", "merge")
 
 
@@ -375,6 +386,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": q_quality_score,
     "token_stats": q_token_stats,
     "doc_fingerprint": q_doc_fingerprint,
+    "contamination_check": q_contamination_check,
     "tfidf_search": q_tfidf_search,
     "stratified_sample": q_stratified_sample,
     "train_test_split": q_train_test_split,

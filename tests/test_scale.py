@@ -124,6 +124,25 @@ def test_stream_dedup(spark, tmp_path):
     assert out.count() == n_unique
 
 
+def test_pii_redact(spark):
+    from sift_spark.operators.text_analysis import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail bob@example.com or call 555-123-4567 from 10.0.0.1"),
+            Row(doc_id=2, text="no pii here"),
+            Row(doc_id=3, text="two mails: a@b.io c@d.org and ip 192.168.1.254"),
+        ]
+    )
+    got = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert got[1].clean_text == "mail [EMAIL] or call [PHONE] from [IPV4]"
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (1, 1, 1)
+    assert got[2].clean_text == "no pii here"
+    assert (got[2].n_email, got[2].n_phone, got[2].n_ipv4) == (0, 0, 0)
+    assert got[3].clean_text == "two mails: [EMAIL] [EMAIL] and ip [IPV4]"
+    assert (got[3].n_email, got[3].n_phone, got[3].n_ipv4) == (2, 0, 1)
+
+
 def test_sentence_mentions_on_prose(spark):
     from sift_spark.models.text import sentence_mentions
 
