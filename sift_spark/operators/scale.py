@@ -55,6 +55,31 @@ def salted_aggregate(df: DataFrame, key_col: str, aggs: dict[str, tuple[str, str
     )
 
 
+def write_training_shards(df: DataFrame, path: str, n_shards: int,
+                          shuffle_col: str = "doc_id", seed: int = 42,
+                          max_records_per_file: int | None = None) -> None:
+    """Deterministic global shuffle + shard export for training data.
+
+    Rows are assigned a pseudorandom-but-deterministic order key
+    (xxhash64 of ``shuffle_col`` + seed), range-partitioned into
+    ``n_shards`` and sorted within each shard — a stable global
+    shuffle of the corpus (same rows + seed → identical shards on any
+    cluster size). Exactly one shuffle; optionally split large shards
+    into bounded files for loader parallelism."""
+    keyed = df.withColumn(
+        "__ord", F.xxhash64(F.col(shuffle_col).cast("string"), F.lit(seed))
+    )
+    w = (
+        keyed.repartitionByRange(n_shards, "__ord")
+        .sortWithinPartitions("__ord")
+        .drop("__ord")
+        .write.mode("overwrite")
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
 def salted_join(big: DataFrame, small: DataFrame, key_col: str,
                 n_salts: int = 16, how: str = "inner") -> DataFrame:
     """Skew-safe equi-join: the big (skewed) side gets a random salt

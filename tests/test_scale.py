@@ -124,6 +124,36 @@ def test_stream_dedup(spark, tmp_path):
     assert out.count() == n_unique
 
 
+def test_write_training_shards(spark, tmp_path):
+    """Shards: exact count, no row lost, deterministic order (each
+    shard internally sorted by the hash order key, shard ranges
+    disjoint and increasing with file index)."""
+    import glob
+
+    from sift_spark.operators.scale import write_training_shards
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=4)
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) == 4
+    back = spark.read.parquet(path)
+    assert sorted(r.doc_id for r in back.collect()) == sorted(r.doc_id for r in docs.collect())
+    prev_max = None
+    for f in files:
+        ords = [
+            r.o
+            for r in spark.read.parquet(f)
+            .select(F.xxhash64(F.col("doc_id").cast("string"), F.lit(42)).alias("o"))
+            .collect()
+        ]
+        assert ords == sorted(ords), "within-shard order"
+        if prev_max is not None and ords:
+            assert ords[0] > prev_max, "disjoint increasing shard ranges"
+        if ords:
+            prev_max = ords[-1]
+
+
 def test_pii_redact(spark):
     from sift_spark.operators.text_analysis import pii_redact
 
