@@ -122,6 +122,52 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> Da
     return _jaccard_verify(cand, shingles(docs, n).persist(), threshold)
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → duplicate clusters:
+    (doc_id, rep_id) with ``rep_id`` = the cluster's minimum doc_id
+    (the canonical "keep" document).
+
+    Iterative min-label propagation: each node takes the least label
+    among itself and its neighbors until fixpoint. Near-dup clusters
+    are near-cliques, so this converges in 2-4 rounds regardless of
+    corpus size (per round: one keyed join + one aggregate; labels
+    persisted, previous iteration unpersisted, cheap limit(1) early-
+    exit probe). For long-chain graphs swap in large-star/small-star
+    — same DataFrame skeleton, fewer rounds on high-diameter inputs.
+    """
+    e = pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn("rep", F.col("node"))
+    labels.persist().count()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))).alias("rep"),
+            )
+        )
+        new_labels.persist().count()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("rep").alias("rep_id"))
+
+
 def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (

@@ -94,6 +94,27 @@ cand AS (
 SELECT doc1, doc2, jaccard FROM jac WHERE jaccard >= 0.8
 """
 
+ORACLE_OPS["dedup_clusters"] = f"""
+WITH RECURSIVE {SHINGLES}, {MINHASH}, {BANDS},
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+{JACCARD_VERIFY},
+pairs AS (SELECT doc1, doc2 FROM jac WHERE jaccard >= 0.8),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+reach(src, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT src AS doc_id, min(node) AS rep_id FROM reach GROUP BY src
+"""
+
 _bit_sums = ",\n    ".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s_{b}" for b in range(SIMHASH_BITS)
 )

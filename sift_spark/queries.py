@@ -231,6 +231,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    from sift_spark.operators.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    return duplicate_clusters(minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.8))
+
+
 def q_dedup_simhash(spark, sf_dir):
     from sift_spark.operators.dedup import simhash_pairs
 
@@ -376,6 +382,7 @@ QUERIES: dict[str, QueryFn] = {
     "redirect_documents": q_redirect_documents,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding": q_dedup_embedding,

@@ -73,3 +73,23 @@ def test_fingerprint_order_sensitive(spark):
     rows = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
     assert rows[1] == rows[3]
     assert rows[1] != rows[2]
+
+
+def test_duplicate_clusters_chain_and_disjoint(spark):
+    """Min-label propagation must converge across a 4-hop chain and
+    keep disjoint components separate."""
+    from pyspark.sql import Row
+
+    from sift_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            Row(doc1=1, doc2=2),
+            Row(doc1=2, doc2=3),
+            Row(doc1=3, doc2=4),
+            Row(doc1=4, doc2=5),
+            Row(doc1=10, doc2=11),
+        ]
+    )
+    reps = {r.doc_id: r.rep_id for r in duplicate_clusters(pairs).collect()}
+    assert reps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
