@@ -61,6 +61,8 @@ def main() -> None:
         "events_sessionize",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "dedup_clusters",
+        "dedup_apply",
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "dedup_embedding",
@@ -76,6 +78,8 @@ def main() -> None:
         "tfidf_search",
         "stratified_sample",
         "train_test_split",
+        "repetition_stats",
+        "source_quota_sample",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -130,15 +130,19 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Iterative min-label propagation: each node takes the least label
     among itself and its neighbors until fixpoint. Near-dup clusters
     are near-cliques, so this converges in 2-4 rounds regardless of
-    corpus size (per round: one keyed join + one aggregate; labels
-    persisted, previous iteration unpersisted, cheap limit(1) early-
-    exit probe). For long-chain graphs swap in large-star/small-star
-    — same DataFrame skeleton, fewer rounds on high-diameter inputs.
+    corpus size. Per round: ONE action — the previous label rides
+    along in the new frame, so the convergence probe is an aggregate
+    over the just-persisted result (no extra join, and the full-scan
+    aggregate guarantees the cache is fully materialized: a limit()
+    probe would leave partial caches that recompute through the whole
+    iteration lineage). For long-chain graphs swap in large-star/
+    small-star — same DataFrame skeleton, fewer rounds on
+    high-diameter inputs.
     """
     e = pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn("rep", F.col("node"))
-    labels.persist().count()
+    cached = labels.persist()
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -149,23 +153,40 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             labels.join(nbr, labels["node"] == nbr["a"], "left")
             .select(
                 "node",
+                F.col("rep").alias("prev"),
                 F.least(F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))).alias("rep"),
             )
-        )
-        new_labels.persist().count()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.rep") != F.col("o.rep"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        ).persist()
+        changed = new_labels.agg(
+            F.sum((F.col("rep") != F.col("prev")).cast("int")).alias("c")
+        ).collect()[0][0]
+        cached.unpersist()
+        cached = new_labels
+        labels = new_labels.select("node", "rep")
+        if not changed:
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("rep").alias("rep_id"))
+
+
+def dedup_apply(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Corpus after near-dup removal: every cluster member except the
+    representative (minimum doc_id) is dropped; singletons survive.
+
+    ``pairs`` defaults to MinHash-LSH pairs at threshold 0.8. The
+    drop-list is doc_ids only (8 bytes/row); AQE broadcasts the
+    anti-join when it fits, else it is a keyed shuffle on doc_id —
+    never a corpus-wide sort."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs)
+    drop = (
+        duplicate_clusters(pairs)
+        .where(F.col("doc_id") != F.col("rep_id"))
+        .select("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:

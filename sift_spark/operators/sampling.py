@@ -42,6 +42,28 @@ def stratified_sample(df: DataFrame, key_col: str, stratum_col: str,
     return df.where(cond | ~known)
 
 
+def source_quota_sample(df: DataFrame, key_col: str = "doc_id",
+                        source_col: str = "source", cap: int = 50,
+                        salt: str = "quota") -> DataFrame:
+    """Domain-mix rebalancing: keep at most ``cap`` rows per source,
+    chosen by deterministic hash order (stable across runs and cluster
+    layouts — the hash, not arrival order, decides membership).
+
+    One shuffle keyed on the source column (row_number window). For a
+    skewed mega-source at 100 TB scale, pre-filter with a hash
+    threshold (≈ cap / est_count quantile) before the exact rank so
+    the window only sees ~cap rows per source."""
+    from pyspark.sql import Window
+
+    h = hash64(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= cap)
+        .select(key_col, source_col)
+    )
+
+
 def train_test_split(df: DataFrame, key_col: str, test_fraction: float = 0.1,
                      salt: str = "split") -> tuple[DataFrame, DataFrame]:
     """(train, test) with stable membership; a row's side never

@@ -179,6 +179,49 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("clean_text", clean).drop(text_col)
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition features per document:
+    (doc_id, n_tokens, top_token_share, dup_2gram_share).
+
+    top_token_share = count of the most frequent token / n_tokens
+    (boilerplate/spam indicator); dup_2gram_share = 1 − distinct
+    bigrams / total bigrams (0.0 for docs with < 2 tokens). Both
+    branches shuffle only on doc_id (embarrassingly parallel per-doc
+    stats); the bigram kernel reuses the materialized token array
+    (HOF-lambda rule from SURVEY §6)."""
+    from sift_spark.models.text import with_tokens, word_ngrams
+
+    t = with_tokens(docs)
+    tf = (
+        t.select("doc_id", F.explode(F.col("toks")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    top = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(F.max("tf") / F.sum("tf"), 6).alias("top_token_share"),
+    )
+    bstats = (
+        t.select("doc_id", F.explode(word_ngrams(F.col("toks"), 2, 2)).alias("bg"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bi"),
+            F.count_distinct(F.col("bg")).alias("n_bi_d"),
+        )
+    )
+    return top.join(bstats, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "top_token_share",
+        F.round(
+            F.when(F.col("n_bi").isNull(), F.lit(0.0)).otherwise(
+                1.0 - F.col("n_bi_d") / F.col("n_bi")
+            ),
+            6,
+        ).alias("dup_2gram_share"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Position-sensitive rolling-hash fingerprint:
     fp = Σ_pos (h31(token)·((pos mod 64)+1) mod P) mod P, P=2^31-1.

@@ -115,6 +115,59 @@ reach(src, node) AS (
 SELECT src AS doc_id, min(node) AS rep_id FROM reach GROUP BY src
 """
 
+ORACLE_OPS["dedup_apply"] = f"""
+WITH RECURSIVE {SHINGLES}, {MINHASH}, {BANDS},
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+{JACCARD_VERIFY},
+pairs AS (SELECT doc1, doc2 FROM jac WHERE jaccard >= 0.8),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+reach(src, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT src AS doc_id, min(node) AS rep_id FROM reach GROUP BY src)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != rep_id)
+"""
+
+ORACLE_OPS["repetition_stats"] = f"""
+WITH {TOKCTE},
+tf AS (SELECT doc_id, anchor, count(*) AS tf FROM tok GROUP BY doc_id, anchor),
+top AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         round(max(tf) * 1.0 / sum(tf), 6) AS top_token_share
+  FROM tf GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+),
+bs AS (SELECT doc_id, count(*) AS n_bi, count(DISTINCT bg) AS n_bi_d FROM bi GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens, t.top_token_share,
+       round(CASE WHEN b.n_bi IS NULL THEN 0.0
+                  ELSE 1.0 - b.n_bi_d * 1.0 / b.n_bi END, 6) AS dup_2gram_share
+FROM top t LEFT JOIN bs b ON b.doc_id = t.doc_id
+"""
+
+_quota_h = _h64("concat('quota:', cast(doc_id as varchar))")
+
+ORACLE_OPS["source_quota_sample"] = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY {_quota_h} ASC, doc_id ASC) AS rk
+  FROM documents)
+WHERE rk <= 50
+"""
+
 _bit_sums = ",\n    ".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s_{b}" for b in range(SIMHASH_BITS)
 )

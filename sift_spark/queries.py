@@ -237,6 +237,24 @@ def q_dedup_clusters(spark, sf_dir):
     return duplicate_clusters(minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.8))
 
 
+def q_dedup_apply(spark, sf_dir):
+    from sift_spark.operators.dedup import dedup_apply
+
+    return dedup_apply(_docs(spark, sf_dir))
+
+
+def q_repetition_stats(spark, sf_dir):
+    from sift_spark.operators.text_analysis import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_source_quota_sample(spark, sf_dir):
+    from sift_spark.operators.sampling import source_quota_sample
+
+    return source_quota_sample(_docs(spark, sf_dir), cap=50)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from sift_spark.operators.dedup import simhash_pairs
 
@@ -383,6 +401,9 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_apply": q_dedup_apply,
+    "repetition_stats": q_repetition_stats,
+    "source_quota_sample": q_source_quota_sample,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding": q_dedup_embedding,
