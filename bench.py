@@ -75,6 +75,7 @@ def main() -> None:
         "doc_fingerprint",
         "contamination_check",
         "entity_relatedness",
+        "entity_pagerank",
         "tfidf_search",
         "stratified_sample",
         "train_test_split",

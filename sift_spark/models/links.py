@@ -200,3 +200,45 @@ def mapped_entity_comentions(links: DataFrame, vocab: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_entities"),
         F.array_join(F.sort_array(F.collect_list("rank")), ",").alias("entity_ranks"),
     )
+
+
+def entity_pagerank(links: DataFrame, damping: float = 0.85, n_iter: int = 5) -> DataFrame:
+    """PageRank over the entity comention graph: entities are linked
+    (symmetrically) when comentioned in a document, so every node has
+    out-degree >= 1 and there is no dangling mass. Fixed iteration
+    count; the DuckDB oracle unrolls the same iterations, and both
+    engines round only at the output edge.
+
+    Extends the reference's inlink-popularity models (links.py:13
+    EntityCounts, README "model entity popularity ... using inlinks")
+    with a global graph centrality.
+
+    Scale shape: the comention self-join is keyed on doc_id (never a
+    cross join); each iteration is one keyed shuffle (join on src +
+    groupBy dst) over the edge list — the classic distributed
+    PageRank layout. No per-iteration action: with a fixed iteration
+    count the whole computation stays one lazy plan, and edges/degrees
+    are persisted for reuse across iterations.
+    """
+    il = links.select("doc_id", "target").distinct()
+    edges = (
+        il.alias("l")
+        .join(il.alias("r"), "doc_id")
+        .where(F.col("l.target") != F.col("r.target"))
+        .select(F.col("l.target").alias("src"), F.col("r.target").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    n = deg.count()
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, F.col("src") == F.col("node"))
+            .select(F.col("dst"), (F.col("r") / F.col("deg")).alias("c"))
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (F.lit((1.0 - damping) / n) + F.lit(damping) * F.sum("c")).alias("r")
+        ).select(F.col("dst").alias("node"), "r")
+    return ranks.select(F.col("node").alias("entity"), F.round("r", 6).alias("pagerank"))

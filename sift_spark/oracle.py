@@ -352,6 +352,29 @@ FROM events
 GROUP BY 1, 2
 """
 
+_pr_iters = ",\n".join(
+    f"""r{i} AS (
+  SELECT e.dst AS node, 0.15 / (SELECT n FROM nn) + 0.85 * sum(p.r / d.deg) AS r
+  FROM pedges e JOIN r{i - 1} p ON p.node = e.src JOIN pdeg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+    for i in range(1, 6)
+)
+
+ORACLE["entity_pagerank"] = f"""
+WITH {TOK}, {LINKS},
+il AS (SELECT DISTINCT doc_id, target FROM links),
+pedges AS (
+  SELECT DISTINCT l.target AS src, r.target AS dst
+  FROM il l JOIN il r ON l.doc_id = r.doc_id AND l.target != r.target
+),
+pdeg AS (SELECT src, count(*) AS deg FROM pedges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM pdeg),
+r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM pdeg),
+{_pr_iters}
+SELECT node AS entity, round(r, 6) AS pagerank FROM r5
+"""
+
 from sift_spark.oracle_ops import ORACLE_OPS  # noqa: E402
 
 ORACLE.update(ORACLE_OPS)

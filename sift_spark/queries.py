@@ -66,6 +66,10 @@ def q_entity_relatedness(spark, sf_dir):
     return L.entity_relatedness(wikify_links(_docs(spark, sf_dir)))
 
 
+def q_entity_pagerank(spark, sf_dir):
+    return L.entity_pagerank(wikify_links(_docs(spark, sf_dir)))
+
+
 def q_mapped_comentions(spark, sf_dir):
     links = wikify_links(_docs(spark, sf_dir))
     return L.mapped_entity_comentions(links, L.entity_vocab(links, 0, 10000))
@@ -372,6 +376,7 @@ QUERIES: dict[str, QueryFn] = {
     "entity_vocab": q_entity_vocab,
     "entity_comentions": q_entity_comentions,
     "entity_relatedness": q_entity_relatedness,
+    "entity_pagerank": q_entity_pagerank,
     "mapped_comentions": q_mapped_comentions,
     "term_frequencies": q_term_frequencies,
     "term_doc_frequencies": q_term_doc_frequencies,

@@ -69,3 +69,23 @@ def test_model_save_load_roundtrip(spark, tmp_path):
     write_text(to_json_lines(model), js, compression=None)
     back = spark.read.json(js)
     assert {(r.target, r["count"]) for r in back.collect()} == want
+
+
+def test_entity_pagerank_mass_and_order(spark):
+    """PageRank mass is conserved (sums to 1) and the hub of a star
+    outranks the leaves."""
+    from pyspark.sql import Row
+
+    from sift_spark.models.links import entity_pagerank
+
+    links = spark.createDataFrame(
+        [
+            Row(doc_id=1, target="A"),
+            Row(doc_id=1, target="B"),
+            Row(doc_id=2, target="A"),
+            Row(doc_id=2, target="C"),
+        ]
+    )
+    pr = {r.entity: r.pagerank for r in entity_pagerank(links).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-4
+    assert pr["A"] > pr["B"] == pr["C"]
