@@ -81,6 +81,8 @@ def main() -> None:
         "train_test_split",
         "repetition_stats",
         "source_quota_sample",
+        "unigram_logprob",
+        "kmeans_clusters",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

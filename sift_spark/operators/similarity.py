@@ -264,3 +264,62 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5) -> DataFrame:
         .distinct()
     )
     return _score_candidates(cand, emb, k)
+
+
+def kmeans_clusters(emb: DataFrame, n_iter: int = 2) -> DataFrame:
+    """Lloyd's k-means over the embedding column, seeded by the
+    deterministic IVF codebook (so the DuckDB oracle reproduces every
+    round exactly): final hard assignment (vec_id, cluster).
+
+    Each round is the canonical distributed k-means step: map-side
+    GEMM assignment (one numpy matmul per Arrow batch against the
+    k×D centroid matrix shipped in the task closure), one keyed
+    shuffle on (cluster, dim) to average members, and a k×D driver
+    collect — the only driver-side data is the codebook itself, which
+    is what every scalable k-means (including Spark MLlib's) holds on
+    the driver. Distance ties break toward the lowest cluster id
+    (stable argsort ≡ the oracle's ORDER BY d, cid). Clusters that
+    lose all members drop out in both engines identically.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from sift_spark.functions.core import IVF_CENTROIDS
+
+    def assign(cids: "np.ndarray", C: "np.ndarray") -> DataFrame:
+        n2 = (C * C).sum(axis=1)
+
+        def go(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+                D = -2.0 * (E @ C.T) + n2
+                j = np.argsort(D, axis=1, kind="stable")[:, 0]
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"].to_numpy(), "cluster": cids[j]}
+                )
+
+        return emb.select("vec_id", "embedding").mapInPandas(
+            go, "vec_id long, cluster int"
+        )
+
+    cids = np.arange(len(IVF_CENTROIDS), dtype="int32")
+    C = np.array(IVF_CENTROIDS, dtype="float64")
+    a = assign(cids, C)
+    dim = C.shape[1]
+    for _ in range(n_iter):
+        cent = (
+            emb.join(a, "vec_id")
+            .select("cluster", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in cent:
+            by_cid.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        cids = np.array(sorted(by_cid), dtype="int32")
+        C = np.array([[by_cid[c][d] for d in range(dim)] for c in cids])
+        a = assign(cids, C)
+    return a

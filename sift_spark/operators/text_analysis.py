@@ -179,6 +179,27 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("clean_text", clean).drop(text_col)
 
 
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-unigram LM score per document: avg ln p(token), with
+    p = corpus tf / total tokens — a cheap proxy for model-based
+    quality filtering (low score = rare/garbled text):
+    (doc_id, avg_logprob).
+
+    One lazy plan: the scalar total rides in via a crossJoin of a
+    1-row aggregate (no driver action); the term-probability table is
+    vocab-sized, so the join back to the token stream is hash-keyed
+    on the term and broadcastable for bounded vocabularies."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("t"))
+    p = tf.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("tf") / F.col("t")).alias("lp")
+    )
+    return tok.join(p, "tok").groupBy("doc_id").agg(
+        F.round(F.avg("lp"), 6).alias("avg_logprob")
+    )
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition features per document:
     (doc_id, n_tokens, top_token_share, dup_2gram_share).

@@ -476,3 +476,53 @@ SELECT doc_id,
        CAST(CAST(sum(({_h31('anchor')} * ((pos % 64) + 1)) % {MOD31}) AS BIGINT) % {MOD31} AS BIGINT) AS fingerprint
 FROM tok GROUP BY doc_id
 """
+
+ORACLE_OPS["unigram_logprob"] = f"""
+WITH {TOKCTE},
+tf AS (SELECT anchor, count(*) AS tf FROM tok GROUP BY anchor),
+tot AS (SELECT sum(tf) AS t FROM tf),
+p AS (SELECT anchor, ln(tf * 1.0 / (SELECT t FROM tot)) AS lp FROM tf)
+SELECT doc_id, round(avg(lp), 6) AS avg_logprob
+FROM tok JOIN p USING (anchor) GROUP BY doc_id
+"""
+
+
+def _kmeans_oracle(n_iter: int = 2) -> str:
+    from sift_spark.functions.core import IVF_CENTROIDS
+
+    cell_values = ", ".join(
+        f"({c}, {_plane_sql(v)})" for c, v in enumerate(IVF_CENTROIDS)
+    )
+
+    def assign_cte(i: int, cells: str) -> str:
+        return f"""d{i} AS (
+  SELECT e.vec_id, c.cid,
+         (-2 * list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv)) AS d
+  FROM e, {cells} c
+),
+a{i} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d{i})
+  WHERE rn = 1
+)"""
+
+    parts = [f"cells0(cid, cv) AS (VALUES {cell_values})", assign_cte(0, "cells0")]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""cm{i} AS (
+  SELECT cluster AS cid, i AS dim, avg(x) AS m
+  FROM (SELECT a.cluster, generate_subscripts(e.v, 1) AS i, unnest(e.v) AS x
+        FROM a{i - 1} a JOIN e ON e.vec_id = a.vec_id)
+  GROUP BY cluster, i
+),
+cells{i} AS (SELECT cid, list(m ORDER BY dim) AS cv FROM cm{i} GROUP BY cid)""")
+        parts.append(assign_cte(i, f"cells{i}"))
+    joined = ",\n".join(parts)
+    return f"""
+WITH {EMB},
+{joined}
+SELECT vec_id, cluster FROM a{n_iter}
+"""
+
+
+ORACLE_OPS["kmeans_clusters"] = _kmeans_oracle()

@@ -259,6 +259,18 @@ def q_source_quota_sample(spark, sf_dir):
     return source_quota_sample(_docs(spark, sf_dir), cap=50)
 
 
+def q_unigram_logprob(spark, sf_dir):
+    from sift_spark.operators.text_analysis import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    from sift_spark.operators.similarity import kmeans_clusters
+
+    return kmeans_clusters(table(spark, sf_dir, "embeddings"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     from sift_spark.operators.dedup import simhash_pairs
 
@@ -409,6 +421,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_apply": q_dedup_apply,
     "repetition_stats": q_repetition_stats,
     "source_quota_sample": q_source_quota_sample,
+    "unigram_logprob": q_unigram_logprob,
+    "kmeans_clusters": q_kmeans_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding": q_dedup_embedding,
