@@ -83,3 +83,27 @@ def test_wholestage_codegen_in_text_models(spark):
     assert plan.count("Exchange") == 1
     assert "partial_count" in plan
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_unigram_logprob_no_cartesian_and_broadcast_total(spark):
+    """The 1-row total must ride in as a broadcast nested-loop (a
+    single-row join is fine); the term join must be hash-keyed, never
+    a cartesian product."""
+    from sift_spark.operators.text_analysis import unigram_logprob
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(unigram_logprob(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_pagerank_joins_are_keyed(spark):
+    """Comention self-join and every iteration join must be keyed
+    (hash/sort-merge), never a cartesian product."""
+    from sift_spark.corpora.synthetic import wikify_links
+    from sift_spark.models.links import entity_pagerank
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(entity_pagerank(wikify_links(docs)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
