@@ -58,6 +58,7 @@ def main() -> None:
         "clicks_errors_interval",
         "top_customers",
         "events_tumbling",
+        "events_trending",
         "events_sessionize",
         "dedup_exact",
         "dedup_minhash_lsh",

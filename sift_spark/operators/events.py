@@ -70,3 +70,25 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+def trending(events: DataFrame, minutes: int = 60, k: int = 3) -> DataFrame:
+    """Top-k trending event types per tumbling window:
+    (window_start, event_type, n_events, rank).
+
+    The rank window partitions on window_start and runs on
+    post-aggregation rows (≤ #event types per window), so the only
+    corpus-scale shuffle is the count aggregation itself. Streaming
+    twin: rank the ``stream_tumbling_counts`` output per completed
+    window (tested with an availableNow trigger)."""
+    secs = minutes * 60
+    es = epoch_seconds(events)
+    counts = (
+        events.groupBy(
+            (es - (es % secs)).alias("window_start"), F.col("event_type")
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

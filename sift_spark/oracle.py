@@ -352,6 +352,17 @@ FROM events
 GROUP BY 1, 2
 """
 
+ORACLE["events_trending"] = """
+SELECT window_start, event_type, n_events, rank FROM (
+  SELECT window_start, event_type, n_events,
+         CAST(row_number() OVER (PARTITION BY window_start
+              ORDER BY n_events DESC, event_type ASC) AS INT) AS rank
+  FROM (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+               event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2))
+WHERE rank <= 3
+"""
+
 _pr_iters = ",\n".join(
     f"""r{i} AS (
   SELECT e.dst AS node, 0.15 / (SELECT n FROM nn) + 0.85 * sum(p.r / d.deg) AS r

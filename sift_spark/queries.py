@@ -183,6 +183,10 @@ def q_events_tumbling(spark, sf_dir):
     return EV.tumbling_counts(table(spark, sf_dir, "events"), minutes=5)
 
 
+def q_events_trending(spark, sf_dir):
+    return EV.trending(table(spark, sf_dir, "events"), minutes=60, k=3)
+
+
 def q_events_sessionize(spark, sf_dir):
     return EV.sessionize(table(spark, sf_dir, "events"), gap_minutes=30)
 
@@ -411,6 +415,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_clicks_errors": q_asof_clicks_errors,
     "clicks_errors_interval": q_clicks_errors_interval,
     "events_tumbling": q_events_tumbling,
+    "events_trending": q_events_trending,
     "events_sessionize": q_events_sessionize,
     "resolve_redirects": q_resolve_redirects,
     "map_redirects": q_map_redirects,

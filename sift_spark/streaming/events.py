@@ -213,3 +213,15 @@ def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = 
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def rank_trending(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Rank completed windowed counts into top-k trending event types
+    — applied at the sink (foreachBatch / post-trigger), where every
+    window in the micro-batch output is final under the watermark."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

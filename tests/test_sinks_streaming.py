@@ -181,3 +181,25 @@ def test_multimodal_plumbing(spark):
 
     frames = sample_frames(media, every_ms=500)
     assert frames.count() == 40  # 1000ms / 500ms = 2 frames each
+
+
+def test_stream_trending_matches_batch(spark, events_dir):
+    """Streaming windowed counts ranked at the sink equal the batch
+    trending operator."""
+    from sift_spark.operators.events import trending
+    from sift_spark.streaming.events import (
+        rank_trending,
+        read_event_stream,
+        run_available_now,
+        stream_tumbling_counts,
+    )
+
+    stream = read_event_stream(spark, events_dir)
+    counts = run_available_now(stream_tumbling_counts(stream, minutes=60), "t_trend")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.rank)
+        for r in rank_trending(counts.drop("sum_value"), k=3).collect()
+    }
+    batch = trending(spark.read.parquet(f"{SF_SMOKE}/events.parquet"), minutes=60, k=3)
+    want = {(r.window_start, r.event_type): (r.n_events, r.rank) for r in batch.collect()}
+    assert got == want and got
