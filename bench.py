@@ -48,6 +48,9 @@ def main() -> None:
         "q3_shipping_priority",
         "q5_local_supplier",
         "q4_order_priority",
+        "q7_volume_shipping",
+        "q10_returned_items",
+        "orders_cube",
         "customers_without_orders",
         "revenue_rollup",
         "order_status_pivot",

@@ -247,3 +247,67 @@ def top_customers_per_segment(customer: DataFrame, orders: DataFrame, k: int = 5
         .where(F.col("rank") <= k)
         .select("c_mktsegment", "rank", "c_custkey", "c_name", "total_spend", "n_orders")
     )
+
+
+def q7_volume_shipping(nation: DataFrame, customer: DataFrame, supplier: DataFrame,
+                       orders: DataFrame, lineitem: DataFrame,
+                       nation_a: str = "NATION_1", nation_b: str = "NATION_2") -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations
+    by ship year. The nation dim is broadcast twice (supplier-side and
+    customer-side roles); the cross-nation predicate filters after the
+    keyed fact joins, so the fact side shuffles once per join key and
+    never on the filter."""
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q10_returned_items(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       nation: DataFrame, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned
+    items. Returned-lines filter pushes to the lineitem scan; nation
+    broadcast; final top-k is a single rank window on the
+    post-aggregation rows (one row per customer, not per line)."""
+    rev = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return rev.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def orders_cube(orders: DataFrame) -> DataFrame:
+    """CUBE (year, priority) order totals — all four grouping levels
+    in one pass; null grouping keys surfaced as -1/'ALL' so the output
+    is stable across engines."""
+    base = orders.select(
+        F.year("o_orderdate").alias("o_year"),
+        F.col("o_orderpriority").alias("prio"),
+        "o_totalprice",
+    )
+    return (
+        base.cube("o_year", "prio")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_year"), F.lit(-1)).alias("o_year"),
+            F.coalesce(F.col("prio"), F.lit("ALL")).alias("prio"),
+            "revenue",
+            "n_orders",
+        )
+    )

@@ -352,6 +352,43 @@ FROM events
 GROUP BY 1, 2
 """
 
+ORACLE["q7_volume_shipping"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+ORACLE["q10_returned_items"] = """
+SELECT c_custkey, c_name, n_name, revenue, rank FROM (
+  SELECT c_custkey, c_name, n_name, revenue,
+         CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS INT) AS rank
+  FROM (SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2, 3))
+WHERE rank <= 20
+"""
+
+ORACLE["orders_cube"] = """
+SELECT CAST(coalesce(o_year, -1) AS INT) AS o_year,
+       coalesce(prio, 'ALL') AS prio,
+       round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             o_orderpriority AS prio, o_totalprice FROM orders)
+GROUP BY CUBE (o_year, prio)
+"""
+
 ORACLE["events_trending"] = """
 SELECT window_start, event_type, n_events, rank FROM (
   SELECT window_start, event_type, n_events,

@@ -183,6 +183,29 @@ def q_events_tumbling(spark, sf_dir):
     return EV.tumbling_counts(table(spark, sf_dir, "events"), minutes=5)
 
 
+def q_q7_volume_shipping(spark, sf_dir):
+    return R.q7_volume_shipping(
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_q10_returned_items(spark, sf_dir):
+    return R.q10_returned_items(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "nation"),
+    )
+
+
+def q_orders_cube(spark, sf_dir):
+    return R.orders_cube(table(spark, sf_dir, "orders"))
+
+
 def q_events_trending(spark, sf_dir):
     return EV.trending(table(spark, sf_dir, "events"), minutes=60, k=3)
 
@@ -416,6 +439,9 @@ QUERIES: dict[str, QueryFn] = {
     "clicks_errors_interval": q_clicks_errors_interval,
     "events_tumbling": q_events_tumbling,
     "events_trending": q_events_trending,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q10_returned_items": q_q10_returned_items,
+    "orders_cube": q_orders_cube,
     "events_sessionize": q_events_sessionize,
     "resolve_redirects": q_resolve_redirects,
     "map_redirects": q_map_redirects,
