@@ -51,6 +51,9 @@ def main() -> None:
         "q7_volume_shipping",
         "q10_returned_items",
         "orders_cube",
+        "q6_forecast_revenue",
+        "parts_above_brand_avg",
+        "daily_revenue_spine",
         "customers_without_orders",
         "revenue_rollup",
         "order_status_pivot",

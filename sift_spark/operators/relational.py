@@ -311,3 +311,67 @@ def orders_cube(orders: DataFrame) -> DataFrame:
             "n_orders",
         )
     )
+
+
+def q6_forecast_revenue(lineitem: DataFrame, date_from: str = "1996-01-01",
+                        date_to: str = "1997-01-01",
+                        disc_lo: float = 0.02, disc_hi: float = 0.06,
+                        max_qty: int = 25) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from a discount band — a pure
+    scan-side query; every predicate pushes to the parquet reader and
+    the whole plan is one map + one scalar aggregate (no shuffle
+    beyond the final single-row combine)."""
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to)
+            & (F.col("l_discount") >= disc_lo) & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def parts_above_brand_avg(part: DataFrame) -> DataFrame:
+    """Correlated-scalar-subquery shape (parts priced above their
+    brand's average), decorrelated as a window average — one shuffle
+    on brand, no self-join, no subquery re-scan."""
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        .select(
+            "p_partkey", "p_brand",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+            F.round("brand_avg", 6).alias("brand_avg"),
+        )
+    )
+
+
+def daily_revenue_spine(orders: DataFrame) -> DataFrame:
+    """Zero-filled daily revenue over a generated date spine
+    (sequence() between min and max order date) — gap-fill without a
+    calendar table. The spine generates from a 1-row aggregate
+    (driver-size), so the only real shuffle is the per-day revenue
+    aggregation."""
+    days = (
+        orders.agg(
+            F.min(F.to_date("o_orderdate")).alias("d0"),
+            F.max(F.to_date("o_orderdate")).alias("d1"),
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        days.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )

@@ -389,6 +389,41 @@ FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
 GROUP BY CUBE (o_year, prio)
 """
 
+ORACLE["q6_forecast_revenue"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 25
+"""
+
+ORACLE["parts_above_brand_avg"] = """
+SELECT p_partkey, p_brand, round(p_retailprice, 2) AS p_retailprice,
+       round(brand_avg, 6) AS brand_avg
+FROM (SELECT p_partkey, p_brand, p_retailprice,
+             avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+      FROM part)
+WHERE p_retailprice > brand_avg
+"""
+
+ORACLE["daily_revenue_spine"] = """
+WITH bounds AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS d0, max(CAST(o_orderdate AS DATE)) AS d1 FROM orders
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       coalesce(d.revenue, 0.0) AS revenue,
+       coalesce(d.n_orders, 0) AS n_orders
+FROM spine s LEFT JOIN daily d ON d.day = s.day
+"""
+
 ORACLE["events_trending"] = """
 SELECT window_start, event_type, n_events, rank FROM (
   SELECT window_start, event_type, n_events,

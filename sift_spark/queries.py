@@ -206,6 +206,18 @@ def q_orders_cube(spark, sf_dir):
     return R.orders_cube(table(spark, sf_dir, "orders"))
 
 
+def q_q6_forecast_revenue(spark, sf_dir):
+    return R.q6_forecast_revenue(table(spark, sf_dir, "lineitem"))
+
+
+def q_parts_above_brand_avg(spark, sf_dir):
+    return R.parts_above_brand_avg(table(spark, sf_dir, "part"))
+
+
+def q_daily_revenue_spine(spark, sf_dir):
+    return R.daily_revenue_spine(table(spark, sf_dir, "orders"))
+
+
 def q_events_trending(spark, sf_dir):
     return EV.trending(table(spark, sf_dir, "events"), minutes=60, k=3)
 
@@ -442,6 +454,9 @@ QUERIES: dict[str, QueryFn] = {
     "q7_volume_shipping": q_q7_volume_shipping,
     "q10_returned_items": q_q10_returned_items,
     "orders_cube": q_orders_cube,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "parts_above_brand_avg": q_parts_above_brand_avg,
+    "daily_revenue_spine": q_daily_revenue_spine,
     "events_sessionize": q_events_sessionize,
     "resolve_redirects": q_resolve_redirects,
     "map_redirects": q_map_redirects,
