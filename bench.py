@@ -65,6 +65,10 @@ def main() -> None:
         "top_customers",
         "events_tumbling",
         "events_trending",
+        "events_sliding",
+        "events_histogram",
+        "lineitem_stats",
+        "pack_sequences",
         "events_sessionize",
         "dedup_exact",
         "dedup_minhash_lsh",

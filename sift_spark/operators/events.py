@@ -92,3 +92,45 @@ def trending(events: DataFrame, minutes: int = 60, k: int = 3) -> DataFrame:
         F.col("n_events").desc(), F.col("event_type").asc()
     )
     return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def sliding_counts(events: DataFrame, window_minutes: int = 10,
+                   slide_minutes: int = 5) -> DataFrame:
+    """Sliding (hopping) window counts: each event lands in
+    window/slide overlapping windows, generated map-side with
+    sequence() (no self-join against a window table):
+    (window_start, event_type, n_events, sum_value).
+
+    Same single keyed shuffle as the tumbling variant — the explode
+    multiplies rows by the overlap factor before the partial
+    aggregate, which map-side combine collapses immediately."""
+    win, slide = window_minutes * 60, slide_minutes * 60
+    es = epoch_seconds(events)
+    last = es - (es % slide)
+    starts = F.sequence(last - win + slide, last, F.lit(slide))
+    return (
+        events.select(
+            F.explode(starts).alias("window_start"), "event_type", "value"
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def value_histogram(events: DataFrame, n_bins: int = 10,
+                    lo: float = 0.0, hi: float = 100.0) -> DataFrame:
+    """Fixed-bin value histogram per event type — width_bucket
+    semantics (values outside [lo, hi) clamp to the edge bins):
+    (event_type, bin, n_events). Map-side bin compute + one keyed
+    shuffle."""
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col("value") - lo) / width).cast("int")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        events.select("event_type", bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

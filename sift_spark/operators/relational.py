@@ -375,3 +375,16 @@ def daily_revenue_spine(orders: DataFrame) -> DataFrame:
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         )
     )
+
+
+def lineitem_stats(lineitem: DataFrame) -> DataFrame:
+    """Per-returnflag statistical profile: Pearson correlation,
+    covariance, and stddev across quantity/price — one pass, all
+    moments from the same partial aggregates (Catalyst shares the
+    shuffle)."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -71,3 +71,31 @@ def train_test_split(df: DataFrame, key_col: str, test_fraction: float = 0.1,
     bucket = hash_bucket(F.col(key_col), salt)
     cut = round(test_fraction * 100)
     return df.where(bucket >= cut), df.where(bucket < cut)
+
+
+def pack_sequences(docs_with_tokens: DataFrame, max_tokens: int = 2048,
+                   key_col: str = "doc_id", n_col: str = "n_tokens") -> DataFrame:
+    """Greedy sequence packing for training batches: documents are
+    laid out in deterministic hash order and chunked into bins of
+    ~``max_tokens`` by running token count (a doc whose tokens would
+    overflow the current bin starts the next one — approximated here
+    as cumulative-sum division, the streaming-equivalent greedy rule):
+    (doc_id, bin_id, bin_offset).
+
+    One global ordering is required for reproducible packing, so this
+    uses a single ordered window over the hash — at 100 TB, run it
+    per-shard after ``write_training_shards`` (shards are
+    hash-disjoint, so per-shard packing is still deterministic) rather
+    than globally.
+    """
+    from pyspark.sql import Window
+
+    h = hash64(F.concat(F.lit("pack:"), F.col(key_col).cast("string")))
+    w = Window.orderBy(h.asc(), F.col(key_col).asc())
+    cum = F.sum(F.col(n_col)).over(w)
+    return (
+        docs_with_tokens.select(key_col, n_col)
+        .withColumn("bin_id", F.floor((cum - F.col(n_col)) / max_tokens).cast("bigint"))
+        .withColumn("bin_offset", ((cum - F.col(n_col)) % max_tokens).cast("bigint"))
+        .select(key_col, n_col, "bin_id", "bin_offset")
+    )

@@ -389,6 +389,37 @@ FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
 GROUP BY CUBE (o_year, prio)
 """
 
+ORACLE["events_sliding"] = """
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type, value FROM events
+),
+w AS (
+  SELECT unnest(generate_series(es - (es % 300) - 600 + 300,
+                                es - (es % 300), 300)) AS window_start,
+         event_type, value
+  FROM ev
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM w GROUP BY 1, 2
+"""
+
+ORACLE["events_histogram"] = """
+SELECT event_type,
+       CAST(least(greatest(floor(value / 10.0), 0), 9) AS INT) AS bin,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+ORACLE["lineitem_stats"] = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(stddev_samp(l_extendedprice), 4) AS std_price,
+       count(*) AS n_lines
+FROM lineitem GROUP BY l_returnflag
+"""
+
 ORACLE["q6_forecast_revenue"] = """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
        count(*) AS n_lines

@@ -526,3 +526,23 @@ SELECT vec_id, cluster FROM a{n_iter}
 
 
 ORACLE_OPS["kmeans_clusters"] = _kmeans_oracle()
+
+_pack_h = _h64("concat('pack:', cast(doc_id as varchar))")
+
+ORACLE_OPS["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {_pack_h} AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY h ASC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+       CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
+FROM c
+"""

@@ -222,6 +222,28 @@ def q_events_trending(spark, sf_dir):
     return EV.trending(table(spark, sf_dir, "events"), minutes=60, k=3)
 
 
+def q_events_sliding(spark, sf_dir):
+    return EV.sliding_counts(table(spark, sf_dir, "events"), 10, 5)
+
+
+def q_events_histogram(spark, sf_dir):
+    return EV.value_histogram(table(spark, sf_dir, "events"))
+
+
+def q_lineitem_stats(spark, sf_dir):
+    return R.lineitem_stats(table(spark, sf_dir, "lineitem"))
+
+
+def q_pack_sequences(spark, sf_dir):
+    from sift_spark.operators.sampling import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    sized = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(sized, max_tokens=2048)
+
+
 def q_events_sessionize(spark, sf_dir):
     return EV.sessionize(table(spark, sf_dir, "events"), gap_minutes=30)
 
@@ -455,6 +477,10 @@ QUERIES: dict[str, QueryFn] = {
     "q10_returned_items": q_q10_returned_items,
     "orders_cube": q_orders_cube,
     "q6_forecast_revenue": q_q6_forecast_revenue,
+    "events_sliding": q_events_sliding,
+    "events_histogram": q_events_histogram,
+    "lineitem_stats": q_lineitem_stats,
+    "pack_sequences": q_pack_sequences,
     "parts_above_brand_avg": q_parts_above_brand_avg,
     "daily_revenue_spine": q_daily_revenue_spine,
     "events_sessionize": q_events_sessionize,
