@@ -54,6 +54,9 @@ def main() -> None:
         "q6_forecast_revenue",
         "parts_above_brand_avg",
         "daily_revenue_spine",
+        "fuzzy_name_pairs",
+        "order_priority_unpivot",
+        "customer_ntile",
         "customers_without_orders",
         "revenue_rollup",
         "order_status_pivot",

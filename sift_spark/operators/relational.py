@@ -388,3 +388,71 @@ def lineitem_stats(lineitem: DataFrame) -> DataFrame:
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+def fuzzy_name_pairs(customer: DataFrame, max_dist: int = 1) -> DataFrame:
+    """Blocked fuzzy self-match on customer names via masked-position
+    (wildcard) keys: each name emits one variant per character
+    position with that character masked; two equal-length names
+    within Hamming distance 1 share exactly the variant masking the
+    differing position, and — crucially — every bucket contains only
+    names identical everywhere else, so candidate generation IS the
+    match set (no quadratic bucket). Half-split blocking was measured
+    pathological here: names share a long constant prefix, so one
+    half-key collapsed to a single corpus-wide bucket (quadratic
+    candidates — the classic low-entropy-block skew trap). Exact
+    levenshtein verifies. For general insert/delete edits extend the
+    key set with deletion variants. Output (k1, k2, dist)."""
+    c = customer.select("c_custkey", "c_name")
+    masked = F.expr(
+        "transform(sequence(1, length(c_name)), "
+        "p -> struct(p AS p, concat(substring(c_name, 1, p - 1), '\x01', "
+        "substring(c_name, p + 1, length(c_name))) AS key))"
+    )
+    b = c.select("c_custkey", "c_name", F.explode(masked).alias("m")).select(
+        "c_custkey", "c_name", F.col("m.p").alias("p"), F.col("m.key").alias("key")
+    )
+    cand = (
+        b.alias("l")
+        .join(b.alias("r"), (F.col("l.p") == F.col("r.p")) & (F.col("l.key") == F.col("r.key"))
+              & (F.col("l.c_custkey") < F.col("r.c_custkey")))
+        .select(
+            F.col("l.c_custkey").alias("k1"), F.col("l.c_name").alias("n1"),
+            F.col("r.c_custkey").alias("k2"), F.col("r.c_name").alias("n2"),
+        )
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("n1", "n2"))
+        .where(F.col("dist") <= max_dist)
+        .select("k1", "k2", "dist")
+    )
+
+
+def order_priority_unpivot(orders: DataFrame, statuses: tuple[str, ...] = ("O", "F", "P")) -> DataFrame:
+    """Unpivot (melt) of the priority × status matrix back to long
+    form, zero cells included: (o_orderpriority, status, n). The wide
+    frame is tiny (post-aggregation), so the melt is driver-cheap;
+    the pattern matters for wide metric tables."""
+    wide = order_status_pivot(orders, statuses)
+    return wide.unpivot(
+        "o_orderpriority",
+        [f"n_{s.lower()}" for s in statuses],
+        "status_col",
+        "n",
+    ).select(
+        "o_orderpriority",
+        F.upper(F.substring("status_col", 3, 1)).alias("status"),
+        "n",
+    )
+
+
+def customer_ntile(customer: DataFrame, n: int = 4) -> DataFrame:
+    """Account-balance quartiles per nation — ntile over a total
+    order (balance, then custkey: ties must break identically on
+    every engine): (c_custkey, c_nationkey, quartile)."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return customer.select(
+        "c_custkey", "c_nationkey", F.ntile(n).over(w).alias("quartile")
+    )

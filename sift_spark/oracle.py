@@ -389,6 +389,39 @@ FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
 GROUP BY CUBE (o_year, prio)
 """
 
+ORACLE["fuzzy_name_pairs"] = """
+WITH c AS (SELECT c_custkey, c_name FROM customer),
+b AS (
+  SELECT c_custkey, c_name, p,
+         substr(c_name, 1, p - 1) || chr(1) || substr(c_name, p + 1) AS key
+  FROM c, unnest(generate_series(1, length(c_name))) AS u(p)
+),
+cand AS (
+  SELECT l.c_custkey AS k1, l.c_name AS n1,
+         r.c_custkey AS k2, r.c_name AS n2
+  FROM b l JOIN b r ON l.p = r.p AND l.key = r.key AND l.c_custkey < r.c_custkey
+)
+SELECT k1, k2, CAST(levenshtein(n1, n2) AS INT) AS dist
+FROM cand WHERE levenshtein(n1, n2) <= 1
+"""
+
+ORACLE["order_priority_unpivot"] = """
+WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+st(status) AS (VALUES ('O'), ('F'), ('P')),
+cnt AS (SELECT o_orderpriority AS prio, o_orderstatus AS status, count(*) AS n
+        FROM orders GROUP BY 1, 2)
+SELECT pr.o_orderpriority, st.status, coalesce(cnt.n, 0) AS n
+FROM pr CROSS JOIN st
+LEFT JOIN cnt ON cnt.prio = pr.o_orderpriority AND cnt.status = st.status
+"""
+
+ORACLE["customer_ntile"] = """
+SELECT c_custkey, c_nationkey,
+       CAST(ntile(4) OVER (PARTITION BY c_nationkey
+            ORDER BY c_acctbal ASC, c_custkey ASC) AS INT) AS quartile
+FROM customer
+"""
+
 ORACLE["events_sliding"] = """
 WITH ev AS (
   SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type, value FROM events

@@ -218,6 +218,18 @@ def q_daily_revenue_spine(spark, sf_dir):
     return R.daily_revenue_spine(table(spark, sf_dir, "orders"))
 
 
+def q_fuzzy_name_pairs(spark, sf_dir):
+    return R.fuzzy_name_pairs(table(spark, sf_dir, "customer"))
+
+
+def q_order_priority_unpivot(spark, sf_dir):
+    return R.order_priority_unpivot(table(spark, sf_dir, "orders"))
+
+
+def q_customer_ntile(spark, sf_dir):
+    return R.customer_ntile(table(spark, sf_dir, "customer"))
+
+
 def q_events_trending(spark, sf_dir):
     return EV.trending(table(spark, sf_dir, "events"), minutes=60, k=3)
 
@@ -483,6 +495,9 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": q_pack_sequences,
     "parts_above_brand_avg": q_parts_above_brand_avg,
     "daily_revenue_spine": q_daily_revenue_spine,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "order_priority_unpivot": q_order_priority_unpivot,
+    "customer_ntile": q_customer_ntile,
     "events_sessionize": q_events_sessionize,
     "resolve_redirects": q_resolve_redirects,
     "map_redirects": q_map_redirects,

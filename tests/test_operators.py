@@ -93,3 +93,16 @@ def test_duplicate_clusters_chain_and_disjoint(spark):
     )
     reps = {r.doc_id: r.rep_id for r in duplicate_clusters(pairs).collect()}
     assert reps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    """No near-dup pairs → empty cluster table (loop exits on the
+    first empty convergence probe)."""
+    from pyspark.sql import types as T
+
+    from sift_spark.operators.dedup import duplicate_clusters
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("doc1", T.LongType()), T.StructField("doc2", T.LongType())])
+    )
+    assert duplicate_clusters(empty).count() == 0
