@@ -57,6 +57,8 @@ def main() -> None:
         "fuzzy_name_pairs",
         "order_priority_unpivot",
         "customer_ntile",
+        "churned_customers",
+        "repeat_customers",
         "customers_without_orders",
         "revenue_rollup",
         "order_status_pivot",

@@ -456,3 +456,22 @@ def customer_ntile(customer: DataFrame, n: int = 4) -> DataFrame:
     return customer.select(
         "c_custkey", "c_nationkey", F.ntile(n).over(w).alias("quartile")
     )
+
+
+def churned_customers(orders: DataFrame, year_a: int = 1996, year_b: int = 1997) -> DataFrame:
+    """EXCEPT shape: customers who ordered in ``year_a`` but not
+    ``year_b``. Catalyst rewrites EXCEPT DISTINCT as a left-anti
+    join over pre-aggregated keys — both sides shrink to distinct
+    custkeys before the join, so the shuffle carries keys, not
+    orders."""
+    a = orders.where(F.year("o_orderdate") == year_a).select("o_custkey").distinct()
+    b = orders.where(F.year("o_orderdate") == year_b).select("o_custkey").distinct()
+    return a.exceptAll(b).select(F.col("o_custkey").alias("c_custkey"))
+
+
+def repeat_customers(orders: DataFrame, year_a: int = 1996, year_b: int = 1997) -> DataFrame:
+    """INTERSECT shape: customers active in both years (left-semi
+    over distinct keys)."""
+    a = orders.where(F.year("o_orderdate") == year_a).select("o_custkey").distinct()
+    b = orders.where(F.year("o_orderdate") == year_b).select("o_custkey").distinct()
+    return a.intersect(b).select(F.col("o_custkey").alias("c_custkey"))

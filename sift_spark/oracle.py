@@ -415,6 +415,18 @@ FROM pr CROSS JOIN st
 LEFT JOIN cnt ON cnt.prio = pr.o_orderpriority AND cnt.status = st.status
 """
 
+ORACLE["churned_customers"] = """
+SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+ORACLE["repeat_customers"] = """
+SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
 ORACLE["customer_ntile"] = """
 SELECT c_custkey, c_nationkey,
        CAST(ntile(4) OVER (PARTITION BY c_nationkey

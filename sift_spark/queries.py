@@ -230,6 +230,14 @@ def q_customer_ntile(spark, sf_dir):
     return R.customer_ntile(table(spark, sf_dir, "customer"))
 
 
+def q_churned_customers(spark, sf_dir):
+    return R.churned_customers(table(spark, sf_dir, "orders"))
+
+
+def q_repeat_customers(spark, sf_dir):
+    return R.repeat_customers(table(spark, sf_dir, "orders"))
+
+
 def q_events_trending(spark, sf_dir):
     return EV.trending(table(spark, sf_dir, "events"), minutes=60, k=3)
 
@@ -498,6 +506,8 @@ QUERIES: dict[str, QueryFn] = {
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "order_priority_unpivot": q_order_priority_unpivot,
     "customer_ntile": q_customer_ntile,
+    "churned_customers": q_churned_customers,
+    "repeat_customers": q_repeat_customers,
     "events_sessionize": q_events_sessionize,
     "resolve_redirects": q_resolve_redirects,
     "map_redirects": q_map_redirects,
