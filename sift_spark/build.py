@@ -44,7 +44,27 @@ def _model_registry():
             TX.entity_mentions(docs_of(s, p), wikify_links(docs_of(s, p))),
             TX.term_idfs(docs_of(s, p)),
         ),
+        "EntityPageRank": lambda s, p: L.entity_pagerank(wikify_links(docs_of(s, p))),
+        "DedupExact": lambda s, p: _op("dedup").exact_duplicate_groups(docs_of(s, p)),
+        "DedupPairs": lambda s, p: _op("dedup").minhash_lsh_pairs(docs_of(s, p)),
+        "DuplicateClusters": lambda s, p: _op("dedup").duplicate_clusters(
+            _op("dedup").minhash_lsh_pairs(docs_of(s, p))
+        ),
+        "DedupApply": lambda s, p: _op("dedup").dedup_apply(docs_of(s, p)),
+        "LangId": lambda s, p: _op("text_analysis").lang_id(docs_of(s, p)),
+        "QualityScore": lambda s, p: _op("text_analysis").quality_score(docs_of(s, p)),
+        "TokenStats": lambda s, p: _op("text_analysis").token_stats(docs_of(s, p)),
+        "RepetitionStats": lambda s, p: _op("text_analysis").repetition_stats(docs_of(s, p)),
+        "UnigramLogprob": lambda s, p: _op("text_analysis").unigram_logprob(docs_of(s, p)),
+        "PiiRedact": lambda s, p: _op("text_analysis").pii_redact(docs_of(s, p)),
+        "DocFingerprint": lambda s, p: _op("text_analysis").doc_fingerprint(docs_of(s, p)),
     }
+
+
+def _op(mod: str):
+    import importlib
+
+    return importlib.import_module(f"sift_spark.operators.{mod}")
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from pyspark.sql import Row, functions as F
 
+from tests.conftest import SF_SMOKE
+
 
 def test_name_part_counts_multiword_anchors(spark):
     from sift_spark.models.links import name_part_counts
@@ -89,3 +91,14 @@ def test_entity_pagerank_mass_and_order(spark):
     pr = {r.entity: r.pagerank for r in entity_pagerank(links).collect()}
     assert abs(sum(pr.values()) - 1.0) < 1e-4
     assert pr["A"] > pr["B"] == pr["C"]
+
+
+def test_build_cli_smoke(spark, capsys):
+    """CLI builder resolves reference-named and pipeline-named models
+    and prints samples (shares the test session via get_spark
+    memoization)."""
+    from sift_spark.build import main
+
+    for model in ("EntityCounts", "DedupApply", "UnigramLogprob"):
+        assert main([model, "--input", SF_SMOKE, "--sample", "2"]) == 0
+        assert capsys.readouterr().out.strip()
