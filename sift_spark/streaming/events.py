@@ -225,3 +225,27 @@ def rank_trending(counts: DataFrame, k: int = 3) -> DataFrame:
         F.col("n_events").desc(), F.col("event_type").asc()
     )
     return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def stream_upsert_parquet(stream_df: DataFrame, path: str, key_cols: list[str],
+                          version_col: str, query_name: str = "stream_upsert"):
+    """Continuously MERGE a stream into a standing parquet table:
+    each micro-batch upserts by key via foreachBatch (the production
+    pattern for maintaining a serving table from a stream — the batch
+    inside foreachBatch is a plain DataFrame, so the partition-pruned
+    merge applies unchanged). Exactly-once per key comes from the
+    version column: replayed batches rewrite the same winning rows.
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from sift_spark.sinks.upsert import upsert_parquet
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(batch_df, path, key_cols, version_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

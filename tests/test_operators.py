@@ -106,3 +106,42 @@ def test_duplicate_clusters_empty_pairs(spark):
         [], T.StructType([T.StructField("doc1", T.LongType()), T.StructField("doc2", T.LongType())])
     )
     assert duplicate_clusters(empty).count() == 0
+
+
+def test_duplicate_clusters_property_union_find(spark):
+    """Property: on random graphs, min-label propagation must equal a
+    union-find ground truth (few examples — each is a Spark job)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+
+    from sift_spark.operators.dedup import duplicate_clusters
+
+    def uf_clusters(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda p: p[0] != p[1]),
+        min_size=1, max_size=20,
+    ))
+    def check(pairs):
+        df = spark.createDataFrame([Row(doc1=a, doc2=b) for a, b in pairs])
+        got = {r.doc_id: r.rep_id for r in duplicate_clusters(df).collect()}
+        assert got == uf_clusters(pairs)
+
+    check()

@@ -7,6 +7,7 @@ import json
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 
@@ -203,3 +204,29 @@ def test_stream_trending_matches_batch(spark, events_dir):
     batch = trending(spark.read.parquet(f"{SF_SMOKE}/events.parquet"), minutes=60, k=3)
     want = {(r.window_start, r.event_type): (r.n_events, r.rank) for r in batch.collect()}
     assert got == want and got
+
+
+def test_stream_upsert_parquet_matches_batch_merge(spark, events_dir, tmp_path):
+    """Streamed micro-batch upserts converge to the same table as one
+    batch merge: per user, the latest (highest-ts) event wins."""
+    from sift_spark.streaming.events import read_event_stream, stream_upsert_parquet
+
+    path = str(tmp_path / "serving")
+    stream = read_event_stream(spark, events_dir)
+    latest = stream.select("user_id", "event_type", "value", F.col("ts").alias("version"))
+    q = stream_upsert_parquet(latest, path, ["user_id"], "version", "t_upsert")
+    q.awaitTermination()
+
+    got = {r.user_id: (r.version, r.event_type) for r in spark.read.parquet(path).collect()}
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    from sift_spark.operators.incremental import upsert_latest
+
+    empty = spark.createDataFrame([], spark.read.parquet(path).schema)
+    want_df = upsert_latest(
+        empty, batch.select("user_id", "event_type", "value", F.col("ts").alias("version")),
+        ["user_id"], "version",
+    )
+    want = {r.user_id: (r.version, r.event_type) for r in want_df.collect()}
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0]
