@@ -92,6 +92,9 @@ def main() -> None:
         "contamination_check",
         "entity_relatedness",
         "entity_pagerank",
+        "entity_pmi",
+        "doc_top_terms",
+        "events_funnel",
         "tfidf_search",
         "stratified_sample",
         "train_test_split",

@@ -242,3 +242,38 @@ def entity_pagerank(links: DataFrame, damping: float = 0.85, n_iter: int = 5) ->
             (F.lit((1.0 - damping) / n) + F.lit(damping) * F.sum("c")).alias("r")
         ).select(F.col("dst").alias("node"), "r")
     return ranks.select(F.col("node").alias("entity"), F.round("r", 6).alias("pagerank"))
+
+
+def entity_pmi(links: DataFrame, min_pair_count: int = 1) -> DataFrame:
+    """Pointwise mutual information between comentioned entities:
+    pmi = ln(N · c_ab / (c_a · c_b)) over per-document distinct
+    comention events (N = number of documents with ≥1 link).
+    Extends the reference's jaccard relatedness (links.py:136 inlink
+    sets) with the information-theoretic variant.
+
+    Same scale shape as entity_relatedness: the pair table comes from
+    a keyed self-join on doc_id (never a cross join), marginals join
+    back per side, the document count rides in as a broadcast 1-row
+    aggregate. Output (e1, e2, pair_count, pmi)."""
+    il = links.select("doc_id", "target").distinct()
+    n_docs = il.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    marg = il.groupBy("target").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        il.alias("l")
+        .join(il.alias("r"), "doc_id")
+        .where(F.col("l.target") < F.col("r.target"))
+        .groupBy(F.col("l.target").alias("e1"), F.col("r.target").alias("e2"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_pair_count)
+    )
+    return (
+        pairs.join(marg.select(F.col("target").alias("e1"), F.col("c").alias("c1")), "e1")
+        .join(marg.select(F.col("target").alias("e2"), F.col("c").alias("c2")), "e2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "e1", "e2", "pair_count",
+            F.round(
+                F.log(F.col("n_docs") * F.col("pair_count") / (F.col("c1") * F.col("c2"))), 6
+            ).alias("pmi"),
+        )
+    )

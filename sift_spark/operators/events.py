@@ -134,3 +134,29 @@ def value_histogram(events: DataFrame, n_bins: int = 10,
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def funnel_counts(events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Ordered funnel completion per user: a user completes step i if
+    their earliest step-i event happens strictly after their earliest
+    step-(i-1) event. One shuffle (per-user min timestamps pivoted as
+    conditional aggregates), then a 1-row count aggregate:
+    (step, n_users)."""
+    es = epoch_seconds(events)
+    mins = events.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, es)).alias(f"t_{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    completed = [F.col("t_0").isNotNull()]
+    for i in range(1, len(steps)):
+        completed.append(completed[i - 1] & F.col(f"t_{i}").isNotNull() & (F.col(f"t_{i}") > F.col(f"t_{i-1}")))
+    aggs = [
+        F.sum(c.cast("int")).alias(f"n_{i}") for i, c in enumerate(completed)
+    ]
+    wide = mins.agg(*aggs)
+    stack_args = ", ".join(f"{i}, '{s}', n_{i}" for i, s in enumerate(steps))
+    return wide.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_users)"
+    )

@@ -255,3 +255,28 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg((F.sum("t") % F.lit(MOD31)).alias("fingerprint"))
     )
+
+
+def doc_top_terms(docs: DataFrame, k: int = 3, min_df: int = 2) -> DataFrame:
+    """Per-document top-k tf-idf terms as a sorted CSV column
+    (doc_id, top_terms): terms ranked by weight desc then term asc —
+    the per-doc profile a search/labeling pipeline exports. Rank
+    window partitions by doc_id on post-aggregation rows."""
+    from pyspark.sql import Window
+
+    from sift_spark.models.text import term_idfs, with_tokens
+
+    tf = (
+        with_tokens(docs)
+        .select("doc_id", F.explode(F.col("toks")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = tf.join(term_idfs(docs, min_df=min_df), "term").select(
+        "doc_id", "term", (F.sqrt(F.col("tf")) * F.col("idf")).alias("wt")
+    )
+    rk = Window.partitionBy("doc_id").orderBy(F.col("wt").desc(), F.col("term").asc())
+    top = w.withColumn("rn", F.row_number().over(rk)).where(F.col("rn") <= k)
+    return top.groupBy("doc_id").agg(
+        F.array_join(F.sort_array(F.collect_list("term")), ",").alias("top_terms")
+    )

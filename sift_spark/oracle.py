@@ -415,6 +415,56 @@ FROM pr CROSS JOIN st
 LEFT JOIN cnt ON cnt.prio = pr.o_orderpriority AND cnt.status = st.status
 """
 
+ORACLE["entity_pmi"] = f"""
+WITH {TOK}, {LINKS},
+il AS (SELECT DISTINCT doc_id, target FROM links),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM il),
+marg AS (SELECT target, count(*) AS c FROM il GROUP BY target),
+p AS (
+  SELECT l.target AS e1, r.target AS e2, count(*) AS pair_count
+  FROM il l JOIN il r ON l.doc_id = r.doc_id AND l.target < r.target
+  GROUP BY 1, 2
+)
+SELECT e1, e2, pair_count,
+       round(ln((SELECT n_docs FROM nd) * pair_count * 1.0 / (m1.c * m2.c)), 6) AS pmi
+FROM p JOIN marg m1 ON m1.target = e1 JOIN marg m2 ON m2.target = e2
+"""
+
+ORACLE["doc_top_terms"] = f"""
+WITH {TOK}, {IDF},
+tf AS (SELECT doc_id, anchor AS term, count(*) AS tf FROM tok GROUP BY 1, 2),
+w AS (SELECT doc_id, term, sqrt(tf) * idf AS wt FROM tf JOIN idf USING (term)),
+top AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, term ASC) AS rn
+    FROM w)
+  WHERE rn <= 3
+)
+SELECT doc_id, string_agg(term, ',' ORDER BY term) AS top_terms
+FROM top GROUP BY doc_id
+"""
+
+ORACLE["events_funnel"] = """
+WITH m AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_0,
+    min(CASE WHEN event_type = 'click' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_1,
+    min(CASE WHEN event_type = 'purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_2
+  FROM events GROUP BY user_id
+),
+w AS (SELECT
+  CAST(sum(CASE WHEN t_0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+  CAST(sum(CASE WHEN t_0 IS NOT NULL AND t_1 IS NOT NULL AND t_1 > t_0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+  CAST(sum(CASE WHEN t_0 IS NOT NULL AND t_1 IS NOT NULL AND t_1 > t_0
+                 AND t_2 IS NOT NULL AND t_2 > t_1 THEN 1 ELSE 0 END) AS BIGINT) AS n_2
+  FROM m)
+SELECT 0 AS step_idx, 'view' AS step, n_0 AS n_users FROM w
+UNION ALL SELECT 1, 'click', n_1 FROM w
+UNION ALL SELECT 2, 'purchase', n_2 FROM w
+"""
+
 ORACLE["churned_customers"] = """
 SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1996
 EXCEPT

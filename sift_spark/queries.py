@@ -238,6 +238,20 @@ def q_repeat_customers(spark, sf_dir):
     return R.repeat_customers(table(spark, sf_dir, "orders"))
 
 
+def q_entity_pmi(spark, sf_dir):
+    return L.entity_pmi(wikify_links(_docs(spark, sf_dir)))
+
+
+def q_doc_top_terms(spark, sf_dir):
+    from sift_spark.operators.text_analysis import doc_top_terms
+
+    return doc_top_terms(_docs(spark, sf_dir), k=3, min_df=2)
+
+
+def q_events_funnel(spark, sf_dir):
+    return EV.funnel_counts(table(spark, sf_dir, "events"))
+
+
 def q_events_trending(spark, sf_dir):
     return EV.trending(table(spark, sf_dir, "events"), minutes=60, k=3)
 
@@ -508,6 +522,9 @@ QUERIES: dict[str, QueryFn] = {
     "customer_ntile": q_customer_ntile,
     "churned_customers": q_churned_customers,
     "repeat_customers": q_repeat_customers,
+    "entity_pmi": q_entity_pmi,
+    "doc_top_terms": q_doc_top_terms,
+    "events_funnel": q_events_funnel,
     "events_sessionize": q_events_sessionize,
     "resolve_redirects": q_resolve_redirects,
     "map_redirects": q_map_redirects,
