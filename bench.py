@@ -49,7 +49,15 @@ def main() -> None:
         "q5_local_supplier",
         "q4_order_priority",
         "q7_volume_shipping",
+        "q9_product_profit",
         "q10_returned_items",
+        "q13_custdist",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q17_small_qty",
+        "q18_large_orders",
+        "q19_disjunctive",
+        "q22_idle_customers",
         "orders_cube",
         "q6_forecast_revenue",
         "parts_above_brand_avg",

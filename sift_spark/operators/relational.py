@@ -469,6 +469,162 @@ def churned_customers(orders: DataFrame, year_a: int = 1996, year_b: int = 1997)
     return a.exceptAll(b).select(F.col("o_custkey").alias("c_custkey"))
 
 
+def q9_product_type_profit(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                           lineitem: DataFrame, name_like: str = "%widget%") -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × ship year for parts
+    matching a name pattern (no partsupp table in this schema, so
+    profit is discounted revenue). The part filter cuts the fact
+    before any join; nation broadcasts; the fact shuffles once per
+    join key."""
+    p = part.where(F.col("p_name").like(name_like)).select("p_partkey")
+    return (
+        lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("profit"))
+    )
+
+
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    zero-order customers included (left outer join, count of the
+    right-side key). Two aggregations, each on its natural key; the
+    second input is one row per customer."""
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame,
+                      date_from: str = "1996-01-01", date_to: str = "1996-02-01") -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from PROMO-type parts in one
+    month — conditional aggregate over a keyed join; the date filter
+    pushes to the lineitem scan. Single-row output."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.where((F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to))
+        .join(part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev), 6,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame,
+                     date_from: str = "1996-01-01", date_to: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum revenue in a quarter.
+    The max is a 1-row aggregate of the per-supplier revenues,
+    broadcast back onto them (no single-partition global window, no
+    second scan of the fact); ties all returned as the spec
+    requires."""
+    rev = (
+        lineitem.where((F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = rev.crossJoin(F.broadcast(max_rev)).where(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    return top.join(supplier, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
+    )
+
+
+def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
+                               brand: str = "Brand#13", frac: float = 0.2) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below ``frac`` of the part's average quantity) were not
+    filled, for one brand. The correlated avg-per-part subquery is
+    decorrelated as a window over l_partkey AFTER the brand filter
+    shrinks the fact — one keyed shuffle, no self-join."""
+    p = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < frac * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q18_large_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                     min_qty: int = 150, k: int = 100) -> DataFrame:
+    """TPC-H Q18 shape: top-k largest orders by total quantity. The
+    HAVING subquery is a pre-aggregation of lineitem on its natural
+    key; orders then joins the (much smaller) qualifying set, so the
+    big fact shuffles once."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)
+    )
+    w = Window.orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three OR'd brand/size/quantity
+    predicate bundles. The disjunction is join-key-independent, so it
+    evaluates as a post-join filter on the keyed part join; the
+    partkey equi-join still carries the plan (no cross product)."""
+    j = lineitem.join(
+        part.select("p_partkey", "p_brand", "p_size"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 20))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 30))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q22_idle_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape: wealthy customers with no orders, grouped by
+    nation. The global average balance is a 1-row aggregate crossed
+    onto the scan (broadcast, no action); NOT EXISTS is a left-anti
+    join on pre-projected keys."""
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def repeat_customers(orders: DataFrame, year_a: int = 1996, year_b: int = 1997) -> DataFrame:
     """INTERSECT shape: customers active in both years (left-semi
     over distinct keys)."""

@@ -257,6 +257,88 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_chunks(docs: DataFrame, window: int = 50, stride: int = 40) -> DataFrame:
+    """Fixed-token-window chunking with overlap — the standard
+    pre-training export step (context windows from long documents):
+    (doc_id, chunk_id, chunk_text, n_chunk_tokens).
+
+    Chunk i covers tokens [i·stride, i·stride+window); the last chunk
+    may be short. Entirely map-side (tokenize → per-doc sequence
+    explode → slice); no shuffle, so it scales with the scan. The
+    token array is materialized into a column first (HOF-lambda rule,
+    see SURVEY §6)."""
+    from sift_spark.models.text import with_tokens
+
+    t = with_tokens(docs).withColumn("n", F.size("toks"))
+    n_chunks = F.when(F.col("n") <= window, F.lit(1)).otherwise(
+        F.ceil((F.col("n") - window) / F.lit(float(stride))) + 1
+    )
+    c = t.select(
+        "doc_id", "toks", "n",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(F.slice("toks", start + 1, F.lit(window)), " ").alias("chunk_text"),
+        F.least(F.lit(window), F.col("n") - start).cast("int").alias("n_chunk_tokens"),
+    )
+
+
+def term_collocations(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """Adjacent-bigram collocations ranked by pointwise mutual
+    information: (w1, w2, n_pair, pmi) for pairs seen ≥ ``min_count``
+    times. pmi = ln((c_xy/B) / ((c_x/T)·(c_y/T))) with T total tokens,
+    B total bigrams.
+
+    Shape: two shuffles on natural keys (unigram counts, bigram
+    counts); the scalar totals ride a 1-row broadcast crossJoin (no
+    action); the two unigram-count joins shuffle on the word — at
+    corpus scale the unigram table is Zipf-skewed, which AQE skew
+    handling splits."""
+    from sift_spark.models.text import with_tokens
+
+    t = with_tokens(docs)
+    tok = t.select(F.explode("toks").alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # bigram pairs: per-gram element_at lookups (no array copy per gram)
+    pairs = t.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair")).where(
+        F.col("n_pair") >= min_count
+    )
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("t_tokens"),
+    ).crossJoin(pairs.agg(F.count(F.lit(1)).alias("t_bigrams")))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("t_bigrams"))
+                    / ((F.col("c1") / F.col("t_tokens")) * (F.col("c2") / F.col("t_tokens")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
 def doc_top_terms(docs: DataFrame, k: int = 3, min_df: int = 2) -> DataFrame:
     """Per-document top-k tf-idf terms as a sorted CSV column
     (doc_id, top_terms): terms ranked by weight desc then term asc —

@@ -380,6 +380,90 @@ SELECT c_custkey, c_name, n_name, revenue, rank FROM (
 WHERE rank <= 20
 """
 
+ORACLE["q9_product_profit"] = """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+ORACLE["q13_custdist"] = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+ORACLE["q14_promo_revenue"] = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-02-01'
+"""
+
+ORACLE["q15_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+ORACLE["q17_small_qty"] = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice,
+         avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_lines
+FROM li WHERE l_quantity < 0.2 * avg_qty
+"""
+
+ORACLE["q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty, rank FROM (
+  SELECT c_custkey, c_name, o_orderkey,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+         round(o_totalprice, 2) AS o_totalprice, total_qty,
+         CAST(row_number() OVER (ORDER BY total_qty DESC, o_orderkey ASC) AS INT) AS rank
+  FROM orders JOIN big ON o_orderkey = l_orderkey
+  JOIN customer ON o_custkey = c_custkey)
+WHERE rank <= 100
+"""
+
+ORACLE["q19_disjunctive"] = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLE["q22_idle_customers"] = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
 ORACLE["orders_cube"] = """
 SELECT CAST(coalesce(o_year, -1) AS INT) AS o_year,
        coalesce(prio, 'ALL') AS prio,

@@ -222,6 +222,48 @@ def q_fuzzy_name_pairs(spark, sf_dir):
     return R.fuzzy_name_pairs(table(spark, sf_dir, "customer"))
 
 
+def q_q9_product_profit(spark, sf_dir):
+    return R.q9_product_type_profit(
+        table(spark, sf_dir, "part"), table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"), table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_q13_custdist(spark, sf_dir):
+    return R.q13_customer_distribution(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+
+
+def q_q14_promo_revenue(spark, sf_dir):
+    return R.q14_promo_revenue(table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part"))
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    return R.q15_top_supplier(table(spark, sf_dir, "supplier"), table(spark, sf_dir, "lineitem"))
+
+
+def q_q17_small_qty(spark, sf_dir):
+    return R.q17_small_quantity_revenue(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    )
+
+
+def q_q18_large_orders(spark, sf_dir):
+    return R.q18_large_orders(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_q19_disjunctive(spark, sf_dir):
+    return R.q19_disjunctive_revenue(table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part"))
+
+
+def q_q22_idle_customers(spark, sf_dir):
+    return R.q22_idle_customers(table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders"))
+
+
 def q_order_priority_unpivot(spark, sf_dir):
     return R.order_priority_unpivot(table(spark, sf_dir, "orders"))
 
@@ -510,6 +552,14 @@ QUERIES: dict[str, QueryFn] = {
     "q7_volume_shipping": q_q7_volume_shipping,
     "q10_returned_items": q_q10_returned_items,
     "orders_cube": q_orders_cube,
+    "q9_product_profit": q_q9_product_profit,
+    "q13_custdist": q_q13_custdist,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q17_small_qty": q_q17_small_qty,
+    "q18_large_orders": q_q18_large_orders,
+    "q19_disjunctive": q_q19_disjunctive,
+    "q22_idle_customers": q_q22_idle_customers,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "events_sliding": q_events_sliding,
     "events_histogram": q_events_histogram,
