@@ -84,6 +84,9 @@ def main() -> None:
         "pack_sequences",
         "events_sessionize",
         "dedup_exact",
+        "block_dedup",
+        "doc_chunks",
+        "term_collocations",
         "dedup_minhash_lsh",
         "dedup_clusters",
         "dedup_apply",

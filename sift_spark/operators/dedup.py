@@ -64,6 +64,62 @@ def dedup_exact(docs: DataFrame, cols: tuple[str, ...] = ("text",)) -> DataFrame
     )
 
 
+def block_dedup(docs: DataFrame, block: int = 20) -> DataFrame:
+    """C4-style duplicate-span removal at fixed token-block
+    granularity (the corpus has no newlines, so the "line" unit is a
+    consecutive ``block``-token span): every block that occurs more
+    than once corpus-wide is kept only at its first occurrence
+    (lowest doc_id, then block_id); documents are re-assembled from
+    their surviving blocks. Output (doc_id, n_blocks, n_kept,
+    clean_text).
+
+    Shape: map-side chunking, then ONE shuffle keyed on the block
+    text (the window partition). Ubiquitous boilerplate blocks skew
+    that key at corpus scale — AQE skew-join/partition splitting
+    handles the read side, and the per-key work is a row_number, not
+    a join, so a hot key costs one sort of its occurrences."""
+    from pyspark.sql import Window
+
+    from sift_spark.models.text import with_tokens
+
+    t = with_tokens(docs).withColumn("n", F.size("toks"))
+    b = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.col("n") / F.lit(float(block))).cast("int") - 1)
+        ).alias("block_id"),
+        "toks",
+    ).select(
+        "doc_id",
+        "block_id",
+        F.array_join(
+            F.slice("toks", F.col("block_id") * block + 1, F.lit(block)), " "
+        ).alias("block_text"),
+    )
+    w = Window.partitionBy("block_text").orderBy("doc_id", "block_id")
+    k = b.withColumn("kept", F.row_number().over(w) == 1)
+    return (
+        k.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            # collect_list drops the nulls (non-kept blocks); struct
+            # sort order is (block_id, …) so document order survives
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("block_id", "block_text"))
+                        )
+                    ),
+                    lambda s: s["block_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct token n-gram shingles with 31-bit hashes:
     (doc_id, shingle, h). Per-doc dedup is map-side (array_distinct

@@ -138,6 +138,64 @@ SELECT doc_id, lang, source, n_chars FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != rep_id)
 """
 
+ORACLE_OPS["doc_chunks"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= 50 THEN 1
+              ELSE CAST(ceil((n - 50) / 40.0) AS INT) + 1 END AS n_chunks
+  FROM d
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       array_to_string(list_slice(toks, i * 40 + 1, i * 40 + 50), ' ') AS chunk_text,
+       CAST(least(50, n - i * 40) AS INT) AS n_chunk_tokens
+FROM c, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+"""
+
+ORACLE_OPS["term_collocations"] = f"""
+WITH {TOKCTE},
+uni AS (SELECT anchor AS w, count(*) AS c FROM tok GROUP BY anchor),
+pr AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+),
+big AS (SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY w1, w2 HAVING count(*) >= 5),
+tt AS (SELECT (SELECT count(*) FROM tok) AS t_tokens, (SELECT count(*) FROM pr) AS t_bigrams)
+SELECT w1, w2, n_pair,
+       round(ln((n_pair * 1.0 / t_bigrams)
+                / ((u1.c * 1.0 / t_tokens) * (u2.c * 1.0 / t_tokens))), 6) AS pmi
+FROM big JOIN uni u1 ON big.w1 = u1.w
+JOIN uni u2 ON big.w2 = u2.w
+CROSS JOIN tt
+"""
+
+ORACLE_OPS["block_dedup"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(ceil(len(string_split(text, ' ')) / 20.0) AS INT) AS nb
+  FROM documents
+),
+b AS (
+  SELECT doc_id, CAST(i AS INT) AS block_id,
+         array_to_string(list_slice(toks, i * 20 + 1, i * 20 + 20), ' ') AS block_text
+  FROM d, unnest(generate_series(0, nb - 1)) AS u(i)
+),
+k AS (
+  SELECT doc_id, block_id, block_text,
+         row_number() OVER (PARTITION BY block_text ORDER BY doc_id, block_id) = 1 AS kept
+  FROM b
+)
+SELECT doc_id, count(*) AS n_blocks,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN kept THEN block_text END, ' ' ORDER BY block_id), '')
+         AS clean_text
+FROM k GROUP BY doc_id
+"""
+
 ORACLE_OPS["repetition_stats"] = f"""
 WITH {TOKCTE},
 tf AS (SELECT doc_id, anchor, count(*) AS tf FROM tok GROUP BY doc_id, anchor),

@@ -384,6 +384,24 @@ def q_dedup_apply(spark, sf_dir):
     return dedup_apply(_docs(spark, sf_dir))
 
 
+def q_doc_chunks(spark, sf_dir):
+    from sift_spark.operators.text_analysis import doc_chunks
+
+    return doc_chunks(_docs(spark, sf_dir))
+
+
+def q_term_collocations(spark, sf_dir):
+    from sift_spark.operators.text_analysis import term_collocations
+
+    return term_collocations(_docs(spark, sf_dir))
+
+
+def q_block_dedup(spark, sf_dir):
+    from sift_spark.operators.dedup import block_dedup
+
+    return block_dedup(_docs(spark, sf_dir))
+
+
 def q_repetition_stats(spark, sf_dir):
     from sift_spark.operators.text_analysis import repetition_stats
 
@@ -583,6 +601,9 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_apply": q_dedup_apply,
+    "doc_chunks": q_doc_chunks,
+    "term_collocations": q_term_collocations,
+    "block_dedup": q_block_dedup,
     "repetition_stats": q_repetition_stats,
     "source_quota_sample": q_source_quota_sample,
     "unigram_logprob": q_unigram_logprob,

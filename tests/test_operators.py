@@ -145,3 +145,55 @@ def test_duplicate_clusters_property_union_find(spark):
         assert got == uf_clusters(pairs)
 
     check()
+
+
+def test_doc_chunks_overlap_semantics(spark):
+    """Chunks stride by 40 with window 50: a 90-token doc yields two
+    full chunks; token 45 appears in both (overlap region)."""
+    from pyspark.sql import Row
+
+    from sift_spark.operators.text_analysis import doc_chunks
+
+    toks = [f"t{i}" for i in range(90)]
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(toks))])
+    out = {r.chunk_id: r for r in doc_chunks(df).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].chunk_text.split(" ") == toks[0:50]
+    assert out[1].chunk_text.split(" ") == toks[40:90]
+    assert out[1].n_chunk_tokens == 50
+    # short doc: exactly one chunk, unpadded
+    short = spark.createDataFrame([Row(doc_id=2, text="a b c")])
+    rows = doc_chunks(short).collect()
+    assert len(rows) == 1 and rows[0].chunk_text == "a b c" and rows[0].n_chunk_tokens == 3
+
+
+def test_block_dedup_removes_repeated_blocks(spark):
+    """A doc that exactly repeats another doc's 20-token block keeps
+    everything but that block; the first occurrence survives."""
+    from pyspark.sql import Row
+
+    from sift_spark.operators.dedup import block_dedup
+
+    blk = " ".join(f"b{i}" for i in range(20))
+    uniq = " ".join(f"u{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=blk), Row(doc_id=2, text=blk + " " + uniq)]
+    )
+    out = {r.doc_id: r for r in block_dedup(df).collect()}
+    assert out[1].n_kept == 1 and out[1].clean_text == blk
+    assert out[2].n_blocks == 2 and out[2].n_kept == 1 and out[2].clean_text == uniq
+
+
+def test_term_collocations_pmi_sign(spark):
+    """A bigram that always co-occurs has positive PMI; min_count
+    filters singletons."""
+    from pyspark.sql import Row
+
+    from sift_spark.operators.text_analysis import term_collocations
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="new york " + f"w{i} " * 3) for i in range(6)]
+    )
+    rows = {(r.w1, r.w2): r for r in term_collocations(df, min_count=5).collect()}
+    assert ("new", "york") in rows
+    assert rows[("new", "york")].pmi > 0
