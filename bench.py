@@ -94,6 +94,7 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "dedup_embedding",
         "ann_topk_bruteforce",
+        "knn_label_propagation",
         "ann_lsh_bucketed",
         "ann_ivf_bucketed",
         "lang_id",

@@ -186,6 +186,33 @@ def ann_topk_bruteforce(emb: DataFrame, k: int = 5, n_blocks: int = 8) -> DataFr
     return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def knn_label_propagation(emb: DataFrame, k: int = 5, n_blocks: int = 8) -> DataFrame:
+    """Semi-supervised label assignment: each vector takes the
+    majority label of its ``k`` exact-cosine nearest neighbors
+    (vec_id, pred_label, votes). The weak-labeling step of a
+    training-data pipeline (label expansion from a seed set).
+
+    Vote ties break toward the smaller label, neighbor ties toward
+    the smaller neighbor_id — total orderings, so the result is
+    engine-exact. Cost is the brute-force top-k (block-tiled GEMM)
+    plus one keyed join against the (vec_id, label) side — at scale
+    swap in ``ann_lsh_topk``/``ann_ivf_topk`` for the neighbor stage;
+    the vote is unchanged."""
+    nn = ann_topk_bruteforce(emb.select("vec_id", "embedding"), k=k, n_blocks=n_blocks)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    votes = (
+        nn.join(lab, "neighbor_id")
+        .groupBy("vec_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("votes").desc(), F.col("n_label").asc())
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("n_label").alias("pred_label"), "votes")
+    )
+
+
 def ann_ivf_topk(emb: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
     """IVF-style ANN: vectors are assigned to their nearest coarse-
     quantizer cell; each query probes its ``nprobe`` nearest cells

@@ -297,6 +297,31 @@ SELECT vec_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
 """
 
 
+ORACLE_OPS["knn_label_propagation"] = f"""
+WITH {EMB},
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, round({_COS}, 6) AS sim
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+r AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM p
+),
+v AS (
+  SELECT r.vec_id, emb.label AS n_label, count(*) AS votes
+  FROM r JOIN embeddings emb ON r.neighbor_id = emb.vec_id
+  WHERE r.rank <= 5
+  GROUP BY r.vec_id, emb.label
+)
+SELECT vec_id, CAST(n_label AS INT) AS pred_label, votes FROM (
+  SELECT vec_id, n_label, votes,
+         row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, n_label ASC) AS rn
+  FROM v)
+WHERE rn = 1
+"""
+
+
 def _plane_sql(vec: tuple[float, ...]) -> str:
     return "[" + ", ".join(repr(v) for v in vec) + "]"
 

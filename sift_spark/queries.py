@@ -444,6 +444,12 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
+def q_knn_label_propagation(spark, sf_dir):
+    from sift_spark.operators.similarity import knn_label_propagation
+
+    return knn_label_propagation(table(spark, sf_dir, "embeddings"))
+
+
 def q_ann_topk_bruteforce(spark, sf_dir):
     from sift_spark.operators.similarity import ann_topk_bruteforce
 
@@ -612,6 +618,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "knn_label_propagation": q_knn_label_propagation,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf_bucketed": q_ann_ivf_bucketed,
     "lang_id": q_lang_id,
