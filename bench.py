@@ -108,6 +108,10 @@ def main() -> None:
         "doc_top_terms",
         "events_funnel",
         "tfidf_search",
+        "bm25_search",
+        "retention_cohorts",
+        "rfm_segments",
+        "comention_triangles",
         "stratified_sample",
         "train_test_split",
         "repetition_stats",

@@ -277,3 +277,37 @@ def entity_pmi(links: DataFrame, min_pair_count: int = 1) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+def comention_triangles(links: DataFrame) -> DataFrame:
+    """Per-entity triangle counts over the comention graph —
+    (target, n_triangles) for entities in at least one triangle. The
+    clustering-coefficient numerator: how interconnected an entity's
+    comention neighborhood is (extends the reference's pairwise
+    relatedness, links.py:136, to a 3-clique statistic).
+
+    Standard distributed triangle enumeration: canonical edges
+    (a < b) so each triangle is generated exactly once as
+    a < b < c; two keyed self-joins (on b, then (a,c)) — shuffle
+    carries the edge list, never node neighborhoods, so skew is
+    bounded by the edge count of the hottest vertex pair, and the
+    degree-ordered orientation (a < b) keeps the join fan-out to
+    wedge counts."""
+    il = links.select("doc_id", "target").distinct()
+    edges = (
+        il.alias("l")
+        .join(il.alias("r"), "doc_id")
+        .where(F.col("l.target") < F.col("r.target"))
+        .select(F.col("l.target").alias("a"), F.col("r.target").alias("b"))
+        .distinct()
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("target"))
+        .groupBy("target")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node

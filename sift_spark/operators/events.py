@@ -160,3 +160,22 @@ def funnel_counts(events: DataFrame, steps: tuple[str, ...] = ("view", "click", 
     return wide.selectExpr(
         f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_users)"
     )
+
+
+def retention_cohorts(events: DataFrame, week_s: int = 604800) -> DataFrame:
+    """Weekly cohort retention: (cohort_week, week_n, n_users) —
+    users grouped by first-activity week, counted distinct in each
+    subsequent week of activity. The product-analytics staple.
+
+    Shape: per-user first week (one keyed agg), map-side distinct
+    (user, week) pairs, join back on user_id (the natural key), then
+    the count-distinct agg on (cohort, offset). Weeks are epoch-week
+    integers (no timezone dependence, identical across engines)."""
+    es = epoch_seconds(events)
+    weeks = events.select("user_id", (es.cast("bigint") / week_s).cast("bigint").alias("week")).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_n"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

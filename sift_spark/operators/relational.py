@@ -631,3 +631,40 @@ def repeat_customers(orders: DataFrame, year_a: int = 1996, year_b: int = 1997) 
     a = orders.where(F.year("o_orderdate") == year_a).select("o_custkey").distinct()
     b = orders.where(F.year("o_orderdate") == year_b).select("o_custkey").distinct()
     return a.intersect(b).select(F.col("o_custkey").alias("c_custkey"))
+
+
+def rfm_segments(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    against the corpus max date), frequency (order count), monetary
+    (total spend), each quartiled, plus the composite segment code
+    r·100 + f·10 + m: (c_custkey, recency_days, frequency, monetary,
+    r, f, m, segment).
+
+    The ntile windows are global but run on post-aggregation rows
+    (one per customer) with total orderings (metric, then custkey) so
+    ties split identically on any engine. At 100 TB replace the exact
+    ntiles with approx-percentile cutoffs broadcast from a 1-row agg
+    (the segment semantics tolerate boundary epsilon); the per-customer
+    aggregate — the expensive part — is unchanged."""
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    maxd = orders.agg(F.max(F.to_date("o_orderdate")).alias("max_date"))
+    base = per_cust.crossJoin(F.broadcast(maxd)).select(
+        "c_custkey",
+        F.datediff("max_date", "last_order").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    # r: recent=high tile; f/m: big=high tile
+    wr = Window.orderBy(F.col("recency_days").desc(), F.col("c_custkey").asc())
+    wf = Window.orderBy(F.col("frequency").asc(), F.col("c_custkey").asc())
+    wm = Window.orderBy(F.col("monetary").asc(), F.col("c_custkey").asc())
+    return base.select(
+        "c_custkey", "recency_days", "frequency", "monetary",
+        F.ntile(n_tiles).over(wr).alias("r"),
+        F.ntile(n_tiles).over(wf).alias("f"),
+        F.ntile(n_tiles).over(wm).alias("m"),
+    ).withColumn("segment", F.col("r") * 100 + F.col("f") * 10 + F.col("m"))

@@ -124,6 +124,53 @@ def tfidf_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
     return ranked
 
 
+def bm25_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25-ranked document search: (doc_id, score, rank) top-k.
+
+    score = Σ_q idf_q · tf/(tf + k1·(1 − b + b·len/avglen)) with the
+    Robertson idf ln((N−df+0.5)/(df+0.5) + 1).
+
+    Unlike tf-idf search (which needs the full-vector norm), BM25
+    needs only the document LENGTH besides the query terms — so the
+    term filter pushes all the way to the token explode and the big
+    tf aggregation runs on query-term rows only. Doc lengths are a
+    map-side size(); N and avglen ride a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    from sift_spark.models.text import with_tokens
+
+    t = with_tokens(docs)
+    lens = t.select("doc_id", F.size("toks").alias("dl"))
+    qtf = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avg_dl")
+    )
+    scored = (
+        qtf.join(F.broadcast(df), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * F.col("tf")
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avg_dl")))
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 3) -> DataFrame:
     """Benchmark-contamination screen for training corpora: per doc,
     the fraction of its distinct token n-gram shingles that appear

@@ -693,3 +693,61 @@ SELECT user_id, session_id,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM s GROUP BY user_id, session_id
 """
+
+ORACLE["retention_cohorts"] = """
+WITH wk AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week
+  FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id)
+SELECT cohort_week, week - cohort_week AS week_n,
+       count(DISTINCT user_id) AS n_users
+FROM wk JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+ORACLE["rfm_segments"] = """
+WITH per AS (
+  SELECT o_custkey AS c_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+         count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY 1
+),
+mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_date FROM orders),
+base AS (
+  SELECT c_custkey, CAST(date_diff('day', last_order, max_date) AS INT) AS recency_days,
+         frequency, monetary
+  FROM per CROSS JOIN mx
+),
+tiled AS (
+  SELECT c_custkey, recency_days, frequency, monetary,
+    CAST(ntile(4) OVER (ORDER BY recency_days DESC, c_custkey ASC) AS INT) AS r,
+    CAST(ntile(4) OVER (ORDER BY frequency ASC, c_custkey ASC) AS INT) AS f,
+    CAST(ntile(4) OVER (ORDER BY monetary ASC, c_custkey ASC) AS INT) AS m
+  FROM base
+)
+SELECT c_custkey, recency_days, frequency, monetary, r, f, m,
+       r * 100 + f * 10 + m AS segment
+FROM tiled
+"""
+
+ORACLE["comention_triangles"] = """
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS anchor
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), links AS (
+  SELECT doc_id, pos, anchor, 'wiki/' || anchor AS target
+  FROM tok WHERE anchor IN ('column', 'customer', 'data', 'query', 'row', 'spark', 'stream', 'table', 'vector', 'window')
+),
+il AS (SELECT DISTINCT doc_id, target FROM links),
+e AS (SELECT DISTINCT l.target AS a, r.target AS b
+      FROM il l JOIN il r ON l.doc_id = r.doc_id AND l.target < r.target),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT target, count(*) AS n_triangles FROM (
+  SELECT unnest([x, y, z]) AS target FROM tri) GROUP BY target
+"""
+

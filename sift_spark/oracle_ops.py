@@ -629,3 +629,24 @@ SELECT doc_id, n_tokens,
        CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
 FROM c
 """
+
+ORACLE_OPS["bm25_search"] = f"""
+WITH {TOKCTE},
+lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+qtf AS (SELECT doc_id, anchor AS term, count(*) AS tf FROM tok
+        WHERE anchor IN ({_search_terms_sql}) GROUP BY doc_id, anchor),
+df AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+tt AS (SELECT (SELECT count(*) FROM lens) AS n_docs,
+              (SELECT avg(dl) FROM lens) AS avg_dl),
+scored AS (
+  SELECT q.doc_id, round(sum(
+    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf
+    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avg_dl))), 6) AS score
+  FROM qtf q JOIN df USING (term) JOIN lens l ON l.doc_id = q.doc_id CROSS JOIN tt
+  GROUP BY q.doc_id)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""

@@ -506,6 +506,26 @@ def q_contamination_check(spark, sf_dir):
 SEARCH_TERMS = ("spark", "window", "merge")
 
 
+def q_bm25_search(spark, sf_dir):
+    from sift_spark.operators.text_analysis import bm25_search
+
+    return bm25_search(_docs(spark, sf_dir), SEARCH_TERMS, k=10)
+
+
+def q_retention_cohorts(spark, sf_dir):
+    from sift_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(table(spark, sf_dir, "events"))
+
+
+def q_rfm_segments(spark, sf_dir):
+    return R.rfm_segments(table(spark, sf_dir, "orders"))
+
+
+def q_comention_triangles(spark, sf_dir):
+    return L.comention_triangles(wikify_links(_docs(spark, sf_dir)))
+
+
 def q_tfidf_search(spark, sf_dir):
     from sift_spark.operators.text_analysis import tfidf_search
 
@@ -627,6 +647,10 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": q_doc_fingerprint,
     "contamination_check": q_contamination_check,
     "tfidf_search": q_tfidf_search,
+    "bm25_search": q_bm25_search,
+    "retention_cohorts": q_retention_cohorts,
+    "rfm_segments": q_rfm_segments,
+    "comention_triangles": q_comention_triangles,
     "stratified_sample": q_stratified_sample,
     "train_test_split": q_train_test_split,
     "skipgram_embeddings": q_skipgram_embeddings,
