@@ -109,6 +109,11 @@ def main() -> None:
         "events_funnel",
         "tfidf_search",
         "bm25_search",
+        "text_normalize",
+        "events_anomaly",
+        "events_seasonality",
+        "comention_degrees",
+        "weighted_sample",
         "retention_cohorts",
         "rfm_segments",
         "comention_triangles",

@@ -311,3 +311,23 @@ def comention_triangles(links: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node
+
+
+def comention_degrees(links: DataFrame) -> DataFrame:
+    """Degree statistics of the comention graph: (target, degree,
+    n_docs) — distinct comention partners and inlinking documents per
+    entity. Two keyed aggregations off the same doc-distinct link
+    table (the self-join emits each undirected edge once; degree
+    counts both orientations via the symmetric union)."""
+    il = links.select("doc_id", "target").distinct()
+    e = (
+        il.alias("l")
+        .join(il.alias("r"), "doc_id")
+        .where(F.col("l.target") < F.col("r.target"))
+        .select(F.col("l.target").alias("a"), F.col("r.target").alias("b"))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("target")).agg(F.count(F.lit(1)).alias("degree"))
+    nd = il.groupBy("target").agg(F.count(F.lit(1)).alias("n_docs"))
+    return deg.join(nd, "target").select("target", "degree", "n_docs")

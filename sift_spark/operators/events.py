@@ -179,3 +179,34 @@ def retention_cohorts(events: DataFrame, week_s: int = 604800) -> DataFrame:
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_n"))
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+def anomaly_zscore(events: DataFrame, threshold: float = 3.0) -> DataFrame:
+    """Value-anomaly screen: events whose value is more than
+    ``threshold`` sample-stddevs from their event_type mean —
+    (event_id, event_type, value, z). The per-type moments are a
+    small aggregate broadcast back onto the stream (two scans but no
+    wide shuffle of the facts; at scale the moments side is k rows)."""
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6))
+        .where(F.abs(F.col("z")) > threshold)
+        .select("event_id", "event_type", F.round("value", 2).alias("value"), "z")
+    )
+
+
+def seasonality_profile(events: DataFrame) -> DataFrame:
+    """Day-of-week × event_type activity profile: (dow, event_type,
+    n_events, avg_value). Epoch-day arithmetic (day 0 = Thursday, so
+    dow = (epoch_day + 4) % 7 with 0 = Sunday) keeps the key integer
+    and timezone-free across engines."""
+    es = epoch_seconds(events)
+    dow = ((es.cast("bigint") / 86400).cast("bigint") + 4) % 7
+    return (
+        events.select(dow.alias("dow"), "event_type", "value")
+        .groupBy("dow", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )

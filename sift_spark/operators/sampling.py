@@ -99,3 +99,27 @@ def pack_sequences(docs_with_tokens: DataFrame, max_tokens: int = 2048,
         .withColumn("bin_offset", ((cum - F.col(n_col)) % max_tokens).cast("bigint"))
         .select(key_col, n_col, "bin_id", "bin_offset")
     )
+
+
+def weighted_sample(df: DataFrame, k: int = 100, key_col: str = "doc_id",
+                    weight_col: str = "n_chars", salt: str = "wsample") -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res): each row draws u from its key's hash
+    and gets priority −ln(u)/w; the k smallest priorities win, so
+    P(selected) ∝ weight, the draw is reproducible on any cluster
+    layout, and one distributed top-k (no global sort of the corpus —
+    per-partition top-k feeds the final window) materializes the
+    sample. Rank runs on the 6dp-ROUNDED priority with a key
+    tie-break so the selection is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    u = (hash64(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))) % 1000000 + 0.5) / 1000000.0
+    pr = F.round(-F.log(u) / F.col(weight_col), 6)
+    w = Window.orderBy(F.col("priority").asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("priority", pr)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(key_col, weight_col, "priority", "rank")
+    )

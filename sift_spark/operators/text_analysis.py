@@ -409,3 +409,22 @@ def doc_top_terms(docs: DataFrame, k: int = 3, min_df: int = 2) -> DataFrame:
     return top.groupBy("doc_id").agg(
         F.array_join(F.sort_array(F.collect_list("term")), ",").alias("top_terms")
     )
+
+
+def text_normalize(docs: DataFrame) -> DataFrame:
+    """Canonical text normalization for dedup/training exports:
+    lowercase, strip non-alphanumeric to spaces, collapse whitespace,
+    trim — (doc_id, norm_text, n_norm_tokens). Pure map-side regexp
+    expressions (whole-stage codegen; zero shuffles — this runs at
+    scan throughput on any corpus size)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", " "),
+            r" +", " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.when(norm == "", 0).otherwise(F.size(F.split(norm, " "))).cast("int").alias("n_norm_tokens"),
+    )

@@ -751,3 +751,64 @@ SELECT target, count(*) AS n_triangles FROM (
   SELECT unnest([x, y, z]) AS target FROM tri) GROUP BY target
 """
 
+
+ORACLE["events_anomaly"] = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, round(value, 2) AS value,
+       round((value - mu) / sd, 6) AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs((value - mu) / sd) > 3.0
+"""
+
+ORACLE["events_seasonality"] = """
+SELECT (CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) + 4) % 7 AS dow,
+       event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLE["text_normalize"] = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       CAST(CASE WHEN norm_text = '' THEN 0
+                 ELSE len(string_split(norm_text, ' ')) END AS INT) AS n_norm_tokens
+FROM n
+"""
+
+ORACLE["comention_degrees"] = """
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS anchor
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), links AS (
+  SELECT doc_id, pos, anchor, 'wiki/' || anchor AS target
+  FROM tok WHERE anchor IN ('column', 'customer', 'data', 'query', 'row', 'spark', 'stream', 'table', 'vector', 'window')
+),
+il AS (SELECT DISTINCT doc_id, target FROM links),
+e AS (SELECT DISTINCT l.target AS a, r.target AS b
+      FROM il l JOIN il r ON l.doc_id = r.doc_id AND l.target < r.target),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a AS target, count(*) AS degree FROM sym GROUP BY a),
+nd AS (SELECT target, count(*) AS n_docs FROM il GROUP BY target)
+SELECT target, degree, n_docs FROM deg JOIN nd USING (target)
+"""
+
+ORACLE["weighted_sample"] = """
+WITH pr AS (
+  SELECT doc_id, n_chars,
+         round(-ln((cast(concat('0x', substr(md5(concat('wsample:', cast(doc_id as varchar))), 1, 15)) as bigint) % 1000000 + 0.5) / 1000000.0) / n_chars, 6) AS priority
+  FROM documents
+)
+SELECT doc_id, n_chars, priority, rank FROM (
+  SELECT doc_id, n_chars, priority,
+         CAST(row_number() OVER (ORDER BY priority ASC, doc_id ASC) AS INT) AS rank
+  FROM pr)
+WHERE rank <= 100
+"""
+

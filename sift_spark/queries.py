@@ -506,6 +506,34 @@ def q_contamination_check(spark, sf_dir):
 SEARCH_TERMS = ("spark", "window", "merge")
 
 
+def q_text_normalize(spark, sf_dir):
+    from sift_spark.operators.text_analysis import text_normalize
+
+    return text_normalize(_docs(spark, sf_dir))
+
+
+def q_events_anomaly(spark, sf_dir):
+    from sift_spark.operators.events import anomaly_zscore
+
+    return anomaly_zscore(table(spark, sf_dir, "events"))
+
+
+def q_events_seasonality(spark, sf_dir):
+    from sift_spark.operators.events import seasonality_profile
+
+    return seasonality_profile(table(spark, sf_dir, "events"))
+
+
+def q_comention_degrees(spark, sf_dir):
+    return L.comention_degrees(wikify_links(_docs(spark, sf_dir)))
+
+
+def q_weighted_sample(spark, sf_dir):
+    from sift_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), k=100)
+
+
 def q_bm25_search(spark, sf_dir):
     from sift_spark.operators.text_analysis import bm25_search
 
@@ -648,6 +676,11 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_check": q_contamination_check,
     "tfidf_search": q_tfidf_search,
     "bm25_search": q_bm25_search,
+    "text_normalize": q_text_normalize,
+    "events_anomaly": q_events_anomaly,
+    "events_seasonality": q_events_seasonality,
+    "comention_degrees": q_comention_degrees,
+    "weighted_sample": q_weighted_sample,
     "retention_cohorts": q_retention_cohorts,
     "rfm_segments": q_rfm_segments,
     "comention_triangles": q_comention_triangles,

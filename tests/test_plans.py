@@ -107,3 +107,67 @@ def test_pagerank_joins_are_keyed(spark):
     plan = _plan(entity_pagerank(wikify_links(docs)))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    from sift_spark.operators.relational import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet"))
+    plan = _plan(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan, col
+    # one partial + one final agg, no join, single exchange
+    assert plan.count("Exchange") == 1
+
+
+def test_q9_broadcasts_dims_and_prunes_part(spark):
+    """Part filter must reach the part scan as a pushed Like/StartsWith
+    or be applied pre-join; nation must broadcast."""
+    from sift_spark.io import table
+    from sift_spark.operators.relational import q9_product_type_profit
+
+    df = q9_product_type_profit(
+        table(spark, SF_SMOKE, "part"), table(spark, SF_SMOKE, "supplier"),
+        table(spark, SF_SMOKE, "nation"), table(spark, SF_SMOKE, "lineitem"),
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # part scan reads only the key after the name filter (pruning)
+    assert "p_retailprice" not in plan
+
+
+def test_bm25_filters_terms_before_aggregation(spark):
+    """The query-term IN filter must run before the tf aggregation
+    (optimized plan: Filter under the first Aggregate), and no Python
+    eval nodes appear."""
+    from sift_spark.operators.text_analysis import bm25_search
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = bm25_search(docs, ("spark", "window", "merge"))
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re
+
+    opt = _optimized(df)
+    # term filter exists pre-aggregation in the optimized plan
+    assert re.search(r"term#\d+ IN \(spark,window,merge\)", opt), opt
+
+
+def test_block_dedup_single_wide_shuffle(spark):
+    """block_dedup: one shuffle for the block-text window + one for
+    the per-doc reassembly — nothing else."""
+    from sift_spark.operators.dedup import block_dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(block_dedup(docs))
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_doc_chunks_no_shuffle(spark):
+    from sift_spark.operators.text_analysis import doc_chunks
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(doc_chunks(docs))
+    assert "Exchange" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
