@@ -96,6 +96,24 @@ IVF_CENTROIDS = tuple(
     for c in range(IVF_N_CELLS)
 )
 
+# --- Product quantization: per-subspace codebooks -------------------------
+# 64-dim vectors → PQ_M subspaces of PQ_SUB_DIM dims, PQ_K centroids
+# each: a vector compresses to PQ_M 4-bit codes (4 bytes vs 256 —
+# the memory story that lets a 100 TB embedding corpus keep its
+# candidate set in executor RAM for ADC re-ranking). Deterministic
+# pseudo-random codebooks for the cross-engine gate; k-means-trained
+# codebooks drop in by replacing this constant.
+PQ_M = 8
+PQ_K = 16
+PQ_SUB_DIM = EMBED_DIM // PQ_M
+PQ_CODEBOOKS = tuple(
+    tuple(
+        tuple((_py_h64(f"pq_{m}_{k}_{d}") % 2001 - 1000) / 1000.0 for d in range(PQ_SUB_DIM))
+        for k in range(PQ_K)
+    )
+    for m in range(PQ_M)
+)
+
 # --- Language-ID stopword profiles ----------------------------------------
 LANG_PROFILES = (
     ("de", ("der", "die", "das", "und", "ist")),

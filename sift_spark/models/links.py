@@ -331,3 +331,37 @@ def comention_degrees(links: DataFrame) -> DataFrame:
     deg = sym.groupBy(F.col("a").alias("target")).agg(F.count(F.lit(1)).alias("degree"))
     nd = il.groupBy("target").agg(F.count(F.lit(1)).alias("n_docs"))
     return deg.join(nd, "target").select("target", "degree", "n_docs")
+
+
+def name_entity_priors(links: DataFrame) -> DataFrame:
+    """P(entity | anchor text) — the prior-probability model entity
+    linkers build from ``entity_name_counts`` (reference links.py:41;
+    the toolkit's primary downstream artifact for named-entity
+    disambiguation): (anchor, target, count, prior). The per-anchor
+    normalizer is a window sum over the post-aggregation rows (one
+    per (anchor, target)), so no second shuffle of the corpus."""
+    from pyspark.sql import Window
+
+    counts = entity_name_counts(links)
+    w = Window.partitionBy("anchor")
+    return counts.select(
+        "anchor", "target", "count",
+        F.round(F.col("count") / F.sum("count").over(w), 6).alias("prior"),
+    )
+
+
+def name_disambig_baseline(links: DataFrame) -> DataFrame:
+    """Most-likely-entity baseline linker: for every anchor text, the
+    argmax-prior target and its prior (= the accuracy of always
+    predicting it under the corpus distribution):
+    (anchor, predicted_target, prior, n_mentions). Ties break toward
+    the lexicographically first target — a total order, engine-exact."""
+    from pyspark.sql import Window
+
+    pri = name_entity_priors(links)
+    w = Window.partitionBy("anchor").orderBy(F.col("count").desc(), F.col("target").asc())
+    totals = pri.groupBy("anchor").agg(F.sum("count").alias("n_mentions"))
+    top = pri.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return top.join(totals, "anchor").select(
+        "anchor", F.col("target").alias("predicted_target"), "prior", "n_mentions"
+    )

@@ -350,3 +350,133 @@ def kmeans_clusters(emb: DataFrame, n_iter: int = 2) -> DataFrame:
         C = np.array([[by_cid[c][d] for d in range(dim)] for c in cids])
         a = assign(cids, C)
     return a
+
+
+def pq_codes(emb: DataFrame) -> DataFrame:
+    """Product-quantization codes: each vector's PQ_M subvectors are
+    assigned to their nearest per-subspace centroid —
+    (vec_id, codes) with codes a CSV of PQ_M 4-bit ids.
+
+    A 64-dim float vector compresses to PQ_M·log2(PQ_K) = 32 bits, so
+    the code table for a 100 TB embedding corpus fits in cluster RAM
+    and ADC re-ranking never touches the raw vectors. Vectors are
+    unit-normalized before encoding (the corpus metric is cosine;
+    on the unit sphere L2 order ≡ cosine order, so ADC distances
+    rank like similarities). Assignment is map-side: one numpy GEMM
+    per (Arrow batch × subspace) against the constant codebooks in
+    the task closure; distance ties break toward the lower code id
+    (stable argsort ≡ the oracle's ORDER BY d, k)."""
+    import numpy as np
+    import pandas as pd
+
+    from sift_spark.functions.core import PQ_CODEBOOKS, PQ_M, PQ_SUB_DIM
+
+    C = np.array(PQ_CODEBOOKS, dtype="float64")  # (M, K, SD)
+    n2 = (C * C).sum(axis=2)  # (M, K)
+
+    def go(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            E = E / np.linalg.norm(E, axis=1, keepdims=True)
+            codes = np.empty((n, PQ_M), dtype="int32")
+            for m in range(PQ_M):
+                sub = E[:, m * PQ_SUB_DIM:(m + 1) * PQ_SUB_DIM]
+                D = -2.0 * (sub @ C[m].T) + n2[m]
+                codes[:, m] = np.argsort(
+                    round6_half_away(D), axis=1, kind="stable"
+                )[:, 0]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "codes": [",".join(map(str, row)) for row in codes],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(go, "vec_id long, codes string")
+
+
+def ivf_pq_topk(emb: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
+    """IVF-PQ ANN: IVF coarse cells generate candidates; ranking uses
+    the asymmetric PQ distance (query subvector → candidate's centroid)
+    computed from a per-query lookup table instead of the raw
+    candidate vector — (vec_id, neighbor_id, adc_dist, rank).
+
+    This is the memory-bounded scale path: candidates carry only
+    their 32-bit code, the LUT is PQ_M·PQ_K floats per query, and the
+    exact vectors never shuffle. Recall vs the exact top-k is
+    property-tested (ADC is an approximation — quantization error
+    shifts ranks, so this op is [t]-grade, not hash-checked)."""
+    import numpy as np
+    import pandas as pd
+
+    from sift_spark.functions.core import PQ_CODEBOOKS, PQ_M, PQ_SUB_DIM
+
+    from sift_spark.operators.similarity import ann_ivf_topk  # noqa: F401 (doc ref)
+
+    C = np.array(PQ_CODEBOOKS, dtype="float64")
+
+    # reuse the IVF cell assignment/probing from ann_ivf_topk
+    from sift_spark.functions.core import IVF_CENTROIDS
+
+    IC = np.array(IVF_CENTROIDS, dtype="float64")
+    icn2 = (IC * IC).sum(axis=1)
+
+    def rank_cells(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            D = -2.0 * (E @ IC.T) + icn2
+            order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "cid": order.reshape(-1).astype("int32"),
+                    "rn": np.tile(np.arange(1, nprobe + 1, dtype="int32"), n),
+                }
+            )
+
+    ranked = emb.select("vec_id", "embedding").mapInPandas(
+        rank_cells, "vec_id long, cid int, rn int"
+    )
+    codes = pq_codes(emb)
+    assign = ranked.where(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cid"
+    ).join(codes.select(F.col("vec_id").alias("neighbor_id"), "codes"), "neighbor_id")
+    probes = ranked.select("vec_id", "cid").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    cand = probes.join(assign, "cid").where(F.col("vec_id") != F.col("neighbor_id"))
+
+    def adc(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            E = E / np.linalg.norm(E, axis=1, keepdims=True)
+            codes_arr = np.array(
+                [list(map(int, s.split(","))) for s in pdf["codes"]], dtype="int64"
+            )
+            d = np.zeros(n)
+            for m in range(PQ_M):
+                sub = E[:, m * PQ_SUB_DIM:(m + 1) * PQ_SUB_DIM]
+                diff = sub - C[m][codes_arr[:, m]]
+                d += (diff * diff).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "adc_dist": round6_half_away(d),
+                }
+            )
+
+    scored = cand.select("vec_id", "embedding", "neighbor_id", "codes").mapInPandas(
+        adc, "vec_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

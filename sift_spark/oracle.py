@@ -812,3 +812,40 @@ SELECT doc_id, n_chars, priority, rank FROM (
 WHERE rank <= 100
 """
 
+
+ORACLE["name_entity_priors"] = """
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS anchor
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), links AS (
+  SELECT doc_id, pos, anchor, 'wiki/' || anchor AS target
+  FROM tok WHERE anchor IN ('column', 'customer', 'data', 'query', 'row', 'spark', 'stream', 'table', 'vector', 'window')
+),
+c AS (SELECT anchor, target, count(*) AS count
+      FROM links WHERE anchor != '' AND target != ''
+      GROUP BY anchor, target)
+SELECT anchor, target, count,
+       round(count * 1.0 / sum(count) OVER (PARTITION BY anchor), 6) AS prior
+FROM c
+"""
+
+ORACLE["name_disambig_baseline"] = """
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS anchor
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), links AS (
+  SELECT doc_id, pos, anchor, 'wiki/' || anchor AS target
+  FROM tok WHERE anchor IN ('column', 'customer', 'data', 'query', 'row', 'spark', 'stream', 'table', 'vector', 'window')
+),
+c AS (SELECT anchor, target, count(*) AS count
+      FROM links WHERE anchor != '' AND target != ''
+      GROUP BY anchor, target),
+p AS (SELECT anchor, target, count,
+             round(count * 1.0 / sum(count) OVER (PARTITION BY anchor), 6) AS prior,
+             row_number() OVER (PARTITION BY anchor ORDER BY count DESC, target ASC) AS rn
+      FROM c),
+t AS (SELECT anchor, sum(count) AS n_mentions FROM c GROUP BY anchor)
+SELECT p.anchor, p.target AS predicted_target, p.prior, t.n_mentions
+FROM p JOIN t ON p.anchor = t.anchor WHERE p.rn = 1
+"""
+

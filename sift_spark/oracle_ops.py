@@ -650,3 +650,43 @@ SELECT doc_id, score, rank FROM (
   FROM scored)
 WHERE rank <= 10
 """
+
+
+def _pq_codes_sql() -> str:
+    """Generated argmin-over-centroids SQL for product quantization —
+    one SELECT per (subspace, centroid), same constants as the Spark
+    kernel, distances rounded to 6dp before the argmin (matching the
+    kernel's rounded stable argsort)."""
+    from sift_spark.functions.core import PQ_CODEBOOKS, PQ_K, PQ_M, PQ_SUB_DIM
+
+    selects = []
+    for m in range(PQ_M):
+        for k in range(PQ_K):
+            c = PQ_CODEBOOKS[m][k]
+            n2 = sum(x * x for x in c)
+            dot = " + ".join(
+                f"v[{m * PQ_SUB_DIM + d + 1}] * ({c[d]!r})" for d in range(PQ_SUB_DIM)
+            )
+            selects.append(
+                f"SELECT vec_id, {m} AS m, {k} AS k, "
+                f"round(-2 * ({dot}) / nrm + {n2!r}, 6) AS dist FROM e"
+            )
+    union = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v,
+                  sqrt(list_dot_product(embedding, embedding)) AS nrm
+           FROM embeddings),
+d AS (
+    {union}
+),
+a AS (
+  SELECT vec_id, m, k,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, k ASC) AS rn
+  FROM d
+)
+SELECT vec_id, string_agg(CAST(k AS VARCHAR), ',' ORDER BY m) AS codes
+FROM a WHERE rn = 1 GROUP BY vec_id
+"""
+
+
+ORACLE_OPS["pq_codes"] = _pq_codes_sql()

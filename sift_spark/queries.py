@@ -45,6 +45,14 @@ def q_entity_name_counts(spark, sf_dir):
     return L.entity_name_counts(wikify_links(_docs(spark, sf_dir)))
 
 
+def q_name_entity_priors(spark, sf_dir):
+    return L.name_entity_priors(wikify_links(_docs(spark, sf_dir)))
+
+
+def q_name_disambig_baseline(spark, sf_dir):
+    return L.name_disambig_baseline(wikify_links(_docs(spark, sf_dir)))
+
+
 def q_name_part_counts(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return L.name_part_counts(wikify_links(docs), token_pos_table(docs), max_ngram=2)
@@ -444,6 +452,12 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
+def q_pq_codes(spark, sf_dir):
+    from sift_spark.operators.similarity import pq_codes
+
+    return pq_codes(table(spark, sf_dir, "embeddings"))
+
+
 def q_knn_label_propagation(spark, sf_dir):
     from sift_spark.operators.similarity import knn_label_propagation
 
@@ -592,6 +606,8 @@ QUERIES: dict[str, QueryFn] = {
     "wikify": q_wikify,
     "entity_counts": q_entity_counts,
     "entity_name_counts": q_entity_name_counts,
+    "name_entity_priors": q_name_entity_priors,
+    "name_disambig_baseline": q_name_disambig_baseline,
     "name_part_counts": q_name_part_counts,
     "entity_inlinks": q_entity_inlinks,
     "entity_vocab": q_entity_vocab,
@@ -667,6 +683,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "knn_label_propagation": q_knn_label_propagation,
+    "pq_codes": q_pq_codes,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf_bucketed": q_ann_ivf_bucketed,
     "lang_id": q_lang_id,

@@ -197,3 +197,31 @@ def test_term_collocations_pmi_sign(spark):
     rows = {(r.w1, r.w2): r for r in term_collocations(df, min_count=5).collect()}
     assert ("new", "york") in rows
     assert rows[("new", "york")].pmi > 0
+
+
+def test_ivf_pq_recall_vs_exact_ivf(spark):
+    """IVF-PQ (ADC over 32-bit codes) probes the same cells as exact
+    IVF, so query coverage must be identical; rank fidelity is bounded
+    by the UNTRAINED random codebooks on uniform-random vectors
+    (pairwise cosines concentrate near 0, so quantization noise is
+    large relative to the similarity gaps — production swaps in
+    k-means-trained codebooks). Assert determinism + meaningfully
+    above the ~8% chance overlap (5 picks from ~60 candidates)."""
+    from sift_spark.operators.similarity import ann_ivf_topk, ivf_pq_topk
+
+    emb = _emb(spark)
+    exact = {}
+    for r in ann_ivf_topk(emb, k=5).collect():
+        exact.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    adc = {}
+    for r in ivf_pq_topk(emb, k=5).collect():
+        adc.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    assert set(adc) == set(exact), "same query coverage"
+    hits = sum(len(adc[v] & exact[v]) for v in exact)
+    total = sum(len(exact[v]) for v in exact)
+    assert hits / total > 0.12, f"ADC recall {hits}/{total}"
+    # deterministic: a second run returns byte-identical assignments
+    again = {}
+    for r in ivf_pq_topk(emb, k=5).collect():
+        again.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    assert again == adc
