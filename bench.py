@@ -58,6 +58,13 @@ def main() -> None:
         "q18_large_orders",
         "q19_disjunctive",
         "q22_idle_customers",
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q11_important_parts",
+        "q12_late_shipments",
+        "q16_supplier_diversity",
+        "q20_dominant_suppliers",
+        "q21_waiting_suppliers",
         "orders_cube",
         "q6_forecast_revenue",
         "parts_above_brand_avg",
@@ -123,6 +130,9 @@ def main() -> None:
         "source_quota_sample",
         "unigram_logprob",
         "kmeans_clusters",
+        "name_entity_priors",
+        "name_disambig_baseline",
+        "pq_codes",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

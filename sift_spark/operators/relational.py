@@ -668,3 +668,220 @@ def rfm_segments(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
         F.ntile(n_tiles).over(wf).alias("f"),
         F.ntile(n_tiles).over(wm).alias("m"),
     ).withColumn("segment", F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+
+
+def q2_min_cost_supplier(region: DataFrame, nation: DataFrame, supplier: DataFrame,
+                         part: DataFrame, lineitem: DataFrame,
+                         region_name: str = "ASIA", min_size: int = 40) -> DataFrame:
+    """TPC-H Q2 shape adapted to the schema subset: with no partsupp
+    table, the per-(part, supplier) offer book is derived from
+    lineitem as the average observed unit price. The correlated
+    min-cost-supplier subquery is decorrelated as a window over
+    l_partkey AFTER the part-size filter and region semi-join shrink
+    the offer set — one keyed shuffle, no self-join; region/nation/
+    part dims broadcast. Ties (suppliers matching the min) all kept,
+    as the spec requires."""
+    sups = supplier.join(
+        F.broadcast(
+            nation.join(
+                region.where(F.col("r_name") == region_name),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey", "n_name")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "n_name")
+    p = part.where(F.col("p_size") >= min_size).select("p_partkey", "p_name")
+    offers = (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias("unit_cost"))
+        .join(F.broadcast(sups), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "unit_cost")
+    )
+
+
+def q8_market_share(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                    supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                    part: DataFrame, region_name: str = "AMERICA",
+                    supp_nation: str = "NATION_1", p_type: str = "ECONOMY") -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue for a
+    part type, by order year. The part-type filter cuts the fact at
+    its broadcast join before anything shuffles; the customer→nation→
+    region chain reduces orders before the fact join; the supplier
+    nation arrives as a broadcast dim and the share is a conditional
+    aggregate (no second pass)."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    in_region = customer.join(
+        F.broadcast(
+            nation.join(
+                region.where(F.col("r_name") == region_name),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey")
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    ords = (
+        orders.where(F.year("o_orderdate").between(1995, 1997))
+        .join(in_region, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    supp_nat = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    li = (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_type") == p_type).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return li.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("n_name") == supp_nation, rev).otherwise(F.lit(0.0)))
+            / F.sum(rev), 6,
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q11_important_parts(nation: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+                        nation_name: str = "NATION_3", frac: float = 0.01) -> DataFrame:
+    """TPC-H Q11 shape adapted (no partsupp): per-part traded value
+    from one nation's suppliers, keeping parts above ``frac`` of the
+    nation total. The scalar total is a 1-row aggregate of the SAME
+    per-part frame crossed back on as a broadcast (the fact aggregates
+    once; no second scan, no action)."""
+    sups = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == nation_name).select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        lineitem.join(F.broadcast(sups), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > frac * F.col("total_value"))
+        .select("l_partkey", F.round("value", 2).alias("part_value"))
+    )
+
+
+def q12_late_shipments(orders: DataFrame, lineitem: DataFrame, late_days: int = 60) -> DataFrame:
+    """TPC-H Q12 shape adapted (no shipmode/receiptdate columns):
+    lines shipped more than ``late_days`` after the order date,
+    counting high- vs low-priority orders per return flag. One
+    fact-fact join on the natural key, conditional aggregates in a
+    single pass."""
+    j = lineitem.select("l_orderkey", "l_returnflag", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q16_supplier_diversity(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+                           excl_brand: str = "Brand#5", max_size: int = 25,
+                           excl_name_like: str = "%000000003%") -> DataFrame:
+    """TPC-H Q16 shape adapted (partsupp derived from observed
+    lineitem pairs): distinct supplier counts per (brand, type, size),
+    excluding one brand, large sizes, and complaint suppliers (the
+    NOT IN subquery → broadcast left-anti join). The (part, supplier)
+    pair stream flows straight into the count-distinct aggregation —
+    no pre-distinct shuffle; the agg dedups."""
+    bad = supplier.where(F.col("s_name").like(excl_name_like)).select("s_suppkey")
+    keep = part.where(
+        (F.col("p_brand") != excl_brand) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ps = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(keep), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return ps.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def q20_dominant_suppliers(supplier: DataFrame, part: DataFrame, lineitem: DataFrame,
+                           name_like: str = "%widget%", frac: float = 0.2) -> DataFrame:
+    """TPC-H Q20 shape adapted (availqty → shipped share): suppliers
+    who shipped more than ``frac`` of some matching part's total
+    volume. The part-name filter cuts the fact at a broadcast join;
+    the correlated total-per-part is a window over the already-
+    aggregated (part, supplier) rows; the supplier qualification is a
+    left-semi join (EXISTS)."""
+    p = part.where(F.col("p_name").like(name_like)).select("p_partkey")
+    per = (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dom = (
+        per.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .where(F.col("supp_qty") > frac * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return supplier.join(
+        dom, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def q21_waiting_suppliers(supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                          k: int = 100) -> DataFrame:
+    """TPC-H Q21 shape adapted (no commit/receipt dates — "late" is
+    the max ship date in the order): for finished multi-supplier
+    orders, the supplier whose line shipped last, provided no OTHER
+    supplier tied for last (the EXISTS/NOT-EXISTS pair), counted per
+    supplier. Both existence checks collapse into per-order aggregates
+    on the natural key — the fact shuffles once on l_orderkey, then
+    once more (tiny, post-agg) on the blamed supplier."""
+    li = lineitem.join(
+        orders.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_suppkey", "l_shipdate")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    late = (
+        li.withColumnRenamed("l_orderkey", "lo")
+        .join(
+            per_order.where(F.col("n_supp") > 1),
+            F.col("lo") == F.col("l_orderkey"),
+        )
+        .where(F.col("l_shipdate") == F.col("max_ship"))
+    )
+    blamed = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_late"),
+            F.max("l_suppkey").alias("suppkey"),
+        )
+        .where(F.col("n_late") == 1)
+    )
+    numwait = blamed.groupBy("suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+    return (
+        numwait.join(supplier, F.col("suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -668,6 +668,134 @@ r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM pdeg),
 SELECT node AS entity, round(r, 6) AS pagerank FROM r5
 """
 
+
+ORACLE["q2_min_cost_supplier"] = """
+WITH sups AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), offers AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         round(avg(l_extendedprice / l_quantity), 6) AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_size >= 40
+  GROUP BY p_partkey, p_name, l_suppkey
+), ranked AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, n_name, unit_cost,
+         min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM offers JOIN sups ON l_suppkey = s_suppkey
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name, unit_cost
+FROM ranked WHERE unit_cost = min_cost
+"""
+
+ORACLE["q8_market_share"] = """
+WITH in_region AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA'
+), ords AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year
+  FROM orders JOIN in_region ON o_custkey = c_custkey
+  WHERE year(o_orderdate) BETWEEN 1995 AND 1997
+), supp_nat AS (
+  SELECT s_suppkey, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT o_year,
+       round(sum(CASE WHEN n_name = 'NATION_1'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN ords ON l_orderkey = o_orderkey
+JOIN supp_nat ON l_suppkey = s_suppkey
+GROUP BY o_year
+"""
+
+ORACLE["q11_important_parts"] = """
+WITH sups AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+), per_part AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem JOIN sups ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(value, 2) AS part_value
+FROM per_part
+WHERE value > 0.01 * (SELECT sum(value) FROM per_part)
+"""
+
+ORACLE["q12_late_shipments"] = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+"""
+
+ORACLE["q16_supplier_diversity"] = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#5' AND p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%000000003%')
+GROUP BY p_brand, p_type, p_size
+"""
+
+ORACLE["q20_dominant_suppliers"] = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%'
+  GROUP BY l_partkey, l_suppkey
+), dom AS (
+  SELECT l_suppkey
+  FROM (SELECT l_suppkey, supp_qty,
+               sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM per)
+  WHERE supp_qty > 0.2 * part_qty
+)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+"""
+
+ORACLE["q21_waiting_suppliers"] = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey, max(l_shipdate) AS max_ship,
+         count(DISTINCT l_suppkey) AS n_supp
+  FROM li GROUP BY l_orderkey
+), blamed AS (
+  SELECT li.l_orderkey,
+         count(DISTINCT li.l_suppkey) AS n_late,
+         max(li.l_suppkey) AS suppkey
+  FROM li JOIN per_order p ON li.l_orderkey = p.l_orderkey
+  WHERE p.n_supp > 1 AND li.l_shipdate = p.max_ship
+  GROUP BY li.l_orderkey
+  HAVING count(DISTINCT li.l_suppkey) = 1
+), numwait AS (
+  SELECT suppkey, count(*) AS numwait FROM blamed GROUP BY suppkey
+)
+SELECT s_suppkey, s_name, numwait, rank FROM (
+  SELECT s_suppkey, s_name, numwait,
+         CAST(row_number() OVER (ORDER BY numwait DESC, s_name ASC) AS INT) AS rank
+  FROM numwait JOIN supplier ON suppkey = s_suppkey)
+WHERE rank <= 100
+"""
+
+
 from sift_spark.oracle_ops import ORACLE_OPS  # noqa: E402
 
 ORACLE.update(ORACLE_OPS)

@@ -272,6 +272,55 @@ def q_q22_idle_customers(spark, sf_dir):
     return R.q22_idle_customers(table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders"))
 
 
+def q_q2_min_cost_supplier(spark, sf_dir):
+    return R.q2_min_cost_supplier(
+        table(spark, sf_dir, "region"), table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "supplier"), table(spark, sf_dir, "part"),
+        table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_q8_market_share(spark, sf_dir):
+    return R.q8_market_share(
+        table(spark, sf_dir, "region"), table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "part"),
+    )
+
+
+def q_q11_important_parts(spark, sf_dir):
+    return R.q11_important_parts(
+        table(spark, sf_dir, "nation"), table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_q12_late_shipments(spark, sf_dir):
+    return R.q12_late_shipments(table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem"))
+
+
+def q_q16_supplier_diversity(spark, sf_dir):
+    return R.q16_supplier_diversity(
+        table(spark, sf_dir, "part"), table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_q20_dominant_suppliers(spark, sf_dir):
+    return R.q20_dominant_suppliers(
+        table(spark, sf_dir, "supplier"), table(spark, sf_dir, "part"),
+        table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_q21_waiting_suppliers(spark, sf_dir):
+    return R.q21_waiting_suppliers(
+        table(spark, sf_dir, "supplier"), table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_order_priority_unpivot(spark, sf_dir):
     return R.order_priority_unpivot(table(spark, sf_dir, "orders"))
 
@@ -648,6 +697,13 @@ QUERIES: dict[str, QueryFn] = {
     "q18_large_orders": q_q18_large_orders,
     "q19_disjunctive": q_q19_disjunctive,
     "q22_idle_customers": q_q22_idle_customers,
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q8_market_share": q_q8_market_share,
+    "q11_important_parts": q_q11_important_parts,
+    "q12_late_shipments": q_q12_late_shipments,
+    "q16_supplier_diversity": q_q16_supplier_diversity,
+    "q20_dominant_suppliers": q_q20_dominant_suppliers,
+    "q21_waiting_suppliers": q_q21_waiting_suppliers,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "events_sliding": q_events_sliding,
     "events_histogram": q_events_histogram,

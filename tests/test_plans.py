@@ -171,3 +171,52 @@ def test_doc_chunks_no_shuffle(spark):
     plan = _plan(doc_chunks(docs))
     assert "Exchange" not in plan, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_q2_broadcasts_dims_no_cartesian(spark):
+    """Q2 shape: part/supplier/nation/region all ride in as broadcast
+    hash joins; the correlated min decorrelates to a window, never a
+    self-join or cartesian."""
+    from sift_spark.io import table
+    from sift_spark.operators.relational import q2_min_cost_supplier
+
+    df = q2_min_cost_supplier(
+        table(spark, SF_SMOKE, "region"), table(spark, SF_SMOKE, "nation"),
+        table(spark, SF_SMOKE, "supplier"), table(spark, SF_SMOKE, "part"),
+        table(spark, SF_SMOKE, "lineitem"),
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_single_fact_shuffle_keyed_joins(spark):
+    """Q21 shape: every join keyed; the lineitem fact shuffles on
+    l_orderkey once for the per-order aggregate, and the join back
+    reuses that partitioning (no extra fact exchange)."""
+    from sift_spark.io import table
+    from sift_spark.operators.relational import q21_waiting_suppliers
+
+    df = q21_waiting_suppliers(
+        table(spark, SF_SMOKE, "supplier"), table(spark, SF_SMOKE, "orders"),
+        table(spark, SF_SMOKE, "lineitem"),
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_anti_join_is_broadcast(spark):
+    """The NOT-IN complaint-supplier exclusion must be a broadcast
+    left-anti, not a shuffled one."""
+    from sift_spark.io import table
+    from sift_spark.operators.relational import q16_supplier_diversity
+
+    df = q16_supplier_diversity(
+        table(spark, SF_SMOKE, "part"), table(spark, SF_SMOKE, "supplier"),
+        table(spark, SF_SMOKE, "lineitem"),
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti, BuildRight" in plan and "Broadcast" in plan
+    ), plan
