@@ -133,6 +133,15 @@ def main() -> None:
         "name_entity_priors",
         "name_disambig_baseline",
         "pq_codes",
+        "doc_entropy",
+        "bigram_logprob",
+        "bpe_pair_counts",
+        "filtered_corpus",
+        "events_mad",
+        "lang_confusion",
+        "corpus_mix_report",
+        "events_interarrival",
+        "basket_pairs",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -198,6 +198,67 @@ def anomaly_zscore(events: DataFrame, threshold: float = 3.0) -> DataFrame:
     )
 
 
+def mad_outliers(events: DataFrame, k: float = 3.0) -> DataFrame:
+    """Robust (median/MAD) outlier profile per event type:
+    (event_type, n, med, mad, n_outliers) where mad = median(|value −
+    med|) and an outlier is |value − med| > k·mad. Unlike the z-score
+    screen, medians don't move when the outliers themselves are
+    extreme (robust to heavy tails).
+
+    Exact medians via the built-in ``median`` aggregate; three passes
+    over the stream but every shuffle keys on event_type and both
+    intermediate stat tables are k-row broadcasts — the facts never
+    wide-shuffle."""
+    med = events.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("med").alias("med_"),
+        F.median("dev").alias("mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("dev") > k * F.col("mad"), 1).otherwise(0)).alias(
+                "n_outliers"
+            )
+        )
+        .join(mad, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("med_", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """Per-type event interarrival profile: (event_type, n_gaps,
+    avg_gap_s, max_gap_s) from consecutive epoch-second gaps in
+    (ts, event_id) order. The lag window partitions by event_type —
+    at production scale (few types × many events) this would be the
+    classic window-skew shape, so the scale path is per-(type,
+    day-bucket) windows plus a boundary-row handoff; at bench scale
+    the direct window is correct and one shuffle."""
+    es = epoch_seconds(events)
+    w = Window.partitionBy("event_type").orderBy("es", "event_id")
+    g = (
+        events.select("event_type", "event_id", es.alias("es"))
+        .withColumn("gap", F.col("es") - F.lag("es").over(w))
+        .where(F.col("gap").isNotNull())
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap"), 6).alias("avg_gap_s"),
+        F.max("gap").alias("max_gap_s"),
+    )
+
+
 def seasonality_profile(events: DataFrame) -> DataFrame:
     """Day-of-week × event_type activity profile: (dow, event_type,
     n_events, avg_value). Epoch-day arithmetic (day 0 = Thursday, so

@@ -885,3 +885,29 @@ def q21_waiting_suppliers(supplier: DataFrame, orders: DataFrame, lineitem: Data
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def basket_pairs(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
+    """Market-basket co-occurrence mining: pairs of parts appearing
+    in the same order, with support counts — (part1, part2, support)
+    for part1 < part2 and support ≥ ``min_support``.
+
+    Shape: distinct (order, part) then an equi-self-join on the order
+    key — both sides shuffle once on l_orderkey and baskets are small
+    (TPC-H ≤ 7 lines), so the join output is bounded by Σ |basket|²;
+    the pair aggregate shuffles on the canonical (part1, part2) key.
+    Same canonical-pair pattern as ``comention_triangles``; never a
+    cross join."""
+    items = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))
+    ).select(F.col("a.pk").alias("part1"), F.col("b.pk").alias("part2"))
+    return (
+        pairs.groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )

@@ -690,3 +690,131 @@ FROM a WHERE rn = 1 GROUP BY vec_id
 
 
 ORACLE_OPS["pq_codes"] = _pq_codes_sql()
+
+
+ORACLE_OPS["doc_entropy"] = f"""
+WITH {TOKCTE},
+tf AS (SELECT doc_id, anchor, count(*) AS c FROM tok GROUP BY doc_id, anchor)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+FROM tf GROUP BY doc_id
+"""
+
+ORACLE_OPS["bigram_logprob"] = """
+WITH pr AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+),
+big AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY w1, w2),
+hd AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY w1)
+SELECT doc_id, round(avg(ln(c12 * 1.0 / c1)), 6) AS avg_bigram_logprob
+FROM pr JOIN big USING (w1, w2) JOIN hd USING (w1)
+GROUP BY doc_id
+"""
+
+ORACLE_OPS["bpe_pair_counts"] = """
+WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok),
+prs AS (
+  SELECT substr(tok, i, 2) AS pair, tf
+  FROM (SELECT tok, tf, unnest(generate_series(1, length(tok) - 1)) AS i
+        FROM tf WHERE length(tok) >= 2)
+)
+SELECT pair, CAST(sum(tf) AS BIGINT) AS n
+FROM prs GROUP BY pair HAVING sum(tf) >= 2
+"""
+
+ORACLE_OPS["filtered_corpus"] = f"""
+WITH kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+    FROM documents) WHERE rk = 1
+),
+ktok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS anchor FROM kept),
+feats AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    round(count(DISTINCT anchor) * 1.0 / count(*), 6) AS distinct_ratio,
+    round(avg(CASE WHEN anchor IN ({_stop_in}) THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio
+  FROM ktok GROUP BY doc_id
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         round(distinct_ratio - stopword_ratio + least(n_tokens, 200) / 200.0, 6) AS score
+  FROM feats WHERE n_tokens >= 10
+),
+bi AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM kept))
+),
+bs AS (SELECT doc_id, count(*) AS n_bi, count(DISTINCT bg) AS n_bi_d FROM bi GROUP BY doc_id),
+r AS (
+  SELECT k.doc_id FROM kept k LEFT JOIN bs ON bs.doc_id = k.doc_id
+  WHERE round(CASE WHEN n_bi IS NULL THEN 0.0
+                   ELSE 1.0 - n_bi_d * 1.0 / n_bi END, 6) <= 0.5
+)
+SELECT q.doc_id, q.n_tokens, q.score
+FROM q JOIN r ON q.doc_id = r.doc_id WHERE q.score >= 0.5
+"""
+
+ORACLE_OPS["events_mad"] = """
+WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, abs(value - med.med) AS dev, med.med
+  FROM events e JOIN med ON e.event_type = med.event_type
+),
+mad AS (
+  SELECT event_type, count(*) AS n, max(med) AS med_, median(dev) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, n, round(med_, 6) AS med, round(m.mad, 6) AS mad,
+       CAST(sum(CASE WHEN dev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type, n, med_, m.mad
+"""
+
+
+ORACLE_OPS["lang_confusion"] = f"""
+WITH {TOKCTE},
+scored AS (
+{_lang_unions}
+),
+pred AS (
+  SELECT doc_id, lang AS lang_pred
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scored)
+  WHERE rn = 1
+)
+SELECT d.lang, p.lang_pred, count(*) AS n_docs
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.lang_pred
+"""
+
+ORACLE_OPS["corpus_mix_report"] = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       round(avg(length(text)), 6) AS avg_chars
+FROM documents GROUP BY source, lang
+"""
+
+ORACLE_OPS["events_interarrival"] = """
+WITH es AS (
+  SELECT event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+),
+g AS (
+  SELECT event_type,
+         es - lag(es) OVER (PARTITION BY event_type ORDER BY es, event_id) AS gap
+  FROM es
+)
+SELECT event_type, count(*) AS n_gaps, round(avg(gap), 6) AS avg_gap_s,
+       max(gap) AS max_gap_s
+FROM g WHERE gap IS NOT NULL GROUP BY event_type
+"""
+
+ORACLE_OPS["basket_pairs"] = """
+WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+SELECT a.pk AS part1, b.pk AS part2, count(*) AS support
+FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+GROUP BY a.pk, b.pk HAVING count(*) >= 2
+"""

@@ -643,6 +643,58 @@ def q_train_test_split(spark, sf_dir):
     return t1.unionByName(t2)
 
 
+def q_doc_entropy(spark, sf_dir):
+    from sift_spark.operators.text_analysis import doc_entropy
+
+    return doc_entropy(_docs(spark, sf_dir))
+
+
+def q_bigram_logprob(spark, sf_dir):
+    from sift_spark.operators.text_analysis import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    from sift_spark.operators.text_analysis import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), min_count=2)
+
+
+def q_filtered_corpus(spark, sf_dir):
+    from sift_spark.operators.text_analysis import filtered_corpus
+
+    return filtered_corpus(_docs(spark, sf_dir))
+
+
+def q_events_mad(spark, sf_dir):
+    from sift_spark.operators.events import mad_outliers
+
+    return mad_outliers(table(spark, sf_dir, "events"), k=3.0)
+
+
+def q_lang_confusion(spark, sf_dir):
+    from sift_spark.operators.text_analysis import lang_confusion
+
+    return lang_confusion(_docs(spark, sf_dir))
+
+
+def q_corpus_mix_report(spark, sf_dir):
+    from sift_spark.operators.text_analysis import corpus_mix_report
+
+    return corpus_mix_report(_docs(spark, sf_dir))
+
+
+def q_events_interarrival(spark, sf_dir):
+    from sift_spark.operators.events import interarrival_stats
+
+    return interarrival_stats(table(spark, sf_dir, "events"))
+
+
+def q_basket_pairs(spark, sf_dir):
+    return R.basket_pairs(table(spark, sf_dir, "lineitem"), min_support=2)
+
+
 def q_skipgram_embeddings(spark, sf_dir):
     """[r] rows-only: Word2Vec vector values are training-order
     dependent; the deterministic projection (term, dim) is returned."""
@@ -760,4 +812,13 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample": q_stratified_sample,
     "train_test_split": q_train_test_split,
     "skipgram_embeddings": q_skipgram_embeddings,
+    "doc_entropy": q_doc_entropy,
+    "bigram_logprob": q_bigram_logprob,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "filtered_corpus": q_filtered_corpus,
+    "events_mad": q_events_mad,
+    "lang_confusion": q_lang_confusion,
+    "corpus_mix_report": q_corpus_mix_report,
+    "events_interarrival": q_events_interarrival,
+    "basket_pairs": q_basket_pairs,
 }
