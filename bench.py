@@ -142,6 +142,9 @@ def main() -> None:
         "corpus_mix_report",
         "events_interarrival",
         "basket_pairs",
+        "revenue_growth",
+        "user_streaks",
+        "embedding_dim_stats",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

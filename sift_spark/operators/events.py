@@ -271,3 +271,19 @@ def seasonality_profile(events: DataFrame) -> DataFrame:
         .groupBy("dow", "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
     )
+
+
+def user_streaks(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands: per-user activity-day streaks —
+    (user_id, n_active_days, longest_streak). Island key = epoch_day −
+    row_number over the user's distinct active days (consecutive days
+    share it). One shuffle on user_id; windows partition per user on
+    day-level rows (bounded by the calendar, not event volume)."""
+    day = (epoch_seconds(events).cast("bigint") / 86400).cast("bigint")
+    d = events.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"), F.max("len").alias("longest_streak")
+    )

@@ -911,3 +911,20 @@ def basket_pairs(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= min_support)
     )
+
+
+def revenue_growth(orders: DataFrame) -> DataFrame:
+    """Month-over-month revenue growth: (ym, revenue, growth) with
+    ym = year·100 + month and growth = (rev − prev)/prev (null for
+    the first month). The lag window is single-partition but runs on
+    post-aggregation rows (one row per month — bounded by the
+    calendar, not the data), the same pattern as the vocab-rank
+    windows."""
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym")
+    rev = orders.groupBy(ym).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("ym")
+    return rev.withColumn("prev", F.lag("revenue").over(w)).select(
+        "ym",
+        "revenue",
+        F.round((F.col("revenue") - F.col("prev")) / F.col("prev"), 6).alias("growth"),
+    )

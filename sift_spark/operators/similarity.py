@@ -480,3 +480,25 @@ def ivf_pq_topk(emb: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_dim_stats(emb: DataFrame) -> DataFrame:
+    """Per-dimension distribution profile of the embedding column —
+    the standardization/QA table a feature pipeline computes before
+    normalizing or detecting dead dimensions: (dim, n, mean, std,
+    min_v, max_v).
+
+    posexplode → 64-key aggregate; partial (map-side) aggregation
+    does the heavy lifting, so the shuffle carries k·dims rows
+    regardless of corpus size. Floats are cast to double BEFORE
+    rounding (rounding in float32 loses the 6th decimal)."""
+    d = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    return d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.stddev_samp("v"), 6).alias("std"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )

@@ -818,3 +818,44 @@ SELECT a.pk AS part1, b.pk AS part2, count(*) AS support
 FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
 GROUP BY a.pk, b.pk HAVING count(*) >= 2
 """
+
+
+ORACLE_OPS["revenue_growth"] = """
+WITH rev AS (
+  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT ym, revenue,
+       round((revenue - lag(revenue) OVER (ORDER BY ym))
+             / lag(revenue) OVER (ORDER BY ym), 6) AS growth
+FROM rev
+"""
+
+ORACLE_OPS["user_streaks"] = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+  FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+),
+st AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY user_id, grp)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS longest_streak
+FROM st GROUP BY user_id
+"""
+
+ORACLE_OPS["embedding_dim_stats"] = """
+WITH d AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT dim, count(*) AS n, round(avg(v), 6) AS mean,
+       round(stddev_samp(v), 6) AS std,
+       round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
+FROM d GROUP BY dim
+"""

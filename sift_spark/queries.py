@@ -695,6 +695,22 @@ def q_basket_pairs(spark, sf_dir):
     return R.basket_pairs(table(spark, sf_dir, "lineitem"), min_support=2)
 
 
+def q_revenue_growth(spark, sf_dir):
+    return R.revenue_growth(table(spark, sf_dir, "orders"))
+
+
+def q_user_streaks(spark, sf_dir):
+    from sift_spark.operators.events import user_streaks
+
+    return user_streaks(table(spark, sf_dir, "events"))
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    from sift_spark.operators.similarity import embedding_dim_stats
+
+    return embedding_dim_stats(table(spark, sf_dir, "embeddings"))
+
+
 def q_skipgram_embeddings(spark, sf_dir):
     """[r] rows-only: Word2Vec vector values are training-order
     dependent; the deterministic projection (term, dim) is returned."""
@@ -821,4 +837,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_mix_report": q_corpus_mix_report,
     "events_interarrival": q_events_interarrival,
     "basket_pairs": q_basket_pairs,
+    "revenue_growth": q_revenue_growth,
+    "user_streaks": q_user_streaks,
+    "embedding_dim_stats": q_embedding_dim_stats,
 }

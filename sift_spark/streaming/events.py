@@ -249,3 +249,29 @@ def stream_upsert_parquet(stream_df: DataFrame, path: str, key_cols: list[str],
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_session_window_counts(events: DataFrame, gap_minutes: int = 30,
+                                 watermark: str = "30 minutes") -> DataFrame:
+    """Gap sessionization via the BUILT-IN ``session_window`` — the
+    declarative alternative to ``stream_sessionize``'s custom state:
+    Spark manages session state/merging/expiry natively, which is the
+    preferred scale path (state store handles skew and recovery; no
+    Python state round-trip). Output sessions bound
+    [first event, last event + gap) — the batch twin's session_end is
+    last event, so end_stream = end_batch + gap."""
+    return (
+        events.withWatermark("ts_ts", watermark)
+        .groupBy(F.session_window("ts_ts", f"{gap_minutes} minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            F.unix_timestamp(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -225,3 +225,114 @@ def test_ivf_pq_recall_vs_exact_ivf(spark):
     for r in ivf_pq_topk(emb, k=5).collect():
         again.setdefault(r.vec_id, set()).add(r.neighbor_id)
     assert again == adc
+
+
+def test_doc_entropy_uniform_and_single(spark):
+    """Uniform token distribution → ln(n); single repeated token → 0."""
+    import math
+
+    from sift_spark.operators.text_analysis import doc_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x x x x")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: (r.n_tokens, r.entropy) for r in doc_entropy(docs).collect()}
+    assert got[1] == (4, round(math.log(4), 6))
+    assert got[2] == (4, 0.0)
+
+
+def test_bigram_logprob_tiny_corpus(spark):
+    """p(b|a)=2/3, p(c|a)=1/3 on {'a b','a b','a c'}; doc scores are
+    the mean over the doc's bigrams; 1-token docs drop out."""
+    import math
+
+    from sift_spark.operators.text_analysis import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.avg_bigram_logprob for r in bigram_logprob(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == got[2] == round(math.log(2 / 3), 6)
+    assert got[3] == round(math.log(1 / 3), 6)
+
+
+def test_bpe_pair_counts_multiplicity(spark):
+    """'aaa' (tf=2) contributes pair 'aa' twice per occurrence → 4."""
+    from sift_spark.operators.text_analysis import bpe_pair_counts
+
+    docs = spark.createDataFrame([(1, "aaa aaa ab")], ["doc_id", "text"])
+    got = {r.pair: r.n for r in bpe_pair_counts(docs, min_count=1).collect()}
+    assert got["aa"] == 4
+    assert got["ab"] == 1
+
+
+def test_filtered_corpus_drops_dups_and_junk(spark):
+    from sift_spark.operators.text_analysis import filtered_corpus
+
+    good = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, good),                      # survives
+            (2, good),                      # exact dup of 1 → dropped
+            (3, "the the the the the the the the the the"),  # repetitive → dropped
+            (4, "short doc"),               # under length floor → dropped
+        ],
+        ["doc_id", "text"],
+    )
+    got = [r.doc_id for r in filtered_corpus(docs).collect()]
+    assert got == [1]
+
+
+def test_events_mad_constant_and_spike(spark):
+    """Constant stream → mad 0; a single spike is the only outlier."""
+    from sift_spark.operators.events import mad_outliers
+
+    rows = [(i, 1000 + i, 1, "t", 5.0) for i in range(9)] + [(9, 1009, 1, "t", 500.0)]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).timestamp_seconds("ts"))
+    got = mad_outliers(events, k=3.0).collect()[0]
+    assert got.n == 10 and got.med == 5.0 and got.mad == 0.0
+    assert got.n_outliers == 1
+
+
+def test_basket_pairs_canonical_and_support(spark):
+    from sift_spark.operators.relational import basket_pairs
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 20), (2, 20), (2, 10), (3, 10), (3, 30)],
+        ["l_orderkey", "l_partkey"],
+    )
+    got = {(r.part1, r.part2): r.support for r in basket_pairs(li, min_support=1).collect()}
+    # duplicate line in order 1 collapses; pairs are canonical p1<p2
+    assert got == {(10, 20): 2, (10, 30): 1}
+
+
+def test_user_streaks_gap_splits(spark):
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.events import user_streaks
+
+    # user 1 active days 0,1,2 then 5 → streaks 3 and 1
+    days = [0, 1, 2, 5]
+    rows = [(i, d * 86400 + 10, 1, "t", 1.0) for i, d in enumerate(days)]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    got = user_streaks(events).collect()[0]
+    assert (got.n_active_days, got.longest_streak) == (4, 3)
+
+
+def test_revenue_growth_first_month_null(spark):
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.relational import revenue_growth
+
+    orders = spark.createDataFrame(
+        [(1, "1996-01-15", 100.0), (2, "1996-02-15", 150.0), (3, "1996-02-20", 50.0)],
+        ["o_orderkey", "d", "o_totalprice"],
+    ).withColumn("o_orderdate", F.to_timestamp("d"))
+    got = {r.ym: (r.revenue, r.growth) for r in revenue_growth(orders).collect()}
+    assert got[199601] == (100.0, None)
+    assert got[199602] == (200.0, 1.0)

@@ -230,3 +230,41 @@ def test_stream_upsert_parquet_matches_batch_merge(spark, events_dir, tmp_path):
     assert set(got) == set(want)
     for k in got:
         assert got[k][0] == want[k][0]
+
+
+def test_stream_session_window_matches_batch(spark, events_dir):
+    """Built-in session_window sessions ≡ the batch gap sessions:
+    same (user, start, count, sum); stream end = batch end + gap."""
+    from sift_spark.operators.events import sessionize
+    from sift_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        stream_session_window_counts,
+    )
+
+    gap_s = 30 * 60
+    stream = read_event_stream(spark, events_dir)
+    out = run_available_now(
+        stream_session_window_counts(stream), "t_swin", output_mode="append"
+    )
+    batch = sessionize(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    got = {(r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+           for r in out.collect()}
+    want = {(r.user_id, r.session_start): (r.session_end + gap_s, r.n_events, r.sum_value)
+            for r in batch.collect()}
+    # every emitted session matches its batch twin; sessions whose
+    # expiry (end + gap) is past the final watermark (max event time
+    # − delay) legitimately stay open in state
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    import pyspark.sql.functions as F
+
+    max_ts = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .agg(F.max(F.expr("ts DIV 1000000000")))
+        .collect()[0][0]
+    )
+    wm = max_ts - gap_s
+    for k in set(want) - set(got):
+        assert want[k][0] > wm, f"session {k} should have closed"
