@@ -197,7 +197,12 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """
     e = pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
-    labels = edges.select(F.col("a").alias("node")).distinct().withColumn("rep", F.col("node"))
+    # round 1 fused into initialization: each node starts at
+    # min(self, direct neighbors) — one aggregate instead of a full
+    # join+probe round (cliques are already converged here)
+    labels = edges.groupBy("a").agg(
+        F.least(F.col("a"), F.min("b")).alias("rep")
+    ).select(F.col("a").alias("node"), "rep")
     cached = labels.persist()
     for _ in range(max_iter):
         nbr = (
