@@ -145,6 +145,10 @@ def main() -> None:
         "revenue_growth",
         "user_streaks",
         "embedding_dim_stats",
+        "containment_pairs",
+        "price_band_join",
+        "anchor_ambiguity",
+        "doc_novelty",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

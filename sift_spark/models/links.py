@@ -365,3 +365,24 @@ def name_disambig_baseline(links: DataFrame) -> DataFrame:
     return top.join(totals, "anchor").select(
         "anchor", F.col("target").alias("predicted_target"), "prior", "n_mentions"
     )
+
+
+def anchor_ambiguity(links: DataFrame) -> DataFrame:
+    """Ambiguity profile per anchor text: how hard each surface form
+    is to disambiguate — (anchor, n_targets, n_mentions, entropy)
+    with entropy = −Σ p·ln p over the anchor's target distribution
+    (0 for unambiguous anchors). The linker-evaluation companion to
+    ``name_entity_priors``.
+
+    Runs entirely on post-aggregation (anchor, target) rows — one
+    corpus shuffle for the counts, then an anchor-keyed aggregate of
+    the k-row distribution table."""
+    counts = entity_name_counts(links)
+    return counts.groupBy("anchor").agg(
+        F.count(F.lit(1)).alias("n_targets"),
+        F.sum("count").alias("n_mentions"),
+        F.round(
+            F.log(F.sum("count")) - F.sum(F.col("count") * F.log("count")) / F.sum("count"),
+            6,
+        ).alias("entropy"),
+    )

@@ -413,3 +413,59 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4, n_blocks: int = 
     return _tile_sims(emb, n_blocks, emit).select(
         F.col("vec_id").alias("id1"), F.col("neighbor_id").alias("id2"), F.col("sim").alias("cos")
     )
+
+
+def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Shingle containment |A∩B| / min(|A|,|B|) for pairs sharing ≥1
+    shingle: (doc1, doc2, containment ≥ threshold). Containment
+    catches subset duplication (a doc quoted or embedded inside a
+    longer one) that symmetric jaccard dilutes away — the other half
+    of a near-dup screen for training corpora.
+
+    Same single shared-shingle self-join shape as
+    ``ngram_jaccard_pairs`` (intersections off the join, sizes from
+    the same persisted shingle table); ``max_df`` capping applies
+    identically at scale."""
+    sh = shingles(docs, n).persist()
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), F.col("l.shingle") == F.col("r.shingle"))
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")), "doc1")
+        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(F.col("inter") / F.least(F.col("n1"), F.col("n2")), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
+def doc_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct shingles
+    never seen in any EARLIER document (doc_id order — ingestion
+    order at scale): (doc_id, n_shingles, n_novel, novelty). The
+    curation metric for incremental corpus growth — near-1 novelty =
+    fresh content, near-0 = re-crawl/boilerplate.
+
+    Shape: shingle first-occurrence is a min(doc_id) aggregate keyed
+    on the shingle (one corpus shuffle), joined back on the same key
+    (no second corpus-wide shuffle shape beyond it), then a doc_id
+    aggregate. No window over the corpus, no sort."""
+    sh = shingles(docs, n).select("doc_id", "shingle").persist()
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("n_novel"),
+        )
+        .withColumn("novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 6))
+    )

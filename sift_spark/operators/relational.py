@@ -928,3 +928,30 @@ def revenue_growth(orders: DataFrame) -> DataFrame:
         "revenue",
         F.round((F.col("revenue") - F.col("prev")) / F.col("prev"), 6).alias("growth"),
     )
+
+
+PRICE_BANDS: tuple[tuple[float, float, str], ...] = (
+    (0.0, 930.0, "budget"),
+    (930.0, 970.0, "mid"),
+    (970.0, 10_000_000.0, "premium"),
+)
+
+
+def price_band_join(part: DataFrame, spark=None) -> DataFrame:
+    """Range (non-equi) join of parts against a small band dimension:
+    (band, n_parts, avg_price). The Spark-correct plan for a range
+    join with a SMALL dim side is BroadcastNestedLoopJoin — each
+    task streams its parts against the broadcast band table; never a
+    shuffle, never a cartesian against a big side. (When the dim side
+    is static literals, a CASE expression is even cheaper — this
+    operator models bands arriving as DATA, e.g. a config table.)"""
+    session = spark or part.sparkSession
+    bands = session.createDataFrame(list(PRICE_BANDS), ["lo", "hi", "band"])
+    j = part.join(
+        F.broadcast(bands),
+        (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")),
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+    )

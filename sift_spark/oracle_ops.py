@@ -859,3 +859,57 @@ SELECT dim, count(*) AS n, round(avg(v), 6) AS mean,
        round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
 FROM d GROUP BY dim
 """
+
+
+ORACLE_OPS["containment_pairs"] = f"""
+WITH {SHINGLES},
+inter AS (
+  SELECT l.doc_id AS doc1, r.doc_id AS doc2, count(*) AS i
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+SELECT doc1, doc2, round(i * 1.0 / least(s1.n_sh, s2.n_sh), 6) AS containment
+FROM inter JOIN sz s1 ON inter.doc1 = s1.doc_id
+JOIN sz s2 ON inter.doc2 = s2.doc_id
+WHERE round(i * 1.0 / least(s1.n_sh, s2.n_sh), 6) >= 0.5
+"""
+
+ORACLE_OPS["price_band_join"] = """
+WITH bands(lo, hi, band) AS (
+  VALUES (0.0, 930.0, 'budget'), (930.0, 970.0, 'mid'),
+         (970.0, 10000000.0, 'premium')
+)
+SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 6) AS avg_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+def _anchor_ambiguity_sql() -> str:
+    from sift_spark.functions.core import WIKI_PREFIX, sql_entity_set
+
+    return f"""
+WITH {TOKCTE},
+nc AS (
+  SELECT anchor, '{WIKI_PREFIX}' || anchor AS target, count(*) AS c
+  FROM tok WHERE anchor IN {sql_entity_set()} AND anchor <> ''
+  GROUP BY anchor, target
+)
+SELECT anchor, count(*) AS n_targets, CAST(sum(c) AS BIGINT) AS n_mentions,
+       round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+FROM nc GROUP BY anchor
+"""
+
+
+ORACLE_OPS["anchor_ambiguity"] = _anchor_ambiguity_sql()
+
+ORACLE_OPS["doc_novelty"] = f"""
+WITH {SHINGLES},
+first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT s.doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty
+FROM sh s JOIN first f ON s.shingle = f.shingle
+GROUP BY s.doc_id
+"""

@@ -711,6 +711,26 @@ def q_embedding_dim_stats(spark, sf_dir):
     return embedding_dim_stats(table(spark, sf_dir, "embeddings"))
 
 
+def q_containment_pairs(spark, sf_dir):
+    from sift_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_price_band_join(spark, sf_dir):
+    return R.price_band_join(table(spark, sf_dir, "part"), spark)
+
+
+def q_anchor_ambiguity(spark, sf_dir):
+    return L.anchor_ambiguity(wikify_links(_docs(spark, sf_dir)))
+
+
+def q_doc_novelty(spark, sf_dir):
+    from sift_spark.operators.dedup import doc_novelty
+
+    return doc_novelty(_docs(spark, sf_dir))
+
+
 def q_skipgram_embeddings(spark, sf_dir):
     """[r] rows-only: Word2Vec vector values are training-order
     dependent; the deterministic projection (term, dim) is returned."""
@@ -840,4 +860,8 @@ QUERIES: dict[str, QueryFn] = {
     "revenue_growth": q_revenue_growth,
     "user_streaks": q_user_streaks,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "containment_pairs": q_containment_pairs,
+    "price_band_join": q_price_band_join,
+    "anchor_ambiguity": q_anchor_ambiguity,
+    "doc_novelty": q_doc_novelty,
 }

@@ -220,3 +220,50 @@ def test_q16_anti_join_is_broadcast(spark):
     assert "BroadcastHashJoin LeftAnti" in plan or (
         "LeftAnti, BuildRight" in plan and "Broadcast" in plan
     ), plan
+
+
+def test_basket_pairs_keyed_join_no_cartesian(spark):
+    from sift_spark.operators.relational import basket_pairs
+
+    df = basket_pairs(spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet"))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # scan reads only the two key columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan
+
+
+def test_embedding_dim_stats_partial_agg(spark):
+    from sift_spark.operators.similarity import embedding_dim_stats
+
+    df = embedding_dim_stats(spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet"))
+    plan = _plan(df)
+    # map-side combine collapses the posexplode before the 64-key shuffle
+    assert plan.count("Exchange") == 1 and "partial_count" in plan
+
+
+def test_corpus_mix_report_single_shuffle_scan_pruned(spark):
+    from sift_spark.operators.text_analysis import corpus_mix_report
+
+    df = corpus_mix_report(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "doc_id" not in plan  # unused column pruned from the scan
+
+
+def test_filtered_corpus_no_cartesian(spark):
+    from sift_spark.operators.text_analysis import filtered_corpus
+
+    df = filtered_corpus(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_price_band_join_broadcast_nested_loop(spark):
+    from sift_spark.io import table
+    from sift_spark.operators.relational import price_band_join
+
+    df = price_band_join(table(spark, SF_SMOKE, "part"), spark)
+    plan = _plan(df)
+    # range join with a tiny dim: broadcast the dim, stream the facts
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" in plan  # only the band agg shuffles
