@@ -58,6 +58,15 @@ def _model_registry():
         "UnigramLogprob": lambda s, p: _op("text_analysis").unigram_logprob(docs_of(s, p)),
         "PiiRedact": lambda s, p: _op("text_analysis").pii_redact(docs_of(s, p)),
         "DocFingerprint": lambda s, p: _op("text_analysis").doc_fingerprint(docs_of(s, p)),
+        "DocEntropy": lambda s, p: _op("text_analysis").doc_entropy(docs_of(s, p)),
+        "BigramLogprob": lambda s, p: _op("text_analysis").bigram_logprob(docs_of(s, p)),
+        "BpePairCounts": lambda s, p: _op("text_analysis").bpe_pair_counts(docs_of(s, p)),
+        "FilteredCorpus": lambda s, p: _op("text_analysis").filtered_corpus(docs_of(s, p)),
+        "LangConfusion": lambda s, p: _op("text_analysis").lang_confusion(docs_of(s, p)),
+        "CorpusMixReport": lambda s, p: _op("text_analysis").corpus_mix_report(docs_of(s, p)),
+        "ContainmentPairs": lambda s, p: _op("dedup").containment_pairs(docs_of(s, p)),
+        "DocNovelty": lambda s, p: _op("dedup").doc_novelty(docs_of(s, p)),
+        "AnchorAmbiguity": lambda s, p: L.anchor_ambiguity(wikify_links(docs_of(s, p))),
     }
 
 
