@@ -50,6 +50,28 @@ _FILE_IMAGE = re.compile(r"\[\[(?:[fF]ile|[iI]mage):[^\[\]]*(?:\[\[[^\]]*\]\][^\
 _BOLD_ITAL = re.compile(r"'{2,5}")
 _ANCHOR = re.compile(r'<a href="([^"]*)">(.*?)</a>', re.DOTALL)
 _LANGLINKS = re.compile(r"(\n\[\[[a-z][a-z][\w-]*:[^:\]]+\]\])+$")
+# table formatting (reference wikicorpus.py:30-31,82-83 RE_P12/RE_P13
+# semantics): structure lines ({| / |- / |}) drop whole, cell/caption
+# markers drop but their content stays
+_TABLE_LINE = re.compile(r"^[ \t]*(\{\||\|\}|\|-)[^\n]*$", re.MULTILINE)
+_TABLE_INLINE_SEP = re.compile(r"\|\||!!")
+_TABLE_CAPTION = re.compile(r"^[ \t]*\|\+[ \t]*", re.MULTILINE)
+_TABLE_CELL = re.compile(r"^[ \t]*[|!]+[ \t]*", re.MULTILINE)
+
+
+def strip_table_markup(text: str) -> str:
+    """Remove ``{| … |}`` table formatting, keep cell content.
+
+    Same behavior as the reference's RE_P12/RE_P13 passes: table
+    begin/row/end lines vanish with their style attributes; ``|+``
+    captions and ``|``/``!`` cell markers vanish while the cell text
+    (including any wikilinks, which are converted downstream)
+    survives; inline ``||``/``!!`` separators become line breaks.
+    """
+    text = _TABLE_LINE.sub("", text)
+    text = _TABLE_INLINE_SEP.sub("\n", text)
+    text = _TABLE_CAPTION.sub("", text)
+    return _TABLE_CELL.sub("", text)
 
 
 def strip_templates(text: str) -> str:
@@ -80,6 +102,7 @@ def wiki_to_anchored_text(uri: str, text: str) -> str:
     text = _REF.sub("", text)
     text = _NOWIKI.sub("", text)
     text = _MATH.sub("", text)
+    text = strip_table_markup(text)
     text = _FILE_IMAGE.sub("", text)
     text = _CATEGORY.sub("", text)
     text = _HEADING.sub(r"\2", text)

@@ -196,14 +196,24 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     high-diameter inputs.
     """
     e = pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
-    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
+    # localCheckpoint (eager) materializes the edge list to executor
+    # storage AND truncates lineage: the candidate-generation DAG
+    # (LSH banding + verify) is analyzed/planned exactly once, and
+    # every CC round plans against a flat leaf instead of a tree that
+    # regrows by one join per round — at sf0.1 the rounds were
+    # dominated by Catalyst re-analysis of that growing plan, not by
+    # shuffle work.
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
     # round 1 fused into initialization: each node starts at
     # min(self, direct neighbors) — one aggregate instead of a full
     # join+probe round (cliques are already converged here)
     labels = edges.groupBy("a").agg(
         F.least(F.col("a"), F.min("b")).alias("rep")
     ).select(F.col("a").alias("node"), "rep")
-    cached = labels.persist()
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -217,16 +227,13 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.col("rep").alias("prev"),
                 F.least(F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))).alias("rep"),
             )
-        ).persist()
+        ).localCheckpoint()
         changed = new_labels.agg(
             F.sum((F.col("rep") != F.col("prev")).cast("int")).alias("c")
         ).collect()[0][0]
-        cached.unpersist()
-        cached = new_labels
         labels = new_labels.select("node", "rep")
         if not changed:
             break
-    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("rep").alias("rep_id"))
 
 

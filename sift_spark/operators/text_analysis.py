@@ -82,6 +82,19 @@ def token_stats(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "n_tokens", "n_chars", "n_subwords")
 
 
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Global top-k of (doc_id, score) as orderBy+limit — planned as
+    TakeOrderedAndProject (per-partition top-k, then one k·P-row
+    merge) instead of a single-partition row_number window over every
+    candidate row. rank is assigned after the limit, over k rows only.
+    """
+    from pyspark.sql import Window
+
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
 def tfidf_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
                  min_df: int = 2) -> DataFrame:
     """TF-IDF ranked document search: score = Σ_q sqrt(tf)·idf over
@@ -110,18 +123,10 @@ def tfidf_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
         .groupBy("doc_id")
         .agg(F.sum("w").alias("qw"))
     )
-    from pyspark.sql import Window
-
-    ranked = (
-        qscore.join(norms, "doc_id")
-        .select("doc_id", F.round(F.col("qw") / F.col("norm"), 6).alias("score"))
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())),
-        )
-        .where(F.col("rank") <= k)
+    scored = qscore.join(norms, "doc_id").select(
+        "doc_id", F.round(F.col("qw") / F.col("norm"), 6).alias("score")
     )
-    return ranked
+    return _ranked_topk(scored, k)
 
 
 def bm25_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
@@ -136,8 +141,6 @@ def bm25_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
     term filter pushes all the way to the token explode and the big
     tf aggregation runs on query-term rows only. Doc lengths are a
     map-side size(); N and avglen ride a 1-row broadcast."""
-    from pyspark.sql import Window
-
     from sift_spark.models.text import with_tokens
 
     t = with_tokens(docs)
@@ -167,8 +170,7 @@ def bm25_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
         .groupBy("doc_id")
         .agg(F.round(F.sum("s"), 6).alias("score"))
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _ranked_topk(scored, k)
 
 
 def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 3) -> DataFrame:

@@ -734,8 +734,8 @@ WHERE value > 0.01 * (SELECT sum(value) FROM per_part)
 
 ORACLE["q12_late_shipments"] = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
 GROUP BY l_returnflag
@@ -810,9 +810,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
-  SELECT *, sum(new_session) OVER (
+  SELECT *, CAST(sum(new_session) OVER (
     PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -972,7 +972,7 @@ p AS (SELECT anchor, target, count,
              round(count * 1.0 / sum(count) OVER (PARTITION BY anchor), 6) AS prior,
              row_number() OVER (PARTITION BY anchor ORDER BY count DESC, target ASC) AS rn
       FROM c),
-t AS (SELECT anchor, sum(count) AS n_mentions FROM c GROUP BY anchor)
+t AS (SELECT anchor, CAST(sum(count) AS BIGINT) AS n_mentions FROM c GROUP BY anchor)
 SELECT p.anchor, p.target AS predicted_target, p.prior, t.n_mentions
 FROM p JOIN t ON p.anchor = t.anchor WHERE p.rn = 1
 """

@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # int64 nanos (parquet TIMESTAMP_NS)
+        T.StructField("ts", T.TimestampType()),  # parquet timestamp[us]
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -32,10 +32,15 @@ EVENT_SCHEMA = T.StructType(
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of event rows with a proper timestamp col."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream of event rows with a proper timestamp col.
+
+    ``events.parquet`` stores ``ts`` as ``timestamp[us]``; streaming
+    schemas must be declared upfront, so we declare TimestampType
+    (the batch twin ``operators/events.py:epoch_seconds`` type-detects
+    instead, which a bounded read can afford).
+    """
     raw = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
-    return raw.withColumn("ts_ts", F.timestamp_seconds(F.expr("ts DIV 1000000000")))
+    return raw.withColumn("ts_ts", F.col("ts"))
 
 
 def stream_tumbling_counts(events: DataFrame, minutes: int = 5,

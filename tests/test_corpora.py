@@ -66,6 +66,37 @@ def test_wikipedia_dump_parse(spark, wiki_dump):
         assert art.text[l.start:l.stop].strip() != ""
 
 
+WIKI_TABLE = """Intro sentence.
+{| class="wikitable" style="width:60%"
+|+ Caption text
+|-
+! Header A !! Header B
+|-
+| [[Cell One|cell one]] || style="color:red" | 42
+|-
+| plain cell
+|}
+Outro sentence."""
+
+
+def test_wiki_table_markup_stripped():
+    """{|…|} structure lines vanish; cell content (incl. links)
+    survives — reference wikicorpus.py:30-31,82-83 RE_P12/RE_P13."""
+    from sift_spark.corpora.wikipedia import (
+        extract_anchored_links,
+        wiki_to_anchored_text,
+    )
+
+    out = wiki_to_anchored_text("en.wikipedia.org/wiki/T", WIKI_TABLE)
+    for junk in ("{|", "|}", "|-", "wikitable", "width:60%", "!!"):
+        assert junk not in out, f"{junk!r} survived: {out!r}"
+    text, links = extract_anchored_links(out)
+    for kept in ("Intro sentence.", "Caption text", "Header A", "Header B",
+                 "cell one", "42", "plain cell", "Outro sentence."):
+        assert kept in text
+    assert any(t == "en.wikipedia.org/wiki/Cell_One" for t, _, _ in links)
+
+
 WIKIDATA_LINES = [
     '{"id":"Q1","labels":{"en":{"value":"universe"}},"sitelinks":{"enwiki":{"title":"Universe"}},"claims":{"P31":[{"mainsnak":{"snaktype":"value","datatype":"wikibase-item","datavalue":{"type":"wikibase-entityid","value":{"numeric-id":2}}}}],"P571":[{"mainsnak":{"snaktype":"value","datatype":"time","datavalue":{"type":"time","value":{"time":"-13798000000"}}}}]}}',
     '{"id":"Q2","labels":{"en":{"value":"thing"}},"sitelinks":{},"claims":{}}',

@@ -260,11 +260,10 @@ def test_stream_session_window_matches_batch(spark, events_dir):
         assert want[k] == v
     import pyspark.sql.functions as F
 
-    max_ts = (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .agg(F.max(F.expr("ts DIV 1000000000")))
-        .collect()[0][0]
-    )
+    from sift_spark.operators.events import epoch_seconds
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    max_ts = ev.agg(F.max(epoch_seconds(ev))).collect()[0][0]
     wm = max_ts - gap_s
     for k in set(want) - set(got):
         assert want[k][0] > wm, f"session {k} should have closed"
