@@ -170,17 +170,39 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    out = {
+        "metric": "headline_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+
+    # standing single-node baseline (scripts/baseline_duckdb.py): when
+    # present for this SF, emit the aggregate ratio; --vs-baseline
+    # additionally emits per-query ratios (spark_sec / duck_sec)
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"baseline_duckdb_sf{sf:g}.json"
     )
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            base = json.load(fh)
+        shared = [q for q in times if q in base["queries"]]
+        spark_shared = sum(times[q] for q in shared)
+        duck_shared = sum(base["queries"][q] for q in shared)
+        out["baseline_engine"] = base.get("engine", "duckdb")
+        out["baseline_total_sec"] = round(duck_shared, 3)
+        out["vs_baseline_ratio"] = (
+            round(spark_shared / duck_shared, 3) if duck_shared else None
+        )
+        if "--vs-baseline" in sys.argv:
+            out["query_ratios"] = {
+                q: round(times[q] / base["queries"][q], 2)
+                for q in shared
+                if base["queries"][q] > 0
+            }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -6,17 +6,74 @@ The reference splits WARC records with a Hadoop record delimiter and
 parses each in Python (warc lib + dragnet + BeautifulSoup). Here the
 record split uses Spark's text source ``lineSep`` (distributed,
 splittable); header parsing is pure built-in string expressions; the
-HTML→text step is a regex tag-stripper (the container has no
-dragnet/bs4 — the hook is real, the content-extraction model is
-simplified and marked as such).
+HTML→text step is :func:`extract_main_content` — a stdlib-only
+text-density/link-density block classifier standing in for the
+reference's dragnet model (commoncrawl.py:71): block-level tags split
+the page, blocks that are mostly link text (nav, footers, sidebars)
+are dropped, prose-dense blocks are kept. When no block shows a clear
+content signal (very short pages) the whole page is kept, so the
+filter never deletes a document outright.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 RECORD_DELIM = "WARC/1.0\r\n"
+
+_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+_SCRIPT_RE = re.compile(r"(?is)<(script|style|noscript)[^>]*>.*?</\1>")
+_BLOCK_SPLIT_RE = re.compile(
+    r"(?is)</?(?:div|p|h[1-6]|li|ul|ol|dl|table|tr|td|th|section|article|"
+    r"header|footer|nav|aside|blockquote|br|form|fieldset|main|figure|"
+    r"figcaption|body|html)[^>]*>"
+)
+_A_RE = re.compile(r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>')
+_TAG_RE = re.compile(r"(?s)<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_main_content(html: str, min_words: int = 8,
+                         max_link_density: float = 0.35) -> str:
+    """Boilerplate-removing HTML→anchored-text (dragnet-style).
+
+    Split on block-level tags; score each block by word count and
+    link density (anchor-text chars / text chars). A block is CONTENT
+    when it has ≥ ``min_words`` words and link density ≤
+    ``max_link_density`` — nav bars, footers and tag clouds are
+    nearly-all link text and fail, article prose passes. ``<a href>``
+    anchors inside kept blocks survive as anchors (same contract as
+    :func:`html_to_text`, so the offset-link extraction downstream is
+    unchanged). If NO block qualifies (tiny page), all blocks are
+    kept — density filtering needs a signal to act on.
+    """
+    html = _SCRIPT_RE.sub(" ", _COMMENT_RE.sub(" ", html))
+    kept, fallback = [], []
+    for blk in _BLOCK_SPLIT_RE.split(html):
+        plain = _WS_RE.sub(" ", _TAG_RE.sub(" ", blk)).strip()
+        if not plain:
+            continue
+        link_chars = sum(
+            len(_WS_RE.sub(" ", _TAG_RE.sub(" ", m.group(2))).strip())
+            for m in _A_RE.finditer(blk)
+        )
+        density = link_chars / max(len(plain), 1)
+        # anchors survive via sentinels while every other tag drops
+        prot = _A_RE.sub(
+            lambda m: "\x01" + m.group(1) + "\x02"
+            + _WS_RE.sub(" ", _TAG_RE.sub(" ", m.group(2))).strip() + "\x03",
+            blk,
+        )
+        anchored = _WS_RE.sub(" ", _TAG_RE.sub(" ", prot)).strip()
+        fallback.append(anchored)
+        if len(plain.split()) >= min_words and density <= max_link_density:
+            kept.append(anchored)
+    out = " ".join(kept if kept else fallback)
+    out = out.replace("\x01", '<a href="').replace("\x02", '">').replace("\x03", "</a>")
+    return _WS_RE.sub(" ", out).strip()
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -70,13 +127,34 @@ def filter_language(articles: DataFrame, lang: str, text_col: str = "text",
     return articles.join(keep, "uri", "left_semi")
 
 
-def warc_articles(warc: DataFrame) -> DataFrame:
+def warc_articles(warc: DataFrame, remove_boilerplate: bool = True) -> DataFrame:
     """(url, text, links) from WARC responses — anchors become offset
     links exactly like the Wikipedia path (shares
-    ``extract_anchored_links``)."""
+    ``extract_anchored_links``).
+
+    ``remove_boilerplate=True`` (default) runs the text-density block
+    classifier (:func:`extract_main_content`) per page inside the
+    same Arrow batch pass; ``False`` falls back to the plain
+    tag-stripper (:func:`html_to_text` semantics) for callers that
+    want the whole page."""
     from collections.abc import Iterator
 
     from sift_spark.corpora.wikipedia import ARTICLE_SCHEMA, extract_anchored_links
+
+    if remove_boilerplate:
+        src = warc.select("url", F.col("payload").alias("page"))
+
+        def split_links(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for url, page in zip(pdf["url"], pdf["page"]):
+                    text, links = extract_anchored_links(extract_main_content(page))
+                    rows.append((url, text, links))
+                yield pd.DataFrame(rows, columns=["uri", "text", "links"])
+
+        return src.mapInPandas(split_links, ARTICLE_SCHEMA)
 
     cleaned = warc.select(F.col("url"), html_to_text(F.col("payload")).alias("anchored"))
 

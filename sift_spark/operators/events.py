@@ -5,11 +5,12 @@ These are the batch twins of the Structured Streaming operators in
 against a SQL oracle; the streaming variants are exercised in tests
 with an ``availableNow`` trigger.
 
-The driver's ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS),
-which Spark reads as int64 nanoseconds under
-``spark.sql.legacy.parquet.nanosAsLong``; :func:`epoch_seconds`
-normalizes either representation with integer arithmetic (a double
-division would lose precision above 2^53 ns).
+The driver's ``events.parquet`` stores ``ts`` as ``timestamp[us]``
+(plain TimestampType in Spark); :func:`epoch_seconds` also accepts an
+int64-nanos long column (true TIMESTAMP_NS inputs read under
+``spark.sql.legacy.parquet.nanosAsLong``), normalizing either with
+integer arithmetic (a double division would lose precision above
+2^53 ns).
 """
 
 from __future__ import annotations

@@ -1,22 +1,33 @@
-"""Multimodal column plumbing: images/audio/video as opaque binary
+"""Multimodal column processing: images/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 
-The container has no image/audio codecs, so the DECODE step is
-gated: with a real library present (``PIL``/``soundfile``) the same
-UDF signature would do real work; without one, decode raises
-``NotImplementedError`` unless ``allow_fake=True``, in which case a
-deterministic fake decoder (byte statistics) exercises the full
-Spark-side contract — schema, batch shape, partitioning — which IS
-real and tested.
+The container ships no external image/audio codec (no PIL/ffmpeg), so
+the engine defines a real, self-contained raw format and implements
+the full decode → feature-extract → resize → frame-sample path with
+stdlib ``zlib`` + numpy — every kernel here does genuine pixel work:
+
+- **SRAW** image: ``b"SRAW" | u16 width | u16 height | u8 channels |
+  zlib(raw uint8 HxWxC pixels)``.
+- **SVID** video: ``b"SVID" | u32 n_frames`` then n_frames
+  length-prefixed SRAW blobs.
+
+Payloads in a *foreign* format (``image/png`` …) decode via PIL when
+it is importable; otherwise they raise ``NotImplementedError`` unless
+``allow_fake=True`` explicitly opts into byte-statistics placeholders
+— fake features are never silently passed off as decoded ones.
 
 Layout for 100 TB: binary payloads live in their own parquet column
 (page-level dictionary off), metadata in sibling scalar columns so
 Catalyst prunes payload reads for metadata-only queries; processing
-parallelism is row-group granular like any other column.
+parallelism is row-group granular like any other column, and every
+kernel below is an Arrow-batched ``mapInPandas`` (no row-at-a-time
+Python in the 100 TB path).
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -36,90 +47,234 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, kind string, n_bytes int, byte_mean double, byte_head string"
+    "media_id long, kind string, width int, height int, channels int, "
+    "px_mean double, px_std double"
 )
 
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary"
 
+_SRAW_MAGIC = b"SRAW"
+_SVID_MAGIC = b"SVID"
 
-def synth_media(docs: DataFrame, kind: str = "image") -> DataFrame:
-    """Deterministic fake media table derived from documents: payload
-    = md5-bytes of the text (stands in for an encoded image)."""
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit(kind).alias("kind"),
-        F.lit(f"{kind}/fake").alias("mime"),
-        F.unhex(F.md5("text")).alias("payload"),
-        F.lit(16).alias("meta_width"),
-        F.lit(16).alias("meta_height"),
-        F.lit(1000).alias("meta_duration_ms"),
-    )
 
+# --- codec (pure stdlib + numpy; usable inside executors) --------------------
+
+def encode_sraw(pixels) -> bytes:
+    """uint8 array (H, W) or (H, W, C) → SRAW bytes."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    return _SRAW_MAGIC + struct.pack("<HHB", w, h, c) + zlib.compress(arr.tobytes())
+
+
+def decode_sraw(buf: bytes):
+    """SRAW bytes → uint8 ndarray (H, W, C)."""
+    import numpy as np
+
+    if buf[:4] != _SRAW_MAGIC:
+        raise ValueError("not an SRAW payload")
+    w, h, c = struct.unpack_from("<HHB", buf, 4)
+    raw = zlib.decompress(bytes(buf[9:]))
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
+
+
+def encode_svid(frames) -> bytes:
+    """List of uint8 frame arrays → SVID bytes."""
+    blobs = [encode_sraw(f) for f in frames]
+    out = [_SVID_MAGIC, struct.pack("<I", len(blobs))]
+    for b in blobs:
+        out.append(struct.pack("<I", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+def svid_frames(buf: bytes) -> list[bytes]:
+    """SVID bytes → list of SRAW frame blobs (no pixel decode)."""
+    if buf[:4] != _SVID_MAGIC:
+        raise ValueError("not an SVID payload")
+    (n,) = struct.unpack_from("<I", buf, 4)
+    off, blobs = 8, []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        blobs.append(bytes(buf[off : off + ln]))
+        off += ln
+    return blobs
+
+
+def _try_pil_decode(buf: bytes):
+    """Decode a foreign image format via PIL when available, else None."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image  # noqa: F401 - optional dependency
+    except ImportError:
+        return None
+    return np.asarray(Image.open(io.BytesIO(bytes(buf))).convert("RGB"))
+
+
+# --- synthetic corpus (deterministic; real payloads) -------------------------
+
+def synth_media(docs: DataFrame, kind: str = "image",
+                width: int = 16, height: int = 16) -> DataFrame:
+    """Deterministic media table derived from documents: each doc_id
+    yields a REAL encoded payload (SRAW image or 4-frame SVID video)
+    whose pixels are a doc_id-seeded pattern — so decode/resize/frame
+    kernels downstream do real codec work with reproducible results."""
+    mime = "video/svid" if kind == "video" else "image/sraw"
+    duration = 2000 if kind == "video" else 0
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        yy, xx = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                base = (int(did) * 31 + yy * 7 + xx * 3)[:, :, None] + np.arange(3) * 11
+                img = (base % 256).astype(np.uint8)
+                if kind == "video":
+                    payload = encode_svid([(img + 5 * i) % 256 for i in range(4)])
+                else:
+                    payload = encode_sraw(img)
+                rows.append((int(did), kind, mime, payload, width, height, duration))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "mime", "payload",
+                         "meta_width", "meta_height", "meta_duration_ms"],
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --- kernels -----------------------------------------------------------------
 
 def decode_features(media: DataFrame, allow_fake: bool = False) -> DataFrame:
-    """Decode → per-item features via ``mapInPandas`` (Arrow batches).
+    """Decode payloads → per-item pixel features via ``mapInPandas``.
 
-    The real decode kernel is NOT implemented (this environment ships
-    no codec); only the deterministic fake (byte statistics, same
-    schema and batching) exists, and it only runs when explicitly
-    requested — the gate is on ``allow_fake``, never on whether a
-    codec happens to be importable, so fake features are never
-    silently passed off as decoded ones."""
-    if not allow_fake:
-        raise NotImplementedError(
-            "real media decode is not implemented; "
-            "pass allow_fake=True to run the deterministic fake decoder"
-        )
+    SRAW/SVID payloads decode natively (SVID features come from the
+    first frame); foreign formats go through PIL when importable.
+    With neither, the row raises ``NotImplementedError`` unless
+    ``allow_fake=True``, which substitutes byte statistics (width/
+    height/channels null) — an explicit, visible downgrade."""
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            payloads = pdf["payload"]
             rows = []
-            for mid, kind, buf in zip(pdf["media_id"], pdf["kind"], payloads):
+            for mid, kind, mime, buf in zip(
+                pdf["media_id"], pdf["kind"], pdf["mime"], pdf["payload"]
+            ):
                 b = bytes(buf)
+                if mime == "video/svid":
+                    arr = decode_sraw(svid_frames(b)[0])
+                elif mime == "image/sraw":
+                    arr = decode_sraw(b)
+                else:
+                    arr = _try_pil_decode(b)
+                    if arr is None:
+                        if not allow_fake:
+                            raise NotImplementedError(
+                                f"no codec for mime={mime}; pass allow_fake=True "
+                                "for byte-statistics placeholders"
+                            )
+                        raw = np.frombuffer(b, dtype=np.uint8)
+                        rows.append(
+                            (mid, kind, None, None, None,
+                             round(float(raw.mean()), 6) if raw.size else 0.0,
+                             round(float(raw.std()), 6) if raw.size else 0.0)
+                        )
+                        continue
+                h, w, c = arr.shape
+                px = arr.astype(np.float64)
                 rows.append(
-                    (
-                        mid,
-                        kind,
-                        len(b),
-                        round(sum(b) / len(b), 6) if b else 0.0,
-                        b[:4].hex(),
-                    )
+                    (mid, kind, w, h, c,
+                     round(float(px.mean()), 6), round(float(px.std()), 6))
                 )
             yield pd.DataFrame(
-                rows, columns=["media_id", "kind", "n_bytes", "byte_mean", "byte_head"]
+                rows,
+                columns=["media_id", "kind", "width", "height", "channels",
+                         "px_mean", "px_std"],
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: real resize needs an image codec. The Spark-side
-    contract (signature/schema) is final; the kernel is not."""
-    raise NotImplementedError(
-        "image resize requires an image codec (PIL), absent in this environment; "
-        "the mapInPandas plumbing pattern is demonstrated in decode_features"
-    )
+    """Real image resize: decode SRAW → area-mean (integer downscale)
+    or nearest-neighbor (general) resample in numpy → re-encode SRAW.
+    Returns the media frame with payload/meta_width/meta_height
+    replaced. Non-SRAW rows pass through PIL when available."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_payload, out_w, out_h = [], [], []
+            for mime, buf in zip(pdf["mime"], pdf["payload"]):
+                b = bytes(buf)
+                if mime == "image/sraw":
+                    arr = decode_sraw(b)
+                else:
+                    arr = _try_pil_decode(b)
+                    if arr is None:
+                        raise NotImplementedError(f"no codec for mime={mime}")
+                h0, w0, _c = arr.shape
+                if h0 % height == 0 and w0 % width == 0:
+                    # exact area mean: reshape into blocks and average
+                    fh, fw = h0 // height, w0 // width
+                    small = (
+                        arr.reshape(height, fh, width, fw, -1)
+                        .mean(axis=(1, 3))
+                        .round()
+                        .astype(np.uint8)
+                    )
+                else:
+                    yi = (np.arange(height) * h0 // height)
+                    xi = (np.arange(width) * w0 // width)
+                    small = arr[yi][:, xi]
+                out_payload.append(encode_sraw(small))
+                out_w.append(width)
+                out_h.append(height)
+            res = pdf.copy()
+            res["payload"] = out_payload
+            res["meta_width"] = pd.array(out_w, dtype="int32")
+            res["meta_height"] = pd.array(out_h, dtype="int32")
+            res["mime"] = "image/sraw"
+            yield res
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
-    """Deterministic frame sampling stub for video payloads: emits one
-    fake frame per ``every_ms`` of metadata duration, slicing the
-    payload round-robin — real Spark plumbing (explode cadence, batch
-    shapes), fake frame decode."""
+    """Real frame sampling for SVID videos: one frame per ``every_ms``
+    of duration, picked by timestamp → frame-index mapping over the
+    container's actual frame list; each emitted ``frame_bytes`` is a
+    standalone decodable SRAW blob. Non-video rows are skipped."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for mid, dur, buf in zip(pdf["media_id"], pdf["meta_duration_ms"], pdf["payload"]):
-                b = bytes(buf)
-                n_frames = max(1, int(dur) // every_ms)
-                for i in range(n_frames):
-                    rows.append((mid, i, b[i % max(1, len(b)) :][:4]))
+            for mid, mime, dur, buf in zip(
+                pdf["media_id"], pdf["mime"], pdf["meta_duration_ms"], pdf["payload"]
+            ):
+                if mime != "video/svid":
+                    continue
+                blobs = svid_frames(bytes(buf))
+                dur = max(int(dur), 1)
+                for t in range(0, dur, every_ms):
+                    idx = min(t * len(blobs) // dur, len(blobs) - 1)
+                    rows.append((mid, idx, blobs[idx]))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
 
     return media.mapInPandas(run, FRAME_SCHEMA)

@@ -441,6 +441,28 @@ def q_dedup_apply(spark, sf_dir):
     return dedup_apply(_docs(spark, sf_dir))
 
 
+def q_multimodal_features(spark, sf_dir):
+    """[r] rows-only: decode is a binary codec (zlib SRAW), not
+    SQL-expressible — pixel features per synthesized image."""
+    from sift_spark.operators.multimodal import decode_features, synth_media
+
+    return decode_features(synth_media(_docs(spark, sf_dir)))
+
+
+def q_multimodal_frame_stats(spark, sf_dir):
+    """[r] rows-only: video container parse + per-frame pixel stats
+    (resize 16→8 then decode each sampled frame)."""
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.multimodal import sample_frames, synth_media
+
+    frames = sample_frames(synth_media(_docs(spark, sf_dir), kind="video"))
+    return frames.groupBy("frame_idx").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.avg(F.length("frame_bytes")).alias("avg_blob_bytes"),
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     from sift_spark.operators.text_analysis import doc_chunks
 
@@ -864,4 +886,6 @@ QUERIES: dict[str, QueryFn] = {
     "price_band_join": q_price_band_join,
     "anchor_ambiguity": q_anchor_ambiguity,
     "doc_novelty": q_doc_novelty,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frame_stats": q_multimodal_frame_stats,
 }

@@ -140,6 +140,41 @@ def test_warc_articles(spark, tmp_path):
     assert a.text[a.links[0].start:a.links[0].stop] == "world link"
 
 
+BOILERPLATE_HTML = """<html><body>
+<nav><ul>
+<li><a href="http://x.test/">Home</a></li>
+<li><a href="http://x.test/about">About</a></li>
+<li><a href="http://x.test/contact">Contact</a></li>
+</ul></nav>
+<article>
+<p>The quick brown fox jumps over the lazy dog while the
+sun sets slowly behind the rolling green hills of the valley,
+and a <a href="http://y.test/ref">reference link</a> sits inline.</p>
+<p>A second paragraph continues the story with many more words
+about the countryside and the animals that live peacefully there.</p>
+</article>
+<footer><a href="http://x.test/privacy">Privacy</a> |
+<a href="http://x.test/terms">Terms</a> |
+<a href="http://x.test/sitemap">Sitemap</a></footer>
+</body></html>"""
+
+
+def test_warc_boilerplate_removed(spark, tmp_path):
+    """Nav/footer link blocks drop; article prose + inline links stay
+    (dragnet-style density classifier, reference commoncrawl.py:71)."""
+    from sift_spark.corpora.warc import read_warc, warc_articles
+
+    p = tmp_path / "bp.warc"
+    p.write_text(_warc_record("http://x.test/article", BOILERPLATE_HTML))
+    art = warc_articles(read_warc(spark, str(p))).collect()[0]
+    assert "quick brown fox" in art.text
+    assert "second paragraph" in art.text
+    for junk in ("Home", "Privacy", "Sitemap", "Contact"):
+        assert junk not in art.text, f"boilerplate {junk!r} survived"
+    assert [l.target for l in art.links] == ["http://y.test/ref"]
+    assert art.text[art.links[0].start:art.links[0].stop] == "reference link"
+
+
 def test_warc_language_filter(spark, tmp_path):
     from sift_spark.corpora.warc import filter_language, read_warc, warc_articles
 

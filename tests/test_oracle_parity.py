@@ -39,6 +39,11 @@ def test_all_queries_have_oracle_or_are_declared():
     from sift_spark.queries import QUERIES
 
     # queries without oracle must be the explicitly-declared [r] set
-    declared_rows_only = {"skipgram_embeddings"}
+    declared_rows_only = {
+        "skipgram_embeddings",
+        # binary codec work (zlib SRAW/SVID decode) — not SQL-expressible
+        "multimodal_features",
+        "multimodal_frame_stats",
+    }
     missing = set(QUERIES) - set(ORACLE) - declared_rows_only
     assert not missing, f"queries missing oracle twins: {missing}"

@@ -161,9 +161,14 @@ def test_skipgram_embeddings(spark):
     assert all(len(r.vector) == 16 for r in rows)
 
 
-def test_multimodal_plumbing(spark):
+def test_multimodal_real_codec(spark):
+    """decode → features → resize → frame-sample, all real pixel work
+    on the self-contained SRAW/SVID format (stdlib zlib + numpy)."""
+    import numpy as np
+
     from sift_spark.operators.multimodal import (
         decode_features,
+        decode_sraw,
         resize_images,
         sample_frames,
         synth_media,
@@ -171,17 +176,52 @@ def test_multimodal_plumbing(spark):
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(20)
     media = synth_media(docs)
-    feats = decode_features(media, allow_fake=True)
-    rows = feats.collect()
+    rows = {r.media_id: r for r in decode_features(media).collect()}
     assert len(rows) == 20
-    assert all(r.n_bytes == 16 for r in rows)  # md5 payload
-    assert all(len(r.byte_head) == 8 for r in rows)
+    assert all((r.width, r.height, r.channels) == (16, 16, 3) for r in rows.values())
+    # feature values equal a direct numpy recompute of the same payload
+    payload = {r.media_id: r.payload for r in media.collect()}
+    some_id = next(iter(rows))
+    arr = decode_sraw(bytes(payload[some_id]))
+    assert rows[some_id].px_mean == round(float(arr.astype(np.float64).mean()), 6)
 
-    with pytest.raises(NotImplementedError):
-        resize_images(media, 8, 8)
+    small = resize_images(media, 8, 8).collect()
+    for r in small:
+        a = decode_sraw(bytes(r.payload))
+        assert a.shape == (8, 8, 3)
+        assert r.meta_width == 8 and r.meta_height == 8
+    # 16→8 is an exact 2x2 area mean
+    want = decode_sraw(bytes(payload[some_id])).reshape(8, 2, 8, 2, 3).mean(axis=(1, 3))
+    got = decode_sraw(bytes(next(r.payload for r in small if r.media_id == some_id)))
+    assert np.array_equal(got, want.round().astype(np.uint8))
 
-    frames = sample_frames(media, every_ms=500)
-    assert frames.count() == 40  # 1000ms / 500ms = 2 frames each
+    vids = synth_media(docs, kind="video")
+    frames = sample_frames(vids, every_ms=500)
+    fr = frames.collect()
+    assert len(fr) == 80  # 2000ms / 500ms = 4 frames each
+    # each emitted frame is a standalone decodable SRAW image
+    assert decode_sraw(bytes(fr[0].frame_bytes)).shape == (16, 16, 3)
+
+
+def test_multimodal_foreign_mime_gate(spark):
+    """Unknown mime without a codec raises unless allow_fake=True."""
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.multimodal import decode_features, synth_media
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(3)
+    foreign = synth_media(docs).withColumn("mime", F.lit("image/jpeg"))
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(Exception):  # NotImplementedError via PythonException
+            decode_features(foreign).collect()
+        fake = decode_features(foreign, allow_fake=True).collect()
+        assert all(r.width is None and r.px_mean is not None for r in fake)
 
 
 def test_stream_trending_matches_batch(spark, events_dir):
