@@ -267,3 +267,15 @@ def test_price_band_join_broadcast_nested_loop(spark):
     # range join with a tiny dim: broadcast the dim, stream the facts
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" in plan  # only the band agg shuffles
+
+
+def test_search_topk_is_take_ordered(spark):
+    """tfidf/bm25 top-k must plan as TakeOrderedAndProject (per-
+    partition top-k, merge of k rows per partition) — a global
+    row_number window here funnels every candidate through one task."""
+    from sift_spark.operators.text_analysis import bm25_search, tfidf_search
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for fn in (tfidf_search, bm25_search):
+        plan = _plan(fn(docs, ("data", "spark")))
+        assert "TakeOrderedAndProject" in plan, fn.__name__
