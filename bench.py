@@ -149,6 +149,10 @@ def main() -> None:
         "price_band_join",
         "anchor_ambiguity",
         "doc_novelty",
+        "dsir_weights",
+        "semantic_dedup",
+        "multimodal_features",
+        "multimodal_frame_stats",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

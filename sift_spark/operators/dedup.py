@@ -476,3 +476,47 @@ def doc_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
         )
         .withColumn("novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 6))
     )
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.35, n_iter: int = 2) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means partition the embedding space, then find
+    near-duplicate pairs ONLY within each cluster — candidate
+    generation is O(Σ|cluster|²) ≪ O(N²), and cluster sizes are
+    controlled by k, which is the published recipe's scale lever.
+    A vector is dropped when a lower-id same-cluster vector sits
+    within ``threshold`` cosine; survivors keep their cluster id:
+    (vec_id, cluster).
+
+    Plan: deterministic k-means assignment (map-side GEMM; see
+    ``similarity.kmeans_clusters``), ONE keyed shuffle on cluster for
+    the per-cluster pairwise GEMM (numpy inside cogrouped Arrow
+    batches), broadcast-able drop list anti-joined back. Cosine is
+    6dp-rounded half-away so the DuckDB oracle matches bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from sift_spark.operators.similarity import kmeans_clusters, round6_half_away
+
+    clusters = kmeans_clusters(emb, n_iter=n_iter)
+    e = emb.select("vec_id", "embedding").join(clusters, "vec_id")
+
+    def drops(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
+        pdf = pdf.sort_values("vec_id")
+        E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        n = np.sqrt((E * E).sum(axis=1))
+        S = round6_half_away((E @ E.T) / np.outer(n, n))
+        ii, jj = np.where(S >= threshold)
+        ids = pdf["vec_id"].to_numpy()
+        dropped = np.unique(ids[jj[ii < jj]])
+        return pd.DataFrame({"vec_id": dropped})
+
+    dup = e.groupBy("cluster").applyInPandas(drops, "vec_id long")
+    return (
+        e.join(dup, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
+    )

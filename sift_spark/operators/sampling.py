@@ -116,10 +116,69 @@ def weighted_sample(df: DataFrame, k: int = 100, key_col: str = "doc_id",
 
     u = (hash64(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))) % 1000000 + 0.5) / 1000000.0
     pr = F.round(-F.log(u) / F.col(weight_col), 6)
-    w = Window.orderBy(F.col("priority").asc(), F.col(key_col).asc())
-    return (
+    # top-k as orderBy+limit (TakeOrderedAndProject: per-partition
+    # top-k then a k·P-row merge), NOT a corpus-wide row_number
+    # window; rank is assigned after the limit over k rows only
+    topk = (
         df.withColumn("priority", pr)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(key_col, weight_col, "priority", "rank")
+        .orderBy(F.col("priority").asc(), F.col(key_col).asc())
+        .limit(k)
     )
+    w = Window.orderBy(F.col("priority").asc(), F.col(key_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        key_col, weight_col, "priority", "rank"
+    )
+
+
+def dsir_importance_weights(docs: DataFrame, target_lang: str = "en",
+                            smoothing: float = 1.0, k: int = 100) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"; unigram variant):
+    rank documents by how much they resemble a target distribution.
+
+    weight(doc) = avg over its tokens of
+    ``ln p_target(tok) − ln p_raw(tok)``, with add-``smoothing``
+    Laplace estimates over the shared vocabulary; the target
+    distribution is estimated from the docs whose ``lang`` equals
+    ``target_lang``, the raw distribution from the whole corpus.
+    Returns the top-``k`` docs by weight: (doc_id, weight).
+
+    Plan shape: one token explode feeding both frequency tables, the
+    vocab-sized log-ratio table joins back hash-keyed (broadcastable
+    for bounded vocabularies), scalar totals ride a 1-row broadcast,
+    and the final top-k is TakeOrderedAndProject — no corpus-wide
+    sort, no driver loop.
+    """
+    from sift_spark.models.text import tokens
+
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    raw_tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("nr"))
+    tgt_tf = (
+        tok.where(F.col("lang") == target_lang)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    vocab = raw_tf.join(tgt_tf, "tok", "left").select(
+        "tok", "nr", F.coalesce("nt", F.lit(0)).alias("nt")
+    )
+    totals = vocab.agg(
+        F.count(F.lit(1)).alias("vsz"),
+        F.sum("nr").alias("tr"),
+        F.sum("nt").alias("tt"),
+    )
+    s = float(smoothing)
+    lr = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (
+            F.log((F.col("nt") + s) / (F.col("tt") + s * F.col("vsz")))
+            - F.log((F.col("nr") + s) / (F.col("tr") + s * F.col("vsz")))
+        ).alias("lr"),
+    )
+    weights = (
+        tok.join(lr, "tok")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("lr"), 6).alias("weight"))
+    )
+    return weights.orderBy(F.col("weight").desc(), F.col("doc_id").asc()).limit(k)

@@ -108,3 +108,44 @@ def explain_shuffles(df: DataFrame) -> int:
     """Count Exchange operators in the physical plan (plan-shape
     telemetry for tests/tuning)."""
     return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+def compact_parquet(spark, path: str, target_file_mb: int = 512,
+                    sort_col: str | None = None) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    ~``target_file_mb`` each; returns the file count written.
+
+    The small-files problem is the classic failure mode of long-lived
+    ingest (streaming micro-batches, per-task outputs): thousands of
+    KB-sized files turn scans into open/seek storms and blow up the
+    driver's file index. Compaction = one read + one write sized off
+    the dataset's actual on-disk bytes; with ``sort_col`` the rewrite
+    range-partitions + sorts, so the new files carry min/max stats
+    that let later range predicates skip whole files.
+
+    The rewrite lands in a sibling temp dir and swaps in atomically
+    (same rename discipline as ``sinks.upsert``) — readers never see
+    a half-written dataset.
+    """
+    from sift_spark.sinks.upsert import _delete, _exists, _hadoop_fs, _rename
+
+    fs, jpath, _jvm = _hadoop_fs(spark, path)
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
+
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        out = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+    else:
+        out = df.repartition(n_files)
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    if _exists(spark, tmp):
+        _delete(spark, tmp)
+    out.write.mode("overwrite").parquet(tmp)
+    if _exists(spark, old):
+        _delete(spark, old)
+    _rename(spark, path, old)
+    _rename(spark, tmp, path)
+    _delete(spark, old)
+    return n_files

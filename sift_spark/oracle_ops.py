@@ -570,7 +570,7 @@ FROM tok JOIN p USING (anchor) GROUP BY doc_id
 """
 
 
-def _kmeans_oracle(n_iter: int = 2) -> str:
+def _kmeans_ctes(n_iter: int = 2) -> str:
     from sift_spark.functions.core import IVF_CENTROIDS
 
     cell_values = ", ".join(
@@ -603,12 +603,41 @@ cells{i} AS (SELECT cid, list(m ORDER BY dim) AS cv FROM cm{i} GROUP BY cid)""")
     joined = ",\n".join(parts)
     return f"""
 WITH {EMB},
-{joined}
+{joined}"""
+
+
+def _kmeans_oracle(n_iter: int = 2) -> str:
+    return f"""{_kmeans_ctes(n_iter)}
 SELECT vec_id, cluster FROM a{n_iter}
 """
 
 
 ORACLE_OPS["kmeans_clusters"] = _kmeans_oracle()
+
+
+def _semantic_dedup_oracle(threshold: float = 0.35, n_iter: int = 2) -> str:
+    """SemDeDup twin: same unrolled k-means rounds, then drop any
+    vector whose cluster holds a lower-id vector within ``threshold``
+    cosine (6dp round matches the Spark kernel's half-away rounding)."""
+    return f"""{_kmeans_ctes(n_iter)},
+nrm AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nn FROM e),
+drops AS (
+  SELECT DISTINCT r.vec_id AS dropped
+  FROM a{n_iter} l
+  JOIN a{n_iter} r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+  JOIN e el ON el.vec_id = l.vec_id
+  JOIN e er ON er.vec_id = r.vec_id
+  JOIN nrm nl ON nl.vec_id = l.vec_id
+  JOIN nrm nr ON nr.vec_id = r.vec_id
+  WHERE round(list_dot_product(el.v, er.v) / (nl.nn * nr.nn), 6) >= {threshold}
+)
+SELECT a.vec_id, a.cluster
+FROM a{n_iter} a
+WHERE a.vec_id NOT IN (SELECT dropped FROM drops)
+"""
+
+
+ORACLE_OPS["semantic_dedup"] = _semantic_dedup_oracle()
 
 _pack_h = _h64("concat('pack:', cast(doc_id as varchar))")
 
@@ -912,4 +941,27 @@ SELECT s.doc_id, count(*) AS n_shingles,
        round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty
 FROM sh s JOIN first f ON s.shingle = f.shingle
 GROUP BY s.doc_id
+"""
+
+ORACLE_OPS["dsir_weights"] = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+raw_tf AS (SELECT tok, count(*) AS nr FROM tok GROUP BY tok),
+tgt_tf AS (SELECT tok, count(*) AS nt FROM tok WHERE lang = 'en' GROUP BY tok),
+v AS (
+  SELECT r.tok, r.nr, coalesce(t.nt, 0) AS nt
+  FROM raw_tf r LEFT JOIN tgt_tf t ON r.tok = t.tok
+),
+c AS (SELECT count(*) AS vsz, sum(nr) AS tr, sum(nt) AS tt FROM v),
+lr AS (
+  SELECT tok,
+         ln((nt + 1.0) / (tt + 1.0 * vsz)) - ln((nr + 1.0) / (tr + 1.0 * vsz)) AS lr
+  FROM v, c
+)
+SELECT doc_id, round(avg(lr), 6) AS weight
+FROM tok JOIN lr USING (tok)
+GROUP BY doc_id
+ORDER BY weight DESC, doc_id ASC
+LIMIT 100
 """

@@ -441,6 +441,18 @@ def q_dedup_apply(spark, sf_dir):
     return dedup_apply(_docs(spark, sf_dir))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    from sift_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir))
+
+
+def q_dsir_weights(spark, sf_dir):
+    from sift_spark.operators.sampling import dsir_importance_weights
+
+    return dsir_importance_weights(_docs(spark, sf_dir), target_lang="en", k=100)
+
+
 def q_multimodal_features(spark, sf_dir):
     """[r] rows-only: decode is a binary codec (zlib SRAW), not
     SQL-expressible — pixel features per synthesized image."""
@@ -888,4 +900,6 @@ QUERIES: dict[str, QueryFn] = {
     "doc_novelty": q_doc_novelty,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_stats": q_multimodal_frame_stats,
+    "dsir_weights": q_dsir_weights,
+    "semantic_dedup": q_semantic_dedup,
 }

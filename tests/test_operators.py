@@ -336,3 +336,30 @@ def test_revenue_growth_first_month_null(spark):
     got = {r.ym: (r.revenue, r.growth) for r in revenue_growth(orders).collect()}
     assert got[199601] == (100.0, None)
     assert got[199602] == (200.0, 1.0)
+
+
+def test_semantic_dedup_drop_rule(spark):
+    """Every dropped vector has a LOWER-id same-cluster vector within
+    threshold cosine; every survivor does not (SemDeDup keep-min rule),
+    verified against a direct numpy recompute."""
+    import numpy as np
+
+    from sift_spark.operators.dedup import semantic_dedup
+    from sift_spark.operators.similarity import kmeans_clusters, round6_half_away
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    tau = 0.35
+    kept = {r.vec_id for r in semantic_dedup(emb, threshold=tau).collect()}
+    cl = {r.vec_id: r.cluster for r in kmeans_clusters(emb).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    E = np.stack([np.array(r.embedding, dtype="float64") for r in rows])
+    n = np.sqrt((E * E).sum(axis=1))
+    S = round6_half_away((E @ E.T) / np.outer(n, n))
+    order = np.argsort(ids)
+    for i in order:
+        has_lower_dup = any(
+            ids[j] < ids[i] and cl[ids[j]] == cl[ids[i]] and S[i, j] >= tau
+            for j in order
+        )
+        assert (ids[i] in kept) == (not has_lower_dup), ids[i]

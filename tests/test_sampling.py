@@ -43,3 +43,31 @@ def test_stratified_rates(spark):
             assert got.get(lang, 0) < n
         else:
             assert got[lang] == n
+
+
+def test_dsir_weights_favor_target_lang(spark):
+    """DSIR importance weights rank target-language docs above
+    off-target ones (the whole point of importance resampling)."""
+    from sift_spark.operators.sampling import dsir_importance_weights
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    n_docs = len(langs)
+    allw = dsir_importance_weights(docs, target_lang="en", k=n_docs).collect()
+    assert len(allw) == n_docs
+    # weights sorted desc with doc_id tie-break
+    ws = [(r.weight, r.doc_id) for r in allw]
+    assert ws == sorted(ws, key=lambda t: (-t[0], t[1]))
+    # the distributional property: target-language docs score higher
+    # on average than off-target docs (the synthetic corpus shares
+    # cross-lingual vocabulary, so per-doc overlap is expected — the
+    # MEAN separation is what importance weighting guarantees)
+    en_w = [r.weight for r in allw if langs[r.doc_id] == "en"]
+    other_w = [r.weight for r in allw if langs[r.doc_id] != "en"]
+    assert sum(en_w) / len(en_w) > sum(other_w) / len(other_w)
+    # and the top of the ranking is enriched vs the base rate
+    base = len(en_w) / n_docs
+    top_share = sum(1 for r in allw[:50] if langs[r.doc_id] == "en") / 50
+    assert top_share > base
+    plan = dsir_importance_weights(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

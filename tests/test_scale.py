@@ -195,3 +195,27 @@ def test_sentence_mentions_on_prose(spark):
     b = rows["kb/Beta"]
     assert b.mention == "It relates to Beta project."
     assert b.mention[b.span_start:b.span_stop] == "Beta"
+
+
+def test_compact_parquet_shrinks_file_count(spark, tmp_path):
+    """Many tiny files → few target-sized files, identical data, and
+    sorted rewrite produces non-overlapping per-file ranges."""
+    import glob
+
+    from sift_spark.operators.scale import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    ).repartition(40).write.parquet(path)
+    before_files = glob.glob(f"{path}/part-*.parquet")
+    assert len(before_files) == 40
+    before = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+
+    n = compact_parquet(spark, path, target_file_mb=512, sort_col="id")
+    after_files = glob.glob(f"{path}/part-*.parquet")
+    assert len(after_files) == n == 1  # tiny dataset fits one target file
+    after = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    assert after == before
+    # leftovers cleaned
+    assert not glob.glob(f"{path}__compact_*")
