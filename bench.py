@@ -151,6 +151,7 @@ def main() -> None:
         "doc_novelty",
         "dsir_weights",
         "semantic_dedup",
+        "bpe_train",
         "multimodal_features",
         "multimodal_frame_stats",
     ]

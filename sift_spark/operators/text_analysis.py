@@ -581,3 +581,95 @@ def text_normalize(docs: DataFrame) -> DataFrame:
         norm.alias("norm_text"),
         F.when(norm == "", 0).otherwise(F.size(F.split(norm, " "))).cast("int").alias("n_norm_tokens"),
     )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 10, min_count: int = 2) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016):
+    iteratively merge the most frequent adjacent symbol pair. Returns
+    the merge table — (merge_rank, left, right, merged, n) — which IS
+    a trained BPE tokenizer (apply merges in rank order to encode).
+
+    Scale shape (the standard trick): training runs over the DISTINCT
+    token vocabulary weighted by corpus frequency, so the corpus is
+    touched exactly once (the tf aggregate); every merge round is
+    vocab-sized. Per round: adjacent-pair weighted count (one
+    vocab-sized shuffle), a 1-row driver argmax (count desc, pair asc
+    tie-break — the merge table lives on the driver in every BPE
+    trainer), and a map-side fold that applies the merge
+    left-to-right. The fold is a built-in ``aggregate`` HOF — no
+    Python in the loop; ``localCheckpoint`` per round keeps plans
+    flat (same lesson as ``duplicate_clusters``).
+    """
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    # symbols start as single characters (split keeps a trailing empty
+    # match at end-of-string — filter it). Each round's words frame is
+    # persisted, NOT checkpointed: the pair-count aggregation is a
+    # full scan, so the cache materializes completely under that one
+    # action (a limit() probe would only fill some partitions — the
+    # partial-cache trap documented at ``duplicate_clusters``), and
+    # each round costs exactly ONE job. The previous round's cache is
+    # dropped once its child is materialized; 8 rounds of one-select
+    # lineage keeps Catalyst re-analysis trivial.
+    words = tf.select(
+        "tf",
+        F.filter(
+            F.split(F.col("tok"), "(?!^)"), lambda s: s != F.lit("")
+        ).alias("syms"),
+    ).persist()
+
+    merges = []
+    prev = None
+    for rank in range(n_merges):
+        pairs = (
+            words.where(F.size("syms") >= 2)
+            .select(
+                "tf",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        F.slice("syms", 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("tf").alias("n"))
+            .where(F.col("n") >= min_count)
+        )
+        top = pairs.orderBy(
+            F.col("n").desc(), F.col("p.l").asc(), F.col("p.r").asc()
+        ).limit(1).collect()
+        # the count action above fully materialized ``words``'s cache,
+        # so the previous round's cache can go now — not earlier, or
+        # this round would recompute through the whole fold lineage
+        if prev is not None:
+            prev.unpersist()
+        if not top:
+            break
+        left, right, n = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["n"]
+        merged = left + right
+        merges.append((rank, left, right, merged, n))
+        prev = words
+        # left-to-right merge fold: built-in aggregate HOF, map-side
+        words = words.select(
+            "tf",
+            F.aggregate(
+                "syms",
+                F.expr("cast(array() as array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (x == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+        ).persist()
+
+    words.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, merged string, n bigint"
+    )

@@ -441,6 +441,19 @@ def q_dedup_apply(spark, sf_dir):
     return dedup_apply(_docs(spark, sf_dir))
 
 
+def q_bpe_train(spark, sf_dir):
+    """[r] rows-only: iterative driver-argmax merge loop (the merge
+    table is driver-resident in every BPE trainer) — not
+    SQL-expressible; verified against a pure-Python reference
+    implementation in tests."""
+    from sift_spark.operators.text_analysis import bpe_train
+
+    # 6 rounds: each round is one Spark job (driver argmax), so the
+    # query's wall time is round-count × job latency — 6 keeps it
+    # inside the per-query bench/check budget at sf0.1
+    return bpe_train(_docs(spark, sf_dir), n_merges=6)
+
+
 def q_semantic_dedup(spark, sf_dir):
     from sift_spark.operators.dedup import semantic_dedup
 
@@ -902,4 +915,5 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_frame_stats": q_multimodal_frame_stats,
     "dsir_weights": q_dsir_weights,
     "semantic_dedup": q_semantic_dedup,
+    "bpe_train": q_bpe_train,
 }

@@ -363,3 +363,49 @@ def test_semantic_dedup_drop_rule(spark):
             for j in order
         )
         assert (ids[i] in kept) == (not has_lower_dup), ids[i]
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE merges == a pure-Python reference trainer run
+    on the same word-frequency table (same tie-break: count desc,
+    pair asc)."""
+    from collections import Counter
+
+    from sift_spark.operators.dedup import tokens  # re-exported split
+    from sift_spark.operators.text_analysis import bpe_train
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(60)
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.n)
+        for r in bpe_train(docs, n_merges=6, min_count=2).collect()
+    ]
+
+    # reference: same corpus, driver-side
+    tf = Counter()
+    for row in docs.select("text").collect():
+        for w in row.text.split(" "):
+            if w:
+                tf[w] += 1
+    words = {w: (list(w), c) for w, c in tf.items()}
+    want = []
+    for rank in range(6):
+        pc = Counter()
+        for syms, c in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        pc = {p: n for p, n in pc.items() if n >= 2}
+        if not pc:
+            break
+        (left, right), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, left, right, left + right, n))
+        for w, (syms, c) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = (out, c)
+    assert got == want

@@ -44,6 +44,8 @@ def test_all_queries_have_oracle_or_are_declared():
         # binary codec work (zlib SRAW/SVID decode) — not SQL-expressible
         "multimodal_features",
         "multimodal_frame_stats",
+        # iterative driver-argmax loop; verified vs a Python reference
+        "bpe_train",
     }
     missing = set(QUERIES) - set(ORACLE) - declared_rows_only
     assert not missing, f"queries missing oracle twins: {missing}"
