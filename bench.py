@@ -152,6 +152,8 @@ def main() -> None:
         "dsir_weights",
         "semantic_dedup",
         "bpe_train",
+        "dedup_clusters_star",
+        "dedup_incremental",
         "multimodal_features",
         "multimodal_frame_stats",
     ]

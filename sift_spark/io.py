@@ -24,9 +24,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
-        # default; read the column as int64 nanoseconds. Set at runtime
-        # so the contract also works under a caller-provided session.
+        # driver testdata stores ts as timestamp[us] (plain
+        # TimestampType — this conf is a no-op for it); set so a true
+        # TIMESTAMP(NANOS) events file reads as int64 nanos instead of
+        # erroring under a caller-provided session. Operators accept
+        # either via epoch_seconds() type detection.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -520,3 +520,142 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.35, n_iter: int = 2) -> 
         e.join(dup, "vec_id", "left_anti")
         .select("vec_id", "cluster")
     )
+
+
+def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — same output contract as
+    :func:`duplicate_clusters` (doc_id, rep_id = cluster min).
+
+    Why a second CC: min-label propagation needs O(diameter) rounds —
+    fine for near-dup cliques, pathological for chain-shaped graphs
+    (transitive near-dup chains across shingled revisions). The star
+    operations contract paths aggressively and converge in
+    O(log² n) rounds on ANY graph shape, so this is the variant to
+    reach for when the pair graph's diameter is unknown.
+
+    Each round is two keyed aggregates + joins over the edge list
+    (large-star: every neighbor > u links to u's current min;
+    small-star: neighbors ≤ u link to the min), with per-round
+    ``localCheckpoint`` lineage cuts like the propagation variant.
+    Convergence probe = edge-set hash equality (one aggregate).
+    """
+    edges = (
+        pairs.select(F.col("doc1").alias("u"), F.col("doc2").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(ed: DataFrame) -> DataFrame:
+        return ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        # neighborhoods come from BOTH orientations (edges are
+        # unordered pairs); for each u, m = min(u, Γ(u)); every
+        # neighbor v > u re-links to m
+        s = _sym(ed)
+        m = s.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+        return (
+            s.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # orient toward the smaller endpoint; for each hub u, link its
+        # small neighbors and u itself to the neighborhood min
+        o = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            o.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        # canonical (unordered) edge-set signature: xor of pair hashes
+        # (order-independent, overflow-free) + count
+        sig = edges.agg(
+            F.expr("bit_xor(xxhash64(greatest(u, v), least(u, v)))").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        cur = (sig["s"], sig["n"])
+        if cur == prev_sig:
+            break
+        prev_sig = cur
+    # fixpoint: a star per component — canonicalize orientation, then
+    # members = every non-root node, roots map to themselves
+    fin = edges.select(
+        F.greatest("u", "v").alias("node"), F.least("u", "v").alias("rep")
+    )
+    roots = fin.select(F.col("rep").alias("node")).distinct().withColumn(
+        "rep", F.col("node")
+    )
+    out = fin.union(roots).groupBy("node").agg(F.min("rep").alias("rep_id"))
+    return out.select(F.col("node").alias("doc_id"), "rep_id")
+
+
+def lsh_index(docs: DataFrame, n: int = 3) -> tuple[DataFrame, DataFrame]:
+    """Build the standing near-dup index for a corpus: (band table,
+    shingle table). At scale both are written once as bucketed tables
+    (bands on (band, sig), shingles on doc_id/shingle) so incremental
+    batches join them shuffle-free; the corpus text is never touched
+    again."""
+    return minhash_band_table(docs, n), shingles(docs, n).select("doc_id", "shingle")
+
+
+def minhash_lsh_pairs_incremental(new_docs: DataFrame, index_bands: DataFrame,
+                                  index_shingles: DataFrame, n: int = 3,
+                                  threshold: float = 0.8) -> DataFrame:
+    """Incremental MinHash-LSH: near-dup pairs INVOLVING a new batch —
+    (doc1, doc2, jaccard) where at least one side is new.
+
+    The batch-vs-corpus shape every growing pipeline needs: the
+    standing corpus contributes only its persisted index (bands +
+    shingles, see :func:`lsh_index`); candidates are the new batch's
+    band table joined against the index bands (old↔new) plus its own
+    self-join (new↔new), so work scales with the BATCH, not the
+    corpus. Exact-jaccard verification reads shingles for candidate
+    docs only (the join against index shingles is keyed on doc_id —
+    bucketed layout makes it pruned + shuffle-free).
+
+    Output doc1 < doc2, identical semantics to running
+    :func:`minhash_lsh_pairs` on old ∪ new and keeping pairs that
+    touch a new doc (property-tested)."""
+    new_bands = minhash_band_table(new_docs, n).persist()
+    new_sh = shingles(new_docs, n).select("doc_id", "shingle").persist()
+
+    cross = (
+        new_bands.alias("l")
+        .join(
+            index_bands.alias("r"),
+            (F.col("l.band") == F.col("r.band")) & (F.col("l.sig") == F.col("r.sig")),
+        )
+        .where(F.col("l.doc_id") != F.col("r.doc_id"))
+        .select(
+            F.least("l.doc_id", "r.doc_id").alias("doc1"),
+            F.greatest("l.doc_id", "r.doc_id").alias("doc2"),
+        )
+    )
+    within = (
+        new_bands.alias("l")
+        .join(
+            new_bands.alias("r"),
+            (F.col("l.band") == F.col("r.band")) & (F.col("l.sig") == F.col("r.sig")),
+        )
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
+    )
+    cand = cross.union(within).distinct()
+    all_sh = index_shingles.union(new_sh)
+    return _jaccard_verify(cand, all_sh, threshold)

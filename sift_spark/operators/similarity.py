@@ -346,6 +346,11 @@ def kmeans_clusters(emb: DataFrame, n_iter: int = 2) -> DataFrame:
         by_cid: dict[int, dict[int, float]] = {}
         for r in cent:
             by_cid.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        if not by_cid:
+            # empty input (or all clusters lost their members): the
+            # assignment is already empty — updating to a 0×dim
+            # codebook would only break the GEMM shapes
+            break
         cids = np.array(sorted(by_cid), dtype="int32")
         C = np.array([[by_cid[c][d] for d in range(dim)] for c in cids])
         a = assign(cids, C)

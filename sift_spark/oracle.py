@@ -977,3 +977,15 @@ SELECT p.anchor, p.target AS predicted_target, p.prior, t.n_mentions
 FROM p JOIN t ON p.anchor = t.anchor WHERE p.rn = 1
 """
 
+
+# identical output contract to dedup_clusters — the star-contraction
+# variant computes the same connected components
+ORACLE["dedup_clusters_star"] = ORACLE["dedup_clusters"]
+
+# incremental LSH ≡ full-corpus LSH restricted to pairs touching the
+# "new batch" (doc_id % 5 = 0 in the registered query)
+ORACLE["dedup_incremental"] = (
+    "WITH pairs AS (" + ORACLE["dedup_minhash_lsh"] + ")\n"
+    "SELECT doc1, doc2, jaccard FROM pairs\n"
+    "WHERE doc1 % 5 = 0 OR doc2 % 5 = 0"
+)

@@ -441,6 +441,29 @@ def q_dedup_apply(spark, sf_dir):
     return dedup_apply(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    from sift_spark.operators.dedup import (
+        duplicate_clusters_star,
+        minhash_lsh_pairs,
+    )
+
+    return duplicate_clusters_star(
+        minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+    )
+
+
+def q_dedup_incremental(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.dedup import lsh_index, minhash_lsh_pairs_incremental
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    bands, sh = lsh_index(old)
+    return minhash_lsh_pairs_incremental(new, bands, sh, threshold=0.8)
+
+
 def q_bpe_train(spark, sf_dir):
     """[r] rows-only: iterative driver-argmax merge loop (the merge
     table is driver-resident in every BPE trainer) — not
@@ -916,4 +939,6 @@ QUERIES: dict[str, QueryFn] = {
     "dsir_weights": q_dsir_weights,
     "semantic_dedup": q_semantic_dedup,
     "bpe_train": q_bpe_train,
+    "dedup_clusters_star": q_dedup_clusters_star,
+    "dedup_incremental": q_dedup_incremental,
 }

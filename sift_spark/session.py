@@ -30,8 +30,10 @@ def get_spark(app_name: str = "sift_spark", shuffle_partitions: int | None = Non
         .config("spark.driver.memory", os.environ.get("SIFT_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # events.parquet stores TIMESTAMP(NANOS); read as int64 nanos
-        # (operators derive epoch seconds via integer division)
+        # no-op for the driver testdata (events.parquet is
+        # timestamp[us] → plain TimestampType); kept so true
+        # TIMESTAMP(NANOS) inputs read as int64 nanos instead of
+        # erroring — operators type-detect via epoch_seconds()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()

@@ -409,3 +409,29 @@ def test_bpe_train_matches_reference(spark):
                     i += 1
             words[w] = (out, c)
     assert got == want
+
+
+def test_operators_tolerate_empty_input(spark):
+    """Edge hygiene: key operators return empty results (not errors)
+    on empty inputs — the first micro-batch of a new pipeline is often
+    empty."""
+    from sift_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+        minhash_lsh_pairs,
+        semantic_dedup,
+    )
+    from sift_spark.operators.sampling import dsir_importance_weights
+    from sift_spark.operators.text_analysis import bpe_train, quality_score
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>, label int")
+    pairs = spark.createDataFrame([], "doc1 long, doc2 long")
+
+    assert minhash_lsh_pairs(docs).count() == 0
+    assert duplicate_clusters(pairs).count() == 0
+    assert duplicate_clusters_star(pairs).count() == 0
+    assert semantic_dedup(emb).count() == 0
+    assert quality_score(docs).count() == 0
+    assert dsir_importance_weights(docs).count() == 0
+    assert bpe_train(docs).count() == 0

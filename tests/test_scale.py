@@ -219,3 +219,86 @@ def test_compact_parquet_shrinks_file_count(spark, tmp_path):
     assert after == before
     # leftovers cleaned
     assert not glob.glob(f"{path}__compact_*")
+
+
+def _cc_reference(edges):
+    """Union-find ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("shape", ["cliques", "chain", "random"])
+def test_cc_variants_match_union_find(spark, shape):
+    """Both CC implementations equal union-find ground truth on
+    clique-shaped (near-dup), chain-shaped (high-diameter — the shape
+    star contraction exists for), and random graphs."""
+    import random
+
+    from sift_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    rng = random.Random(7)
+    if shape == "cliques":
+        edges = [(10 * c + i, 10 * c + j) for c in range(5)
+                 for i in range(4) for j in range(i + 1, 4)]
+    elif shape == "chain":
+        edges = [(i, i + 1) for i in range(60)]
+    else:
+        edges = [(rng.randrange(100), rng.randrange(100)) for _ in range(80)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+    want = _cc_reference(edges)
+    pairs = spark.createDataFrame(
+        [Row(doc1=a, doc2=b) for a, b in edges]
+    )
+    # propagation needs O(diameter) rounds (documented) — the 61-node
+    # chain exceeds its default budget; star converges in O(log²n)
+    # rounds on every shape with the default budget, which is its
+    # reason to exist
+    got = {r.doc_id: r.rep_id
+           for r in duplicate_clusters(pairs, max_iter=80).collect()}
+    assert got == want, ("duplicate_clusters", shape)
+    got = {r.doc_id: r.rep_id for r in duplicate_clusters_star(pairs).collect()}
+    assert got == want, ("duplicate_clusters_star", shape)
+
+
+def test_incremental_lsh_equals_full_run(spark):
+    """Batch-vs-index incremental LSH == full-corpus LSH restricted
+    to pairs touching the new batch (with identical jaccard values)."""
+    from sift_spark.operators.dedup import (
+        lsh_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+
+    full = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.2).collect()
+        if r.doc1 in new_ids or r.doc2 in new_ids
+    }
+    bands, sh = lsh_index(old)
+    inc = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in minhash_lsh_pairs_incremental(new, bands, sh, threshold=0.2).collect()
+    }
+    assert inc == full
+    assert inc, "fixture should produce at least one near-dup pair"
