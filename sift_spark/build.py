@@ -67,6 +67,14 @@ def _model_registry():
         "ContainmentPairs": lambda s, p: _op("dedup").containment_pairs(docs_of(s, p)),
         "DocNovelty": lambda s, p: _op("dedup").doc_novelty(docs_of(s, p)),
         "AnchorAmbiguity": lambda s, p: L.anchor_ambiguity(wikify_links(docs_of(s, p))),
+        "DuplicateClustersStar": lambda s, p: _op("dedup").duplicate_clusters_star(
+            _op("dedup").minhash_lsh_pairs(docs_of(s, p))
+        ),
+        "SemanticDedup": lambda s, p: _op("dedup").semantic_dedup(
+            __import__("sift_spark.io", fromlist=["table"]).table(s, p, "embeddings")
+        ),
+        "DsirWeights": lambda s, p: _op("sampling").dsir_importance_weights(docs_of(s, p)),
+        "BpeTrain": lambda s, p: _op("text_analysis").bpe_train(docs_of(s, p)),
     }
 
 
