@@ -82,3 +82,48 @@ def test_rate_event_stream_runs_unbounded(spark):
     assert row.n_events > 0 and row.event_type in (
         "click", "view", "purchase", "error", "scroll"
     )
+
+
+def test_stream_corpus_dedup_equals_batch(spark, tmp_path):
+    """Continuous dedup over two micro-batches finds EXACTLY the
+    full-corpus LSH pairs: within-batch-1, within-batch-2, and
+    across-batch pairs all surface as batches arrive."""
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.dedup import minhash_lsh_pairs
+    from sift_spark.streaming.corpus import stream_corpus_dedup
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src = tmp_path / "incoming"
+    src.mkdir()
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "batch_a.parquet")
+    )
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "batch_b.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    q = stream_corpus_dedup(
+        stream,
+        index_path=str(tmp_path / "index"),
+        pairs_path=str(tmp_path / "pairs"),
+        threshold=0.2,
+    )
+    q.awaitTermination()
+
+    got = {
+        (min(r.doc1, r.doc2), max(r.doc1, r.doc2)): r.jaccard
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    want = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    assert got == want
+    assert want, "fixture should contain near-dup pairs"
