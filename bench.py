@@ -154,6 +154,7 @@ def main() -> None:
         "bpe_train",
         "dedup_clusters_star",
         "dedup_incremental",
+        "entity_components",
         "multimodal_features",
         "multimodal_frame_stats",
     ]

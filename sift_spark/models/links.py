@@ -386,3 +386,36 @@ def anchor_ambiguity(links: DataFrame) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+def entity_components(links: DataFrame, min_comentions: int = 2) -> DataFrame:
+    """Weakly-connected components of the entity comention graph:
+    (target, component) with ``component`` = the lexicographically
+    smallest entity in the component. Edges are entity pairs
+    co-mentioned in ≥ ``min_comentions`` documents (the threshold
+    keeps the graph sparse — ubiquitous entities would otherwise
+    connect everything).
+
+    The contraction itself is :func:`sift_spark.operators.dedup.
+    duplicate_clusters_star` — large-star/small-star works unchanged
+    on string vertex ids, and the comention graph is exactly the
+    unknown-diameter case it exists for (topic chains, not cliques).
+    """
+    from sift_spark.operators.dedup import duplicate_clusters_star
+
+    il = links.select("doc_id", "target").distinct()
+    pairs = (
+        il.alias("l")
+        .join(
+            il.alias("r"),
+            (F.col("l.doc_id") == F.col("r.doc_id"))
+            & (F.col("l.target") < F.col("r.target")),
+        )
+        .groupBy(F.col("l.target").alias("doc1"), F.col("r.target").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_comentions)
+        .select("doc1", "doc2")
+    )
+    return duplicate_clusters_star(pairs).select(
+        F.col("doc_id").alias("target"), F.col("rep_id").alias("component")
+    )

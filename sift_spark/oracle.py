@@ -989,3 +989,25 @@ ORACLE["dedup_incremental"] = (
     "SELECT doc1, doc2, jaccard FROM pairs\n"
     "WHERE doc1 % 5 = 0 OR doc2 % 5 = 0"
 )
+
+ORACLE["entity_components"] = f"""
+WITH RECURSIVE {TOK}, {LINKS},
+il AS (SELECT DISTINCT doc_id, target FROM links),
+cp AS (
+  SELECT l.target AS e1, r.target AS e2
+  FROM il l JOIN il r ON l.doc_id = r.doc_id AND l.target < r.target
+  GROUP BY l.target, r.target
+  HAVING count(*) >= 2
+),
+edges AS (
+  SELECT e1 AS a, e2 AS b FROM cp
+  UNION
+  SELECT e2 AS a, e1 AS b FROM cp
+),
+reach(src, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT src AS target, min(node) AS component FROM reach GROUP BY src
+"""

@@ -661,6 +661,10 @@ def q_comention_degrees(spark, sf_dir):
     return L.comention_degrees(wikify_links(_docs(spark, sf_dir)))
 
 
+def q_entity_components(spark, sf_dir):
+    return L.entity_components(wikify_links(_docs(spark, sf_dir)))
+
+
 def q_weighted_sample(spark, sf_dir):
     from sift_spark.operators.sampling import weighted_sample
 
@@ -941,4 +945,5 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_train": q_bpe_train,
     "dedup_clusters_star": q_dedup_clusters_star,
     "dedup_incremental": q_dedup_incremental,
+    "entity_components": q_entity_components,
 }
