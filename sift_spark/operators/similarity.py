@@ -507,3 +507,91 @@ def embedding_dim_stats(emb: DataFrame) -> DataFrame:
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
     )
+
+
+def ivf_write_index(emb: DataFrame, path: str, n_iter: int = 2) -> None:
+    """Train and persist an IVF index: ``{path}/cells`` holds the
+    vectors PARTITIONED BY their k-means cell, ``{path}/centroids``
+    the trained codebook. Partitioning by cell is the serving layout:
+    a query that probes ``nprobe`` cells reads only those partitions'
+    files — at 100 TB the scan touches nprobe/n_cells of the index,
+    enforced by static partition pruning (asserted in tests)."""
+    clusters = kmeans_clusters(emb, n_iter=n_iter)
+    cells = emb.select("vec_id", "embedding").join(clusters, "vec_id")
+    cells.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/cells")
+    cent = (
+        cells.select("cluster", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_query_index(spark, queries: DataFrame, path: str,
+                    k: int = 5, nprobe: int = 2) -> DataFrame:
+    """Probe a persisted IVF index: (vec_id, neighbor_id, sim, rank)
+    exact-cosine top-k within each query's ``nprobe`` nearest cells.
+
+    The codebook (k×D) is driver-resident — the same thing every ANN
+    serving system holds in memory; cell ranking is one numpy GEMM
+    per Arrow batch. The probed cell ids are collected (≤ n_cells
+    ints) and pushed as a static partition filter, so the cells scan
+    reads ONLY the probed partitions."""
+    import numpy as np
+    import pandas as pd
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cids = np.array([r["cluster"] for r in cents], dtype="int32")
+    C = np.stack([np.array(r["centroid"], dtype="float64") for r in cents])
+    n2 = (C * C).sum(axis=1)
+
+    def rank_cells(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            D = -2.0 * (E @ C.T) + n2
+            order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "cluster": cids[order.reshape(-1)],
+                }
+            )
+
+    probes = queries.select("vec_id", "embedding").mapInPandas(
+        rank_cells, "vec_id long, cluster int"
+    ).persist()
+    probed = sorted(r["cluster"] for r in probes.select("cluster").distinct().collect())
+    cells = spark.read.parquet(f"{path}/cells").where(F.col("cluster").isin(probed))
+    cand = (
+        probes.join(
+            cells.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("b_emb"),
+                "cluster",
+            ),
+            "cluster",
+        )
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", "b_emb")
+    )
+    from sift_spark.functions.core import cosine_sim
+
+    scored = cand.join(
+        queries.select("vec_id", F.col("embedding").alias("a_emb")), "vec_id"
+    ).select(
+        "vec_id",
+        "neighbor_id",
+        F.round(cosine_sim(F.col("a_emb"), F.col("b_emb")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

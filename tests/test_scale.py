@@ -302,3 +302,55 @@ def test_incremental_lsh_equals_full_run(spark):
     }
     assert inc == full
     assert inc, "fixture should produce at least one near-dup pair"
+
+
+def test_ivf_persisted_index_prunes_and_ranks(spark, tmp_path):
+    """Persisted IVF index: the cells scan reads ONLY probed
+    partitions (static partition pruning), and results equal an exact
+    numpy re-rank within each query's probed cells."""
+    import numpy as np
+
+    from sift_spark.operators.similarity import (
+        ivf_query_index,
+        ivf_write_index,
+        round6_half_away,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    ivf_write_index(emb, idx)
+
+    queries = emb.where(F.col("vec_id") < 5)
+    out = ivf_query_index(spark, queries, idx, k=3, nprobe=2)
+    rows = out.collect()
+
+    # partition pruning: the cells read carries a static partition
+    # filter listing only the probed cluster ids
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(", plan), plan[:500]
+
+    probed = spark.read.parquet(f"{idx}/cells")
+    # reference re-rank: load index + centroids driver-side
+    cents = {r.cluster: np.array(r.centroid) for r in
+             spark.read.parquet(f"{idx}/centroids").collect()}
+    cells = {}
+    for r in probed.collect():
+        cells.setdefault(r.cluster, []).append((r.vec_id, np.array(r.embedding)))
+    qs = {r.vec_id: np.array(r.embedding) for r in queries.collect()}
+    want = {}
+    for qid, qv in qs.items():
+        order = sorted(cents, key=lambda c: (float(((qv - cents[c]) ** 2).sum()), c))
+        cand = [p for c in order[:2] for p in cells[c] if p[0] != qid]
+        sims = sorted(
+            ((float(round6_half_away(
+                qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))), nid)
+             for nid, v in cand),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        want[qid] = [(nid, s) for s, nid in sims]
+    got = {}
+    for r in sorted(rows, key=lambda r: (r.vec_id, r.rank)):
+        got.setdefault(r.vec_id, []).append((r.neighbor_id, r.sim))
+    assert got == want
