@@ -199,3 +199,39 @@ def test_redirect_fixpoint(spark):
     # fixpoint property: no resolved target is still a redirect source
     sources = {s for s, _ in resolved}
     assert not any(t in sources and t != s for s, t in resolved if (t, t) not in resolved)
+
+
+def test_wikidata_corrupt_lines_skipped(spark, tmp_path):
+    """Malformed JSON lines (truncated dumps, trailing commas) must
+    not kill the read — schema-based parse nulls them out and valid
+    rows survive."""
+    from sift_spark.corpora.wikidata import read_items
+
+    p = tmp_path / "wd.json"
+    p.write_text(
+        "\n".join(
+            [
+                WIKIDATA_LINES[0],
+                '{"id": "Q_truncated", "labels": {',      # broken JSON
+                "not json at all",
+                WIKIDATA_LINES[1],
+            ]
+        )
+    )
+    items = read_items(spark, str(p))
+    ids = {r.id for r in items.select("id").collect() if r.id}
+    assert {"Q1", "Q2"} <= ids
+    assert "Q_truncated" not in ids
+
+
+def test_warc_truncated_record_skipped(spark, tmp_path):
+    """A torn WARC record (no HTTP payload separator) yields no row;
+    intact records still parse."""
+    from sift_spark.corpora.warc import read_warc
+
+    good = _warc_record("http://x.test/ok", "<html><body>fine page here</body></html>")
+    torn = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x.test/torn\r\n"
+    p = tmp_path / "torn.warc"
+    p.write_text(good + torn)
+    rows = read_warc(spark, str(p)).collect()
+    assert [r.url for r in rows] == ["http://x.test/ok"]
