@@ -155,6 +155,7 @@ def main() -> None:
         "dedup_clusters_star",
         "dedup_incremental",
         "entity_components",
+        "similar_docs",
         "multimodal_features",
         "multimodal_frame_stats",
     ]

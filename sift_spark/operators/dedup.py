@@ -659,3 +659,43 @@ def minhash_lsh_pairs_incremental(new_docs: DataFrame, index_bands: DataFrame,
     cand = cross.union(within).distinct()
     all_sh = index_shingles.union(new_sh)
     return _jaccard_verify(cand, all_sh, threshold)
+
+
+def similar_docs(docs: DataFrame, query_doc_id: int, k: int = 10,
+                 n: int = 3) -> DataFrame:
+    """One-vs-corpus similarity lookup: the ``k`` documents most
+    similar to ``query_doc_id`` by exact shingle jaccard —
+    (doc_id, jaccard, rank).
+
+    Scale shape: the query doc's shingle set is tiny and broadcasts;
+    candidates = docs sharing ≥1 shingle (semi-join style equi-join on
+    the shingle key — the corpus is never cross-joined or fully
+    scored), exact jaccard only on candidates, top-k via
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    sh = shingles(docs, n).select("doc_id", "shingle")
+    q_sh = sh.where(F.col("doc_id") == query_doc_id).select("shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    q_size = sizes.where(F.col("doc_id") == query_doc_id).select(
+        F.col("n_sh").alias("q_sh")
+    )
+    inter = (
+        sh.where(F.col("doc_id") != query_doc_id)
+        .join(F.broadcast(q_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        inter.join(sizes, "doc_id")
+        .crossJoin(F.broadcast(q_size))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("inter") / (F.col("n_sh") + F.col("q_sh") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    topk = scored.orderBy(F.col("jaccard").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("jaccard").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w))

@@ -965,3 +965,26 @@ GROUP BY doc_id
 ORDER BY weight DESC, doc_id ASC
 LIMIT 100
 """
+
+ORACLE_OPS["similar_docs"] = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+),
+q AS (SELECT shingle FROM sh WHERE doc_id = 7),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+qs AS (SELECT count(*) AS q_sh FROM q),
+inter AS (
+  SELECT s.doc_id, count(*) AS inter
+  FROM sh s JOIN q ON s.shingle = q.shingle
+  WHERE s.doc_id != 7
+  GROUP BY s.doc_id
+)
+SELECT i.doc_id,
+       round(i.inter * 1.0 / (z.n_sh + (SELECT q_sh FROM qs) - i.inter), 6) AS jaccard,
+       CAST(row_number() OVER (ORDER BY round(i.inter * 1.0 / (z.n_sh + (SELECT q_sh FROM qs) - i.inter), 6) DESC, i.doc_id ASC) AS INT) AS rank
+FROM inter i JOIN sizes z ON z.doc_id = i.doc_id
+ORDER BY jaccard DESC, i.doc_id ASC
+LIMIT 10
+"""

@@ -441,6 +441,12 @@ def q_dedup_apply(spark, sf_dir):
     return dedup_apply(_docs(spark, sf_dir))
 
 
+def q_similar_docs(spark, sf_dir):
+    from sift_spark.operators.dedup import similar_docs
+
+    return similar_docs(_docs(spark, sf_dir), query_doc_id=7, k=10)
+
+
 def q_dedup_clusters_star(spark, sf_dir):
     from sift_spark.operators.dedup import (
         duplicate_clusters_star,
@@ -946,4 +952,5 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_clusters_star": q_dedup_clusters_star,
     "dedup_incremental": q_dedup_incremental,
     "entity_components": q_entity_components,
+    "similar_docs": q_similar_docs,
 }
