@@ -156,6 +156,7 @@ def main() -> None:
         "dedup_incremental",
         "entity_components",
         "similar_docs",
+        "user_status_history",
         "multimodal_features",
         "multimodal_frame_stats",
     ]

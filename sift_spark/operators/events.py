@@ -288,3 +288,44 @@ def user_streaks(events: DataFrame) -> DataFrame:
     return streaks.groupBy("user_id").agg(
         F.sum("len").alias("n_active_days"), F.max("len").alias("longest_streak")
     )
+
+
+def user_status_history(events: DataFrame) -> DataFrame:
+    """SCD2-style status history from the event stream: per user, one
+    row per RUN of equal consecutive event_types —
+    (user_id, status, valid_from, valid_to, n_events) with half-open
+    validity [valid_from, valid_to) in epoch seconds; the current
+    (last) run has valid_to NULL.
+
+    The gaps-and-islands shape every warehouse dimension build uses:
+    a lag-flag marks run starts, a running sum numbers runs, one
+    aggregate per run, and a lead over runs closes each validity
+    window. All windows partition by user_id — one keyed shuffle,
+    per-user state bounded by that user's runs.
+    """
+    es = epoch_seconds(events)
+    w = Window.partitionBy("user_id").orderBy(F.col("es").asc(), F.col("event_id").asc())
+    prev = F.lag("status").over(w)
+    flagged = events.select(
+        "user_id", "event_id", F.col("event_type").alias("status"), es.alias("es")
+    ).withColumn(
+        "new_run",
+        F.when(prev.isNull() | (prev != F.col("status")), 1).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    agg = runs.groupBy("user_id", "run_id").agg(
+        F.first("status").alias("status"),
+        F.min("es").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.col("run_id").asc())
+    return agg.select(
+        "user_id",
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(wr).alias("valid_to"),
+        "n_events",
+    )

@@ -38,3 +38,60 @@ def upsert_latest(old: DataFrame, delta: DataFrame, key_cols: list[str],
         .where(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def scd2_merge(history: DataFrame, updates: DataFrame, key_cols: list[str],
+               attr_cols: list[str], ts_col: str = "ts") -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: apply an update batch
+    to an SCD2 history table (``valid_from``/``valid_to``, open rows
+    have ``valid_to`` NULL).
+
+    For each key with updates: the open row closes at the first
+    changed update's timestamp, and each ATTRIBUTE CHANGE in the
+    batch opens a new row (consecutive equal attribute snapshots
+    collapse, so replayed/duplicate updates are no-ops). Keys without
+    updates pass through untouched. One shuffle on the key — closed
+    history rows never rewrite, which is what makes SCD2 the
+    append-friendly history layout at warehouse scale.
+    """
+    from pyspark.sql import Window
+
+    attrs = [F.col(c) for c in attr_cols]
+    snap = F.struct(*attrs)
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    open_rows = history.where(F.col("valid_to").isNull()).select(
+        *key_cols, *attr_cols, F.col("valid_from").alias(ts_col)
+    )
+    # idempotency under replay: updates at or before the current open
+    # version's start are already folded into history — drop them
+    # (at-least-once delivery replays whole batches; without this a
+    # replay would resurrect superseded versions)
+    cur = open_rows.select(*key_cols, F.col(ts_col).alias("__cur_from"))
+    fresh = (
+        updates.select(*key_cols, *attr_cols, ts_col)
+        .join(cur, key_cols, "left")
+        .where(F.col("__cur_from").isNull() | (F.col(ts_col) > F.col("__cur_from")))
+        .drop("__cur_from")
+    )
+    # open row acts as the run-seed so unchanged updates collapse
+    # against the CURRENT state, not just within the batch
+    chain = open_rows.unionByName(fresh)
+    prev = F.lag(snap).over(w)
+    changed = chain.withColumn(
+        "new_run", F.when(prev.isNull() | (prev != snap), 1).otherwise(0)
+    ).where(F.col("new_run") == 1)
+    versions = changed.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(
+            Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+        ).alias("valid_to"),
+    )
+    touched = updates.select(*key_cols).distinct()
+    untouched_hist = history.join(touched, key_cols, "left_anti")
+    closed_hist = history.where(F.col("valid_to").isNotNull()).join(
+        touched, key_cols, "left_semi"
+    )
+    return untouched_hist.unionByName(closed_hist).unionByName(versions)

@@ -1011,3 +1011,31 @@ reach(src, node) AS (
 )
 SELECT src AS target, min(node) AS component FROM reach GROUP BY src
 """
+
+ORACLE["user_status_history"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type AS status,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN lag(status) OVER w IS NULL
+                   OR lag(status) OVER w != status THEN 1 ELSE 0 END AS new_run
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+),
+r AS (
+  SELECT *, sum(new_run) OVER (
+    PARTITION BY user_id ORDER BY es, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM f
+),
+a AS (
+  SELECT user_id, run_id, min(status) AS status,
+         min(es) AS valid_from, count(*) AS n_events
+  FROM r GROUP BY user_id, run_id
+)
+SELECT user_id, status, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+       n_events
+FROM a
+"""

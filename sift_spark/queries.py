@@ -441,6 +441,12 @@ def q_dedup_apply(spark, sf_dir):
     return dedup_apply(_docs(spark, sf_dir))
 
 
+def q_user_status_history(spark, sf_dir):
+    from sift_spark.operators.events import user_status_history
+
+    return user_status_history(table(spark, sf_dir, "events"))
+
+
 def q_similar_docs(spark, sf_dir):
     from sift_spark.operators.dedup import similar_docs
 
@@ -953,4 +959,5 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_incremental": q_dedup_incremental,
     "entity_components": q_entity_components,
     "similar_docs": q_similar_docs,
+    "user_status_history": q_user_status_history,
 }

@@ -61,3 +61,41 @@ def test_stream_static_enrichment(spark, tmp_path):
     )
     rows = out.collect()
     assert rows and all(r.n == r.le for r in rows)  # every event matched its profile
+
+
+def test_scd2_merge_semantics(spark):
+    """SCD2 merge: attribute changes open versions, duplicates are
+    no-ops, closed history never rewrites, untouched keys pass
+    through, brand-new keys create history."""
+    from pyspark.sql import Row
+
+    from sift_spark.operators.incremental import scd2_merge
+
+    history = spark.createDataFrame(
+        [
+            # key 1: one closed + one open row
+            Row(k=1, plan="free", valid_from=100, valid_to=200),
+            Row(k=1, plan="pro", valid_from=200, valid_to=None),
+            # key 2: untouched by the batch
+            Row(k=2, plan="free", valid_from=150, valid_to=None),
+        ]
+    )
+    updates = spark.createDataFrame(
+        [
+            Row(k=1, plan="pro", ts=250),        # duplicate of current → no-op
+            Row(k=1, plan="enterprise", ts=300),  # real change
+            Row(k=3, plan="free", ts=400),        # brand-new key
+        ]
+    )
+    out = scd2_merge(history, updates, ["k"], ["plan"])
+    rows = {(r.k, r.plan, r.valid_from): r.valid_to for r in out.collect()}
+    assert rows == {
+        (1, "free", 100): 200,            # closed row untouched
+        (1, "pro", 200): 300,             # open row closed at the change
+        (1, "enterprise", 300): None,     # new open version
+        (2, "free", 150): None,           # untouched key passes through
+        (3, "free", 400): None,           # new key opens history
+    }
+    # replaying the same batch is a no-op
+    again = scd2_merge(out, updates, ["k"], ["plan"])
+    assert {(r.k, r.plan, r.valid_from): r.valid_to for r in again.collect()} == rows
