@@ -595,3 +595,109 @@ def ivf_query_index(spark, queries: DataFrame, path: str,
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivfpq_write_index(emb: DataFrame, path: str, n_iter: int = 2) -> None:
+    """Persist the memory-bounded ANN index: cells partitioned by
+    trained k-means cluster carry ONLY (vec_id, codes) — the 32-bit
+    PQ code replaces the raw vector, so the on-disk index is ~64×
+    smaller than the corpus and the scan that serves a query reads
+    codes, never embeddings. Same centroids table as
+    :func:`ivf_write_index`."""
+    clusters = kmeans_clusters(emb, n_iter=n_iter)
+    cells = pq_codes(emb).join(clusters, "vec_id")
+    cells.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/cells")
+    cent = (
+        emb.select("vec_id", "embedding")
+        .join(clusters, "vec_id")
+        .select("cluster", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivfpq_query_index(spark, queries: DataFrame, path: str,
+                      k: int = 5, nprobe: int = 2) -> DataFrame:
+    """Probe a persisted IVF-PQ index: (vec_id, neighbor_id,
+    adc_dist, rank) — asymmetric-distance top-k within each query's
+    ``nprobe`` cells, computed from the candidates' PQ codes alone.
+    Static partition pruning on the probed cells, exactly like
+    :func:`ivf_query_index`; the difference is the scan payload:
+    4-byte codes instead of D-float vectors."""
+    import numpy as np
+    import pandas as pd
+
+    from sift_spark.functions.core import PQ_CODEBOOKS, PQ_M, PQ_SUB_DIM
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cids = np.array([r["cluster"] for r in cents], dtype="int32")
+    IC = np.stack([np.array(r["centroid"], dtype="float64") for r in cents])
+    icn2 = (IC * IC).sum(axis=1)
+    C = np.array(PQ_CODEBOOKS, dtype="float64")
+
+    def rank_cells(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            D = -2.0 * (E @ IC.T) + icn2
+            order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "cluster": cids[order.reshape(-1)],
+                }
+            )
+
+    probes = queries.select("vec_id", "embedding").mapInPandas(
+        rank_cells, "vec_id long, cluster int"
+    ).persist()
+    probed = sorted(r["cluster"] for r in probes.select("cluster").distinct().collect())
+    cells = spark.read.parquet(f"{path}/cells").where(F.col("cluster").isin(probed))
+    cand = (
+        probes.join(
+            cells.select(F.col("vec_id").alias("neighbor_id"), "codes", "cluster"),
+            "cluster",
+        )
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .join(queries.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", "embedding", "neighbor_id", "codes")
+    )
+
+    def adc(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            E = E / np.linalg.norm(E, axis=1, keepdims=True)
+            codes_arr = np.array(
+                [list(map(int, s.split(","))) for s in pdf["codes"]], dtype="int64"
+            )
+            d = np.zeros(n)
+            for m in range(PQ_M):
+                sub = E[:, m * PQ_SUB_DIM:(m + 1) * PQ_SUB_DIM]
+                diff = sub - C[m][codes_arr[:, m]]
+                d += (diff * diff).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "adc_dist": round6_half_away(d),
+                }
+            )
+
+    scored = cand.mapInPandas(adc, "vec_id long, neighbor_id long, adc_dist double")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

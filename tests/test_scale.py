@@ -354,3 +354,63 @@ def test_ivf_persisted_index_prunes_and_ranks(spark, tmp_path):
     for r in sorted(rows, key=lambda r: (r.vec_id, r.rank)):
         got.setdefault(r.vec_id, []).append((r.neighbor_id, r.sim))
     assert got == want
+
+
+def test_ivfpq_persisted_index_codes_only(spark, tmp_path):
+    """Persisted IVF-PQ index: cells carry codes, not vectors; the
+    probe prunes partitions; ADC results equal a numpy reference
+    within probed cells."""
+    import numpy as np
+
+    from sift_spark.functions.core import PQ_CODEBOOKS, PQ_M, PQ_SUB_DIM
+    from sift_spark.operators.similarity import (
+        ivfpq_query_index,
+        ivfpq_write_index,
+        round6_half_away,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_write_index(emb, idx)
+
+    cells = spark.read.parquet(f"{idx}/cells")
+    assert "embedding" not in cells.columns  # codes-only payload
+
+    queries = emb.where(F.col("vec_id") < 4)
+    out = ivfpq_query_index(spark, queries, idx, k=3, nprobe=2)
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(", plan)
+
+    # numpy ADC reference within probed cells
+    C = np.array(PQ_CODEBOOKS, dtype="float64")
+    cents = {r.cluster: np.array(r.centroid) for r in
+             spark.read.parquet(f"{idx}/centroids").collect()}
+    cell_rows = {}
+    for r in cells.collect():
+        cell_rows.setdefault(r.cluster, []).append(
+            (r.vec_id, [int(x) for x in r.codes.split(",")])
+        )
+    qs = {r.vec_id: np.array(r.embedding, dtype="float64")
+          for r in queries.collect()}
+    want = {}
+    for qid, qv in qs.items():
+        order = sorted(cents, key=lambda c: (float(((qv - cents[c]) ** 2).sum()), c))
+        qn = qv / np.linalg.norm(qv)
+        scoredl = []
+        for c in order[:2]:
+            for nid, codes in cell_rows.get(c, []):
+                if nid == qid:
+                    continue
+                d = 0.0
+                for m in range(PQ_M):
+                    sub = qn[m * PQ_SUB_DIM:(m + 1) * PQ_SUB_DIM]
+                    diff = sub - C[m][codes[m]]
+                    d += float((diff * diff).sum())
+                scoredl.append((float(round6_half_away(d)), nid))
+        want[qid] = sorted(scoredl)[:3]
+    got = {}
+    for r in sorted(out.collect(), key=lambda r: (r.vec_id, r.rank)):
+        got.setdefault(r.vec_id, []).append((r.adc_dist, r.neighbor_id))
+    assert got == want
