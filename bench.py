@@ -157,6 +157,7 @@ def main() -> None:
         "entity_components",
         "similar_docs",
         "user_status_history",
+        "cms_heavy_hitters",
         "multimodal_features",
         "multimodal_frame_stats",
     ]

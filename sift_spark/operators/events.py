@@ -329,3 +329,56 @@ def user_status_history(events: DataFrame) -> DataFrame:
         F.lead("valid_from").over(wr).alias("valid_to"),
         "n_events",
     )
+
+
+def cms_heavy_hitters(events: DataFrame, width: int = 256, depth: int = 4,
+                      threshold: int = 50) -> DataFrame:
+    """Heavy hitters via a count-min sketch: users whose estimated
+    event count >= ``threshold`` -- (user_id, est_count, true_count).
+
+    The sketch is depth hash rows x width buckets of summed counts; a
+    key's estimate is the MIN over its depth buckets (CMS
+    overestimates, never underestimates -- est >= true is asserted in
+    tests and visible in the output columns). The bucket hash is the
+    repo's md5-derived ``hash64`` (identical in DuckDB), so the
+    sketch -- approximation and all -- is bit-reproducible
+    cross-engine and the operator is hash-checked against an oracle.
+    The point at 100 TB: the sketch table is depth x width COUNTERS
+    regardless of key cardinality, built in one aggregate over
+    (depth x events) rows; only candidate keys (distinct users,
+    vocab-sized) probe it, and the sketch broadcasts.
+    """
+    from sift_spark.functions.core import hash64
+
+    def bucket():
+        return F.pmod(
+            hash64(
+                F.concat(F.col("d").cast("string"), F.lit(":"),
+                         F.col("user_id").cast("string"))
+            ),
+            F.lit(width),
+        )
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    keyed = events.select(F.col("user_id"), rows).select(
+        "user_id", "d", bucket().alias("bucket")
+    )
+    sketch = keyed.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    probes = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .select(
+            "user_id",
+            "true_count",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+        )
+        .select("user_id", "true_count", "d", bucket().alias("bucket"))
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return est.where(F.col("est_count") >= threshold).select(
+        "user_id", "est_count", "true_count"
+    )

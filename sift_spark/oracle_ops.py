@@ -988,3 +988,24 @@ FROM inter i JOIN sizes z ON z.doc_id = i.doc_id
 ORDER BY jaccard DESC, i.doc_id ASC
 LIMIT 10
 """
+
+_cms_h = _h64("concat(cast(d as varchar), ':', cast(user_id as varchar))")
+
+ORACLE_OPS["cms_heavy_hitters"] = f"""
+WITH keyed AS (
+  SELECT user_id, d, ({_cms_h} % 256) AS bucket
+  FROM (SELECT user_id FROM events), unnest(generate_series(0, 3)) AS t(d)
+),
+sketch AS (SELECT d, bucket, count(*) AS c FROM keyed GROUP BY d, bucket),
+tc AS (SELECT user_id, count(*) AS true_count FROM events GROUP BY user_id),
+probes AS (
+  SELECT user_id, true_count, d, ({_cms_h} % 256) AS bucket
+  FROM tc, unnest(generate_series(0, 3)) AS t(d)
+),
+est AS (
+  SELECT p.user_id, p.true_count, min(s.c) AS est_count
+  FROM probes p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+  GROUP BY p.user_id, p.true_count
+)
+SELECT user_id, est_count, true_count FROM est WHERE est_count >= 50
+"""

@@ -441,6 +441,12 @@ def q_dedup_apply(spark, sf_dir):
     return dedup_apply(_docs(spark, sf_dir))
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    from sift_spark.operators.events import cms_heavy_hitters
+
+    return cms_heavy_hitters(table(spark, sf_dir, "events"))
+
+
 def q_user_status_history(spark, sf_dir):
     from sift_spark.operators.events import user_status_history
 
@@ -960,4 +966,5 @@ QUERIES: dict[str, QueryFn] = {
     "entity_components": q_entity_components,
     "similar_docs": q_similar_docs,
     "user_status_history": q_user_status_history,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
