@@ -13,8 +13,20 @@ which is also their natural partition key. AQE handles skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _global_topk(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """Global top-k with a rank column, planned as TakeOrderedAndProject
+    (per-partition top-k + one k·P-row merge on the driver-side sort)
+    rather than a single-partition row_number window over every
+    candidate row. The row_number runs AFTER the limit, over k rows
+    only, so the single-partition window is bounded by k regardless of
+    input size. `order` must be a total ordering (tie-break on a key)
+    so rank assignment is deterministic cross-engine."""
+    topk = df.orderBy(*order).limit(k)
+    return topk.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 def q1_pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-02") -> DataFrame:
@@ -278,8 +290,9 @@ def q10_returned_items(customer: DataFrame, orders: DataFrame, lineitem: DataFra
                        nation: DataFrame, k: int = 20) -> DataFrame:
     """TPC-H Q10 shape: top-k customers by revenue lost to returned
     items. Returned-lines filter pushes to the lineitem scan; nation
-    broadcast; final top-k is a single rank window on the
-    post-aggregation rows (one row per customer, not per line)."""
+    broadcast; final top-k via orderBy+limit (TakeOrderedAndProject) —
+    post-agg rows are one per customer, which still scales with the
+    data, so no global row_number window over them."""
     rev = (
         lineitem.where(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -288,8 +301,7 @@ def q10_returned_items(customer: DataFrame, orders: DataFrame, lineitem: DataFra
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return rev.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _global_topk(rev, [F.col("revenue").desc(), F.col("c_custkey").asc()], k)
 
 
 def orders_cube(orders: DataFrame) -> DataFrame:
@@ -570,16 +582,14 @@ def q18_large_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .where(F.col("total_qty") > min_qty)
     )
-    w = Window.orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
-    return (
+    joined = (
         orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey",
                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
                 F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty")
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
     )
+    return _global_topk(joined, [F.col("total_qty").desc(), F.col("o_orderkey").asc()], k)
 
 
 def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
@@ -878,13 +888,11 @@ def q21_waiting_suppliers(supplier: DataFrame, orders: DataFrame, lineitem: Data
         .where(F.col("n_late") == 1)
     )
     numwait = blamed.groupBy("suppkey").agg(F.count(F.lit(1)).alias("numwait"))
-    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name").asc())
-    return (
+    named = (
         numwait.join(supplier, F.col("suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "numwait")
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
     )
+    return _global_topk(named, [F.col("numwait").desc(), F.col("s_name").asc()], k)
 
 
 def basket_pairs(lineitem: DataFrame, min_support: int = 2) -> DataFrame:

@@ -279,3 +279,22 @@ def test_search_topk_is_take_ordered(spark):
     for fn in (tfidf_search, bm25_search):
         plan = _plan(fn(docs, ("data", "spark")))
         assert "TakeOrderedAndProject" in plan, fn.__name__
+
+
+def test_tpch_topk_is_take_ordered(spark):
+    """q10/q18/q21 rank over post-aggregation rows that still scale
+    with the data (one per customer/order/supplier) — they must plan
+    as TakeOrderedAndProject, not a single-partition window."""
+    from sift_spark.io import table
+    from sift_spark.operators.relational import (
+        q10_returned_items, q18_large_orders, q21_waiting_suppliers,
+    )
+
+    t = lambda n: table(spark, SF_SMOKE, n)
+    plans = {
+        "q10": _plan(q10_returned_items(t("customer"), t("orders"), t("lineitem"), t("nation"))),
+        "q18": _plan(q18_large_orders(t("customer"), t("orders"), t("lineitem"))),
+        "q21": _plan(q21_waiting_suppliers(t("supplier"), t("orders"), t("lineitem"))),
+    }
+    for name, plan in plans.items():
+        assert "TakeOrderedAndProject" in plan, name
