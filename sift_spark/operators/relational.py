@@ -643,19 +643,26 @@ def repeat_customers(orders: DataFrame, year_a: int = 1996, year_b: int = 1997) 
     return a.intersect(b).select(F.col("o_custkey").alias("c_custkey"))
 
 
-def rfm_segments(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
+def rfm_segments(orders: DataFrame, n_tiles: int = 4, approx: bool = False,
+                 accuracy: int = 10000) -> DataFrame:
     """RFM customer segmentation: recency (days since last order,
     against the corpus max date), frequency (order count), monetary
     (total spend), each quartiled, plus the composite segment code
     r·100 + f·10 + m: (c_custkey, recency_days, frequency, monetary,
     r, f, m, segment).
 
-    The ntile windows are global but run on post-aggregation rows
-    (one per customer) with total orderings (metric, then custkey) so
-    ties split identically on any engine. At 100 TB replace the exact
-    ntiles with approx-percentile cutoffs broadcast from a 1-row agg
-    (the segment semantics tolerate boundary epsilon); the per-customer
-    aggregate — the expensive part — is unchanged."""
+    Two tile strategies:
+    - exact (default, the oracle-checked path): global ntile windows
+      with total orderings (metric, then custkey) so ties split
+      identically on any engine. The windows run on post-aggregation
+      rows — one per customer — which still scale with the data, so
+      this path funnels through one task at 100 TB.
+    - ``approx=True`` (the scale path): tile boundaries from one
+      ``percentile_approx`` aggregate (map-side partials, no window
+      anywhere in the plan), broadcast back as a 1-row dim, tiles
+      assigned by comparison against the cutoffs. Boundary-epsilon
+      disagreements vs exact are confined to customers whose metric
+      sits on a quantile cutoff (≤1 tile, tested)."""
     per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.max(F.to_date("o_orderdate")).alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
@@ -668,6 +675,30 @@ def rfm_segments(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
         "frequency",
         "monetary",
     )
+    if approx:
+        probs = F.array(*[F.lit(i / n_tiles) for i in range(1, n_tiles)])
+        cuts = base.agg(
+            F.percentile_approx("recency_days", probs, F.lit(accuracy)).alias("rc"),
+            F.percentile_approx("frequency", probs, F.lit(accuracy)).alias("fc"),
+            F.percentile_approx("monetary", probs, F.lit(accuracy)).alias("mc"),
+        )
+
+        def tiles(value, cut_arr, descending):
+            # tile = 1 + #cutoffs passed; descending metrics (recency:
+            # recent = small = high tile) count cutoffs ABOVE the value.
+            cmp = (lambda c: F.col(value) < c) if descending else (lambda c: F.col(value) > c)
+            return F.lit(1) + F.aggregate(
+                F.col(cut_arr), F.lit(0),
+                lambda acc, c: acc + F.when(cmp(c), 1).otherwise(0),
+            )
+
+        return base.crossJoin(F.broadcast(cuts)).select(
+            "c_custkey", "recency_days", "frequency", "monetary",
+            tiles("recency_days", "rc", True).alias("r"),
+            tiles("frequency", "fc", False).alias("f"),
+            tiles("monetary", "mc", False).alias("m"),
+        ).withColumn("segment", F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+
     # r: recent=high tile; f/m: big=high tile
     wr = Window.orderBy(F.col("recency_days").desc(), F.col("c_custkey").asc())
     wf = Window.orderBy(F.col("frequency").asc(), F.col("c_custkey").asc())

@@ -435,3 +435,25 @@ def test_operators_tolerate_empty_input(spark):
     assert quality_score(docs).count() == 0
     assert dsir_importance_weights(docs).count() == 0
     assert bpe_train(docs).count() == 0
+
+
+def test_rfm_approx_matches_exact_within_one_tile(spark):
+    """The approx-percentile scale path must agree with exact ntile up
+    to quantile-boundary epsilon (≤1 tile per metric) and must not plan
+    any window (the whole point is removing the single-partition
+    ntiles)."""
+    from tests.conftest import SF_SMOKE
+    from sift_spark.io import table
+    from sift_spark.operators.relational import rfm_segments
+
+    orders = table(spark, SF_SMOKE, "orders")
+    exact = {r["c_custkey"]: r for r in rfm_segments(orders).collect()}
+    approx = rfm_segments(orders, approx=True)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = approx.collect()
+    assert len(rows) == len(exact)
+    for row in rows:
+        e = exact[row["c_custkey"]]
+        for m in ("r", "f", "m"):
+            assert abs(row[m] - e[m]) <= 1, (row["c_custkey"], m, row[m], e[m])
