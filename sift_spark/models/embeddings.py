@@ -29,22 +29,32 @@ def entity_sentences(docs: DataFrame) -> DataFrame:
 
 
 def skipgram_embeddings(docs: DataFrame, dimensions: int = 32, min_count: int = 5,
-                        seed: int = 42) -> DataFrame:
+                        seed: int = 42, num_partitions: int | None = None,
+                        max_iter: int = 1) -> DataFrame:
     """Train skip-gram embeddings over entity-rewritten token streams:
-    (term, vector array<float>). Deterministic vocab; vector values
-    depend on Spark ML's parallel training order (rows-only checked).
+    (term, vector array<float>). The vocab (term set and vector width)
+    is partition-invariant and is what the rows-only gate checks;
+    vector VALUES depend on Spark ML's parallel training order, so
+    they are not hash-checked under any partitioning.
+
+    ``num_partitions`` defaults to the input's parallelism so training
+    scales with the corpus — a 100 TB token stream must never funnel
+    through one training task. Pass ``num_partitions=1`` only when
+    bitwise-reproducible vectors across runs matter more than speed.
     """
     from pyspark.ml.feature import Word2Vec
 
     sents = entity_sentences(docs)
+    if num_partitions is None:
+        num_partitions = max(1, sents.rdd.getNumPartitions())
     w2v = Word2Vec(
         vectorSize=dimensions,
         minCount=min_count,
         seed=seed,
         inputCol="sentence",
         outputCol="vec",
-        numPartitions=1,
-        maxIter=1,
+        numPartitions=num_partitions,
+        maxIter=max_iter,
     )
     model = w2v.fit(sents)
     vecs = model.getVectors()  # (word, vector: VectorUDT)

@@ -161,6 +161,21 @@ def test_skipgram_embeddings(spark):
     assert all(len(r.vector) == 16 for r in rows)
 
 
+def test_skipgram_vocab_invariant_under_parallel_training(spark):
+    """Training parallelism must not change the vocab (term set +
+    vector width) — that's the partition-invariant contract the
+    rows-only gate checks. Vector VALUES may differ across
+    numPartitions and are deliberately not compared."""
+    from sift_spark.models.embeddings import skipgram_embeddings
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    serial = skipgram_embeddings(docs, dimensions=16, min_count=5, num_partitions=1)
+    parallel = skipgram_embeddings(docs.repartition(8), dimensions=16, min_count=5)
+    v1 = {(r.term, len(r.vector)) for r in serial.collect()}
+    v8 = {(r.term, len(r.vector)) for r in parallel.collect()}
+    assert v1 == v8 and len(v8) > 0
+
+
 def test_multimodal_real_codec(spark):
     """decode → features → resize → frame-sample, all real pixel work
     on the self-contained SRAW/SVID format (stdlib zlib + numpy)."""
