@@ -122,9 +122,15 @@ def compact_parquet(spark, path: str, target_file_mb: int = 512,
     range-partitions + sorts, so the new files carry min/max stats
     that let later range predicates skip whole files.
 
-    The rewrite lands in a sibling temp dir and swaps in atomically
-    (same rename discipline as ``sinks.upsert``) — readers never see
-    a half-written dataset.
+    The rewrite lands in a sibling temp dir and swaps in via two
+    renames (same discipline as ``sinks.upsert``). Bare-directory
+    renames are NOT a transactional commit: there is a brief window
+    during the swap where ``path`` does not exist (a table format's
+    manifest commit is the real fix at scale). What this function does
+    guarantee: every rename's boolean return is checked, a failed swap
+    restores the original directory, and the old copy is only deleted
+    after the new ``path`` exists and its footers read back — so no
+    failure mode loses the dataset.
     """
     from sift_spark.sinks.upsert import _delete, _exists, _hadoop_fs, _rename
 
@@ -145,7 +151,19 @@ def compact_parquet(spark, path: str, target_file_mb: int = 512,
     out.write.mode("overwrite").parquet(tmp)
     if _exists(spark, old):
         _delete(spark, old)
-    _rename(spark, path, old)
-    _rename(spark, tmp, path)
+    if not _rename(spark, path, old):
+        _delete(spark, tmp)
+        raise IOError(f"compact aborted: rename {path} -> {old} returned false; dataset untouched")
+    if not _rename(spark, tmp, path):
+        restored = _rename(spark, old, path)
+        raise IOError(
+            f"compact aborted: rename {tmp} -> {path} returned false; "
+            f"original {'restored' if restored else f'left at {old} (manual restore needed)'}"
+        )
+    # read the swapped-in dataset back before dropping the only other
+    # copy — footer parse catches torn/partial moves
+    if not _exists(spark, path):
+        raise IOError(f"compact swap lost {path}; original copy preserved at {old}")
+    spark.read.parquet(path).schema
     _delete(spark, old)
     return n_files

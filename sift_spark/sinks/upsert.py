@@ -48,9 +48,12 @@ def _delete(spark: SparkSession, path: str) -> None:
     fs.delete(jpath, True)
 
 
-def _rename(spark: SparkSession, src: str, dst: str) -> None:
+def _rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Hadoop FileSystem.rename signals failure via its boolean return
+    (NOT an exception) — callers must check it or risk deleting the
+    only surviving copy after a silent no-op."""
     fs, jdst, jvm = _hadoop_fs(spark, dst)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(src), jdst)
+    return bool(fs.rename(jvm.org.apache.hadoop.fs.Path(src), jdst))
 
 
 def upsert_parquet(updates: DataFrame, path: str, key_cols: list[str],
@@ -111,4 +114,8 @@ def _upsert_swap(spark: SparkSession, updates: DataFrame, path: str,
     _delete(spark, staging)
     upsert_latest(spark.read.parquet(path), updates, key_cols, version_col).write.parquet(staging)
     _delete(spark, path)
-    _rename(spark, staging, path)
+    if not _rename(spark, staging, path):
+        raise IOError(
+            f"upsert swap failed: rename {staging} -> {path} returned false; "
+            f"merged data is intact at {staging}"
+        )

