@@ -631,9 +631,14 @@ def minhash_lsh_pairs_incremental(new_docs: DataFrame, index_bands: DataFrame,
 
     Output doc1 < doc2, identical semantics to running
     :func:`minhash_lsh_pairs` on old ∪ new and keeping pairs that
-    touch a new doc (property-tested)."""
-    new_bands = minhash_band_table(new_docs, n).persist()
-    new_sh = shingles(new_docs, n).select("doc_id", "shingle").persist()
+    touch a new doc (property-tested).
+
+    Deliberately NOT persisted: each frame is referenced at most twice
+    in the plan and recomputes map-side from the batch; a persist here
+    leaks one cached frame per micro-batch for the life of a streaming
+    session (the caller never gets a handle to unpersist)."""
+    new_bands = minhash_band_table(new_docs, n)
+    new_sh = shingles(new_docs, n).select("doc_id", "shingle")
 
     cross = (
         new_bands.alias("l")

@@ -21,6 +21,7 @@ log is append-only and compacted on a schedule
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 BAND_SCHEMA = T.StructType(
@@ -38,11 +39,61 @@ SHINGLE_SCHEMA = T.StructType(
 )
 
 
-def _read_or_empty(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    try:
-        return spark.read.schema(schema).parquet(path)
-    except Exception:  # first batch: index does not exist yet
+def _read_index(spark: SparkSession, path: str, schema: T.StructType,
+                exclude_batch_id: int) -> DataFrame:
+    """Read an index table written as ``batch_id=<id>`` per-batch
+    directories, excluding the in-flight batch's own (possibly
+    partially-written by a crashed prior attempt) directory.
+
+    A MISSING path is the legitimate first-batch case and degrades to
+    an empty frame; any other read error (permissions, torn footers)
+    re-raises — silently treating a corrupt index as empty would
+    quietly drop every old-vs-new pair from then on."""
+    from sift_spark.sinks.upsert import _exists
+
+    if not _exists(spark, path):
         return spark.createDataFrame([], schema)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("batch_id") != exclude_batch_id)
+        .select(*[f.name for f in schema.fields])
+    )
+
+
+def process_corpus_batch(batch_df: DataFrame, batch_id: int, index_path: str,
+                         pairs_path: str, n: int = 3,
+                         threshold: float = 0.8) -> None:
+    """One micro-batch of the continuous-dedup pipeline (the
+    ``foreachBatch`` body of :func:`stream_corpus_dedup`, exposed so
+    replay behavior is directly testable)."""
+    from sift_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_lsh_pairs_incremental,
+        shingles,
+    )
+    from sift_spark.sinks.upsert import _exists
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    marker = f"{index_path}/_committed/{batch_id}"
+    if _exists(spark, marker):
+        return  # fully-processed replay
+    bands = _read_index(spark, f"{index_path}/bands", BAND_SCHEMA, batch_id)
+    sh = _read_index(spark, f"{index_path}/shingles", SHINGLE_SCHEMA, batch_id)
+    pairs = minhash_lsh_pairs_incremental(
+        batch_df, bands, sh, n=n, threshold=threshold
+    )
+    pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch_id={batch_id}")
+    minhash_band_table(batch_df, n).write.mode("overwrite").parquet(
+        f"{index_path}/bands/batch_id={batch_id}"
+    )
+    shingles(batch_df, n).select("doc_id", "shingle").write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/shingles/batch_id={batch_id}")
+    spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+        "overwrite"
+    ).parquet(marker)
 
 
 def stream_corpus_dedup(docs_stream: DataFrame, index_path: str,
@@ -51,32 +102,28 @@ def stream_corpus_dedup(docs_stream: DataFrame, index_path: str,
     """Start the continuous-dedup query (returns the StreamingQuery).
 
     Per micro-batch: probe the standing index (old↔new pairs), check
-    the batch against itself (new↔new), append verified pairs to
-    ``pairs_path``, append the batch's bands+shingles to the index.
+    the batch against itself (new↔new), write verified pairs to
+    ``pairs_path``, add the batch's bands+shingles to the index.
     An empty index (first batch) degrades to within-batch dedup —
     the same code path with empty probe frames.
-    """
-    from sift_spark.operators.dedup import (
-        minhash_band_table,
-        minhash_lsh_pairs_incremental,
-        shingles,
-    )
 
-    def process(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        bands = _read_or_empty(spark, f"{index_path}/bands", BAND_SCHEMA)
-        sh = _read_or_empty(spark, f"{index_path}/shingles", SHINGLE_SCHEMA)
-        pairs = minhash_lsh_pairs_incremental(
-            batch_df, bands, sh, n=n, threshold=threshold
-        )
-        pairs.write.mode("append").parquet(pairs_path)
-        minhash_band_table(batch_df, n).write.mode("append").parquet(
-            f"{index_path}/bands"
-        )
-        shingles(batch_df, n).select("doc_id", "shingle").write.mode("append").parquet(
-            f"{index_path}/shingles"
+    **Replay-idempotent under at-least-once delivery**: every write
+    lands in a per-batch ``batch_id=<id>`` directory with overwrite
+    mode, so a replayed batch (failure between the pairs write and the
+    index writes, or between the sink and the checkpoint commit)
+    rewrites the same directories with identical deterministic content
+    instead of appending duplicates; a ``_committed/<id>`` marker —
+    written last — short-circuits replays of fully-processed batches.
+    Index reads exclude the in-flight batch's own directory, so a
+    crashed attempt's partial band/shingle files can never pair the
+    batch against itself as "old" rows or double-count shingles in the
+    jaccard verify. (In a sequential stream the checkpoint only
+    advances after ``process`` returns, so the only possibly-
+    uncommitted directory IS the current batch's.)
+    """
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        process_corpus_batch(
+            batch_df, batch_id, index_path, pairs_path, n=n, threshold=threshold
         )
 
     return (

@@ -127,3 +127,57 @@ def test_stream_corpus_dedup_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert want, "fixture should contain near-dup pairs"
+
+
+def test_corpus_dedup_replay_is_idempotent(spark, tmp_path):
+    """At-least-once delivery: replaying a batch — both a fully
+    committed one and one that crashed after the pairs write but
+    before the index writes — must not duplicate pairs log rows or
+    index band/shingle rows (duplicated shingles would skew every
+    later jaccard verify)."""
+    from pyspark.sql import functions as F
+
+    from sift_spark.streaming.corpus import process_corpus_batch
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    idx, pairs = str(tmp_path / "index"), str(tmp_path / "pairs")
+
+    def state():
+        p = {(r.doc1, r.doc2, r.jaccard) for r in spark.read.parquet(pairs).collect()}
+        nb = spark.read.parquet(f"{idx}/bands").count()
+        ns = spark.read.parquet(f"{idx}/shingles").count()
+        return p, nb, ns
+
+    process_corpus_batch(b0, 0, idx, pairs, threshold=0.2)
+    process_corpus_batch(b1, 1, idx, pairs, threshold=0.2)
+    want = state()
+
+    # replay of a fully-committed batch: marker short-circuits
+    process_corpus_batch(b1, 1, idx, pairs, threshold=0.2)
+    assert state() == want
+
+    # replay after a partial crash: simulate by deleting batch 1's
+    # commit marker and one of its index writes, then reprocessing
+    import shutil
+
+    shutil.rmtree(f"{idx}/_committed/1")
+    shutil.rmtree(f"{idx}/shingles/batch_id=1")
+    process_corpus_batch(b1, 1, idx, pairs, threshold=0.2)
+    assert state() == want
+
+
+def test_corpus_dedup_corrupt_index_raises(spark, tmp_path):
+    """A present-but-unreadable index must raise, not silently degrade
+    to 'first batch' and drop every old-vs-new pair."""
+    import pytest
+
+    from sift_spark.streaming.corpus import BAND_SCHEMA, _read_index
+
+    bad = tmp_path / "bands" / "batch_id=0"
+    bad.mkdir(parents=True)
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        _read_index(spark, str(tmp_path / "bands"), BAND_SCHEMA, 99).collect()
