@@ -52,8 +52,10 @@ _ANCHOR = re.compile(r'<a href="([^"]*)">(.*?)</a>', re.DOTALL)
 _LANGLINKS = re.compile(r"(\n\[\[[a-z][a-z][\w-]*:[^:\]]+\]\])+$")
 # table formatting (reference wikicorpus.py:30-31,82-83 RE_P12/RE_P13
 # semantics): structure lines ({| / |- / |}) drop whole, cell/caption
-# markers drop but their content stays
-_TABLE_LINE = re.compile(r"^[ \t]*(\{\||\|\}|\|-)[^\n]*$", re.MULTILINE)
+# markers drop but their content stays. The cell/separator patterns
+# only ever run on lines INSIDE a {|…|} region (the reference's RE_P13
+# requires table-line context for the same reason): prose like "Wow!!"
+# or a line legitimately starting with | outside a table must survive.
 _TABLE_INLINE_SEP = re.compile(r"\|\||!!")
 _TABLE_CAPTION = re.compile(r"^[ \t]*\|\+[ \t]*", re.MULTILINE)
 _TABLE_CELL = re.compile(r"^[ \t]*[|!]+[ \t]*", re.MULTILINE)
@@ -67,11 +69,28 @@ def strip_table_markup(text: str) -> str:
     captions and ``|``/``!`` cell markers vanish while the cell text
     (including any wikilinks, which are converted downstream)
     survives; inline ``||``/``!!`` separators become line breaks.
+    A depth counter tracks nested tables; text outside any table
+    passes through untouched.
     """
-    text = _TABLE_LINE.sub("", text)
-    text = _TABLE_INLINE_SEP.sub("\n", text)
-    text = _TABLE_CAPTION.sub("", text)
-    return _TABLE_CELL.sub("", text)
+    out = []
+    depth = 0
+    for line in text.split("\n"):
+        stripped = line.lstrip(" \t")
+        if stripped.startswith("{|"):
+            depth += 1
+            continue  # table-begin structure line drops whole
+        if depth == 0:
+            out.append(line)
+            continue
+        if stripped.startswith("|}"):
+            depth -= 1
+            continue
+        if stripped.startswith("|-"):
+            continue
+        cells = _TABLE_INLINE_SEP.sub("\n", line)
+        cells = _TABLE_CAPTION.sub("", cells)
+        out.append(_TABLE_CELL.sub("", cells))
+    return "\n".join(out)
 
 
 def strip_templates(text: str) -> str:

@@ -235,3 +235,27 @@ def test_warc_truncated_record_skipped(spark, tmp_path):
     p.write_text(good + torn)
     rows = read_warc(spark, str(p)).collect()
     assert [r.url for r in rows] == ["http://x.test/ok"]
+
+
+def test_table_markup_only_stripped_inside_tables():
+    """Cell/separator patterns must not fire outside {|…|} regions:
+    prose '!!' and lines legitimately starting with | survive."""
+    from sift_spark.corpora.wikipedia import strip_table_markup
+
+    text = "Wow!! Amazing.\n|piped prose line\n{|\n! H1 !! H2\n|}\nAfter."
+    out = strip_table_markup(text)
+    assert "Wow!! Amazing." in out
+    assert "|piped prose line" in out
+    assert "!!" not in out.replace("Wow!! Amazing.", "")
+    assert "H1" in out and "H2" in out and "{|" not in out and "|}" not in out
+
+
+def test_table_markup_nested_tables():
+    from sift_spark.corpora.wikipedia import strip_table_markup
+
+    text = "Pre.\n{|\n| outer cell\n{|\n| inner cell\n|}\n| outer again\n|}\nPost."
+    out = strip_table_markup(text)
+    for kept in ("Pre.", "outer cell", "inner cell", "outer again", "Post."):
+        assert kept in out
+    for junk in ("{|", "|}", "|-"):
+        assert junk not in out
