@@ -89,6 +89,7 @@ def main() -> None:
         "events_histogram",
         "lineitem_stats",
         "pack_sequences",
+        "pack_sequences_sharded",
         "events_sessionize",
         "dedup_exact",
         "block_dedup",

@@ -83,10 +83,10 @@ def pack_sequences(docs_with_tokens: DataFrame, max_tokens: int = 2048,
     (doc_id, bin_id, bin_offset).
 
     One global ordering is required for reproducible packing, so this
-    uses a single ordered window over the hash — at 100 TB, run it
-    per-shard after ``write_training_shards`` (shards are
-    hash-disjoint, so per-shard packing is still deterministic) rather
-    than globally.
+    uses a single ordered window over the hash — at 100 TB use
+    :func:`pack_sequences_sharded`, which packs deterministic hash
+    shards under a shard-partitioned window (each shard identical to
+    running this function on the shard alone).
     """
     from pyspark.sql import Window
 
@@ -98,6 +98,37 @@ def pack_sequences(docs_with_tokens: DataFrame, max_tokens: int = 2048,
         .withColumn("bin_id", F.floor((cum - F.col(n_col)) / max_tokens).cast("bigint"))
         .withColumn("bin_offset", ((cum - F.col(n_col)) % max_tokens).cast("bigint"))
         .select(key_col, n_col, "bin_id", "bin_offset")
+    )
+
+
+def pack_sequences_sharded(docs_with_tokens: DataFrame, n_shards: int = 8,
+                           max_tokens: int = 2048, key_col: str = "doc_id",
+                           n_col: str = "n_tokens") -> DataFrame:
+    """Per-shard greedy packing — the scale path whose shape
+    :func:`pack_sequences` documents: (key, n_tokens, shard_id,
+    bin_id, bin_offset), with (shard_id, bin_id) globally unique.
+
+    Documents are assigned to ``n_shards`` deterministic hash shards
+    (the same ``pack:`` hash family that orders the global variant, so
+    assignment is layout- and cluster-size-invariant), then packed
+    with the identical greedy cumulative-sum rule under a window
+    partitioned BY SHARD — n_shards parallel sorted windows instead of
+    one global single-partition sort. Each shard packs exactly as
+    :func:`pack_sequences` would pack that shard's documents alone
+    (tested), so a training job can pack and consume shards fully
+    independently."""
+    from pyspark.sql import Window
+
+    h = hash64(F.concat(F.lit("pack:"), F.col(key_col).cast("string")))
+    base = docs_with_tokens.select(
+        key_col, n_col, h.alias("__h"), (h % n_shards).alias("shard_id")
+    )
+    w = Window.partitionBy("shard_id").orderBy(F.col("__h").asc(), F.col(key_col).asc())
+    cum = F.sum(F.col(n_col)).over(w)
+    return (
+        base.withColumn("bin_id", F.floor((cum - F.col(n_col)) / max_tokens).cast("bigint"))
+        .withColumn("bin_offset", ((cum - F.col(n_col)) % max_tokens).cast("bigint"))
+        .select(key_col, n_col, "shard_id", "bin_id", "bin_offset")
     )
 
 

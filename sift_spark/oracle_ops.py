@@ -659,6 +659,24 @@ SELECT doc_id, n_tokens,
 FROM c
 """
 
+ORACLE_OPS["pack_sequences_sharded"] = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {_pack_h} AS h, CAST({_pack_h} % 8 AS BIGINT) AS shard_id
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, shard_id,
+         sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY h ASC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens, shard_id,
+       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+       CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
+FROM c
+"""
+
 ORACLE_OPS["bm25_search"] = f"""
 WITH {TOKCTE},
 lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),

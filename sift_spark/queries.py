@@ -377,6 +377,16 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(sized, max_tokens=2048)
 
 
+def q_pack_sequences_sharded(spark, sf_dir):
+    from sift_spark.operators.sampling import pack_sequences_sharded
+
+    docs = _docs(spark, sf_dir)
+    sized = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences_sharded(sized, n_shards=8, max_tokens=2048)
+
+
 def q_events_sessionize(spark, sf_dir):
     return EV.sessionize(table(spark, sf_dir, "events"), gap_minutes=30)
 
@@ -886,6 +896,7 @@ QUERIES: dict[str, QueryFn] = {
     "train_test_split": q_train_test_split,
     "weighted_sample": q_weighted_sample,
     "pack_sequences": q_pack_sequences,
+    "pack_sequences_sharded": q_pack_sequences_sharded,
     "entity_pmi": q_entity_pmi,
     "q20_dominant_suppliers": q_q20_dominant_suppliers,
     "q21_waiting_suppliers": q_q21_waiting_suppliers,

@@ -71,3 +71,48 @@ def test_dsir_weights_favor_target_lang(spark):
     assert top_share > base
     plan = dsir_importance_weights(docs)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_sequences_sharded_equals_per_shard_global_pack(spark):
+    """Each shard of the sharded packer must pack exactly like
+    pack_sequences run on that shard's documents alone — the property
+    that lets a training job pack shards fully independently — and the
+    result must be deterministic under input repartitioning."""
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.sampling import pack_sequences, pack_sequences_sharded
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sized = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    out = pack_sequences_sharded(sized, n_shards=4, max_tokens=512).collect()
+    assert out
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, {})[r.doc_id] = (r.bin_id, r.bin_offset)
+
+    # determinism under layout change
+    out2 = pack_sequences_sharded(sized.repartition(7), n_shards=4, max_tokens=512).collect()
+    assert {(r.doc_id, r.shard_id, r.bin_id, r.bin_offset) for r in out2} == {
+        (r.doc_id, r.shard_id, r.bin_id, r.bin_offset) for r in out
+    }
+
+    # per-shard ≡ global pack of that shard's docs
+    shard_docs = {s: set(m) for s, m in by_shard.items()}
+    assert len(shard_docs) > 1, "fixture should span multiple shards"
+    for s, doc_ids in shard_docs.items():
+        solo = pack_sequences(
+            sized.where(F.col("doc_id").isin([int(d) for d in doc_ids])),
+            max_tokens=512,
+        ).collect()
+        assert {r.doc_id: (r.bin_id, r.bin_offset) for r in solo} == by_shard[s]
+
+    # bin invariants: offsets inside capacity, bins contiguous from 0,
+    # offsets strictly increasing within a bin's hash order
+    for r in out:
+        assert 0 <= r.bin_offset < 512
+    for s, m in by_shard.items():
+        bins = sorted({b for b, _ in m.values()})
+        assert bins == list(range(len(bins)))
