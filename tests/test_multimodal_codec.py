@@ -53,3 +53,52 @@ def test_magic_rejects_foreign_bytes():
         decode_sraw(b"\x89PNG\r\n\x1a\n garbage")
     with pytest.raises(ValueError):
         svid_frames(b"RIFFxxxxWEBP")
+
+
+def test_pil_foreign_format_path(spark):
+    """Real-format (PNG) decode through the PIL gate — skipped where
+    PIL isn't shipped, exercised automatically wherever it is."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    from sift_spark.operators.multimodal import MEDIA_SCHEMA, decode_features
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for mid in range(3):
+        arr = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        rows.append((mid, "image", "image/png", bytearray(buf.getvalue()), 10, 12, 0))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_features(media).collect()}
+    assert len(got) == 3
+    for mid, r in got.items():
+        assert (r.width, r.height, r.channels) == (10, 12, 3)
+        assert r.px_mean is not None and 0.0 <= r.px_mean <= 255.0
+
+
+def test_kafka_connector_smoke(spark):
+    """Builds the production Kafka readStream wherever the connector
+    jar is on the classpath (no broker needed to construct the plan);
+    skipped elsewhere. Broker-free parse tests cover the JSON wiring
+    either way."""
+    import pytest
+
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception:
+        pytest.skip("spark-sql-kafka connector not on the classpath")
+
+    from sift_spark.streaming.sources import kafka_event_stream
+
+    df = kafka_event_stream(spark, "localhost:9092", "events")
+    assert df.isStreaming
+    assert {"event_id", "ts", "user_id", "event_type", "value", "props"} <= set(df.columns)
