@@ -457,3 +457,18 @@ def test_rfm_approx_matches_exact_within_one_tile(spark):
         e = exact[row["c_custkey"]]
         for m in ("r", "f", "m"):
             assert abs(row[m] - e[m]) <= 1, (row["c_custkey"], m, row[m], e[m])
+
+
+def test_survey_numbers_match_registry():
+    """SURVEY.md's closing numbers must match the live registries
+    (scripts/check_survey.py; test count checked in standalone mode)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_survey",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts", "check_survey.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.check(include_test_count=False)
