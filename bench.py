@@ -161,6 +161,12 @@ def main() -> None:
         "cms_heavy_hitters",
         "multimodal_features",
         "multimodal_frame_stats",
+        "duplicate_spans",
+        "dedup_jaccard_prefix",
+        "events_attribution",
+        "events_ewma",
+        "url_canonical_groups",
+        "bpe_encode",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Fixed-cost amortization study: Spark vs DuckDB at a larger scale
+factor (see BASELINE.md — the sf0.1 aggregate ratio is dominated by
+Spark's ~0.65s/query planning overhead; this measures how the
+per-query ratio moves when real work grows 10x).
+
+Runs a curated query set (the heaviest oracle-paired queries from the
+standing bench, plus a few light ones to show the fixed-cost floor)
+through BOTH engines on the same parquet, same machine:
+
+- DuckDB: each oracle SQL in its OWN subprocess with a wall timeout —
+  a single blowup can't take down the study (the full-suite run at sf1
+  was observed at >100 GB RSS on one query).
+- Spark: one session; each query guarded by a job-group cancel timer.
+
+Usage:
+    python scripts/amortization.py [sf_dir] [--timeout 600] \
+        [--out baseline_duckdb_sf1.json --bench-out BENCH_sf1.json]
+    python scripts/amortization.py --duck-one NAME sf_dir   # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# heaviest r2-bench queries with oracle twins + a light tail for the
+# fixed-cost floor
+QSET = [
+    "dedup_minhash_lsh",
+    "dedup_clusters_star",
+    "dedup_ngram_jaccard",
+    "basket_pairs",
+    "dedup_clusters",
+    "dedup_incremental",
+    "ann_ivf_bucketed",
+    "entity_pagerank",
+    "containment_pairs",
+    "dedup_embedding",
+    "dedup_apply",
+    "entity_components",
+    "dedup_simhash",
+    "ann_lsh_bucketed",
+    "term_collocations",
+    "doc_top_terms",
+    "tfidf_search",
+    "events_sessionize",
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q13_custdist",
+    "token_stats",
+    "lang_id",
+    "duplicate_spans",
+    "dedup_jaccard_prefix",
+]
+
+
+def duck_one(name: str, sf_dir: str) -> None:
+    import duckdb
+
+    from sift_spark.oracle import ORACLE
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    t0 = time.time()
+    n = len(con.sql(ORACLE[name]).fetchall())
+    print(json.dumps({"sec": round(time.time() - t0, 3), "rows": n}))
+
+
+def main() -> None:
+    if "--duck-one" in sys.argv:
+        i = sys.argv.index("--duck-one")
+        duck_one(sys.argv[i + 1], sys.argv[i + 2])
+        return
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else os.path.join(REPO, ".data/sf1")
+    timeout = 600.0
+    if "--timeout" in sys.argv:
+        timeout = float(sys.argv[sys.argv.index("--timeout") + 1])
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    # --- DuckDB side: subprocess per query, wall timeout ---
+    duck: dict[str, float | None] = {}
+    for name in QSET:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--duck-one", name, sf_dir],
+                capture_output=True, text=True, timeout=timeout,
+            )
+            if out.returncode == 0:
+                duck[name] = json.loads(out.stdout.strip().splitlines()[-1])["sec"]
+            else:
+                duck[name] = None
+                print(f"# duck {name}: rc={out.returncode}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            duck[name] = None
+            print(f"# duck {name}: TIMEOUT {timeout}s", file=sys.stderr)
+        print(f"# duck {name}: {duck[name]}", file=sys.stderr)
+
+    # --- Spark side: one session, job-group cancel on timeout ---
+    from sift_spark.queries import QUERIES
+    from sift_spark.session import get_spark
+
+    spark = get_spark("amortization")
+    sc = spark.sparkContext
+    # warmup parity with bench.py
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(10).count()
+
+    spk: dict[str, float | None] = {}
+    for name in QSET:
+        sc.setJobGroup(name, name, interruptOnCancel=True)
+        timer = threading.Timer(timeout, lambda: sc.cancelJobGroup(name))
+        timer.start()
+        t0 = time.time()
+        try:
+            QUERIES[name](spark, sf_dir).count()
+            spk[name] = round(time.time() - t0, 3)
+        except Exception:
+            spk[name] = None
+            print(f"# spark {name}: CANCELLED/FAILED", file=sys.stderr)
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
+        print(f"# spark {name}: {spk[name]}", file=sys.stderr)
+
+    shared = [q for q in QSET if duck.get(q) is not None and spk.get(q) is not None]
+    result = {
+        "sf": sf,
+        "timeout_sec": timeout,
+        "queries": {
+            q: {
+                "spark_sec": spk.get(q),
+                "duck_sec": duck.get(q),
+                "ratio": (
+                    round(spk[q] / duck[q], 3)
+                    if duck.get(q) and spk.get(q) is not None
+                    else None
+                ),
+            }
+            for q in QSET
+        },
+        "spark_total_sec": round(sum(spk[q] for q in shared), 3),
+        "duck_total_sec": round(sum(duck[q] for q in shared), 3),
+        "n_shared": len(shared),
+    }
+    if result["duck_total_sec"]:
+        result["vs_baseline_ratio"] = round(
+            result["spark_total_sec"] / result["duck_total_sec"], 3
+        )
+    print(json.dumps(result))
+
+    if "--out" in sys.argv:
+        # standard baseline format so bench.py --vs-baseline works at this sf
+        path = sys.argv[sys.argv.index("--out") + 1]
+        with open(path, "w") as fh:
+            json.dump(
+                {
+                    "engine": "duckdb",
+                    "sf": sf,
+                    "total_sec": round(sum(v for v in duck.values() if v), 3),
+                    "queries": {q: v for q, v in duck.items() if v is not None},
+                },
+                fh,
+            )
+
+
+if __name__ == "__main__":
+    main()

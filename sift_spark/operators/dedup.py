@@ -704,3 +704,126 @@ def similar_docs(docs: DataFrame, query_doc_id: int, k: int = 10,
     topk = scored.orderBy(F.col("jaccard").desc(), F.col("doc_id").asc()).limit(k)
     w = Window.orderBy(F.col("jaccard").desc(), F.col("doc_id").asc())
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def duplicate_spans(docs: DataFrame, l: int = 5) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every maximal token
+    span whose ``l``-gram windows all occur ≥2 times corpus-wide —
+    (doc_id, start_pos, end_pos, n_dup_tokens), end exclusive, token
+    positions 0-based.
+
+    The reference suffix-array approach is single-machine; the
+    distributed re-expression is windowed-l-gram frequency + per-doc
+    gaps-and-islands merge:
+
+    1. map-side: slide an ``l``-token window over each doc
+       (with_tokens → sequence explode → slice), emit (doc_id, pos,
+       gram);
+    2. ONE corpus-wide shuffle keyed on the gram to count occurrences
+       (Zipf-skewed at scale — it's a pure aggregate, so map-side
+       partial combine absorbs hot grams);
+    3. keep positions whose gram count ≥ 2 (self-repeats count: a doc
+       repeating its own l-gram is duplication too), re-join on gram;
+    4. per-doc window (partition doc_id — bounded by doc length):
+       merge positions p where p - prev ≤ l into maximal islands
+       (overlapping or exactly-adjacent windows chain), then one
+       aggregate for span bounds.
+    """
+    from pyspark.sql import Window
+
+    from sift_spark.models.text import with_tokens
+
+    t = with_tokens(docs).where(F.size("toks") >= l)
+    grams = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("toks") - l)).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        "pos",
+        F.array_join(F.slice("toks", F.col("pos") + 1, F.lit(l)), " ").alias("gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup_grams, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn(
+        "new_island",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= l, 0).otherwise(1),
+    ).withColumn("island", F.sum("new_island").over(w))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + l).alias("end_pos"),
+        )
+        .select(
+            "doc_id",
+            "start_pos",
+            "end_pos",
+            (F.col("end_pos") - F.col("start_pos")).alias("n_dup_tokens"),
+        )
+    )
+
+
+def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
+                               threshold: float = 0.8) -> DataFrame:
+    """Prefix-filtered exact jaccard pairs — same output contract as
+    ``ngram_jaccard_pairs`` (doc1, doc2, jaccard ≥ threshold), built
+    with the positional prefix filter of PPJoin (Xiao et al. 2011).
+
+    Scale rationale: the plain shared-shingle join fans out on EVERY
+    common shingle. At jaccard ≥ t, two sets of sizes |A|,|B| must
+    share ≥ t/(1+t)·(|A|+|B|) shingles, so it suffices to join only on
+    each doc's first p = |S| - ⌈t·|S|⌉ + 1 shingles in a GLOBAL
+    rarity order (ascending document frequency): if two sets share no
+    prefix shingle, their jaccard is provably < t. The candidate join
+    therefore runs on the rarest slice of each set — both smaller and
+    far less skewed than the full shingle table (hot boilerplate
+    shingles are precisely the ones the rarity order pushes out of
+    prefixes).
+
+    Verification joins each candidate pair to the two full shingle
+    arrays (collect_list per doc — bounded by doc length) and computes
+    exact jaccard with array intersection; equality with the unfiltered
+    operator is property-tested."""
+    sh = shingles(docs, n).persist()
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_counts, "shingle")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    sized = ranked.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    prefix = sized.where(
+        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("doc_id", "shingle")
+    cands = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), F.col("l.shingle") == F.col("r.shingle"))
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
+        .distinct()
+    )
+    arrs = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
+    out = (
+        cands.join(arrs.select(F.col("doc_id").alias("doc1"), F.col("sh_set").alias("s1")), "doc1")
+        .join(arrs.select(F.col("doc_id").alias("doc2"), F.col("sh_set").alias("s2")), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(
+                F.size(F.array_intersect("s1", "s2"))
+                / (F.size("s1") + F.size("s2") - F.size(F.array_intersect("s1", "s2"))),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out

@@ -382,3 +382,74 @@ def cms_heavy_hitters(events: DataFrame, width: int = 256, depth: int = 4,
     return est.where(F.col("est_count") >= threshold).select(
         "user_id", "est_count", "true_count"
     )
+
+
+def attribution_counts(events: DataFrame, conversion: str = "purchase") -> DataFrame:
+    """Marketing-style conversion attribution: for every ``conversion``
+    event, credit the user's FIRST and LAST preceding non-conversion
+    event types — (first_touch, last_touch, n_conversions).
+
+    Pure window functions over the per-user ordered stream (the only
+    shuffle is the user_id partition, then one global aggregate on the
+    tiny (first,last) pair space); conversions with no preceding touch
+    attribute to NULL and are kept — at corpus scale those are the
+    organic conversions a report must not silently drop."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.when(F.col("event_type") != conversion, F.col("event_type"))
+    touched = events.select(
+        "event_type",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        touched.where(F.col("event_type") == conversion)
+        .groupBy("first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
+
+
+def ewma_values(events: DataFrame, alpha: float = 0.3, window: int = 20) -> DataFrame:
+    """Trailing exponentially-weighted moving average of ``value`` per
+    user: (event_id, user_id, ewma) where
+    ewma = Σ_{k=0..m-1} (1-α)^k · v_{t-k} / Σ_{k} (1-α)^k over the
+    last m = min(#prior+1, ``window``) events.
+
+    The textbook recursive EWMA is sequential; the trailing-window
+    form is expressible as ONE ordered window (collect_list over a
+    bounded ROWS frame) plus a map-side higher-order-function fold —
+    no UDFs, no iteration, and the per-row state is capped at
+    ``window`` values regardless of stream length (the unbounded
+    closed form needs (1-α)^(-rownum), which overflows doubles)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(window - 1), 0)
+    )
+    decay = 1.0 - alpha
+    arr = F.collect_list("value").over(w)
+    sized = events.select("event_id", "user_id", arr.alias("arr")).withColumn(
+        "m", F.size("arr")
+    )
+    # index j (1-based) in the frame: weight (1-α)^(m-j); the last
+    # element (current row) gets weight 1
+    weighted = F.zip_with(
+        "arr",
+        F.sequence(F.lit(1), F.col("m")),
+        lambda v, j: v * F.pow(F.lit(decay), F.col("m") - j),
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    den = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.col("m")),
+            lambda j: F.pow(F.lit(decay), F.col("m") - j),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return sized.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+    )

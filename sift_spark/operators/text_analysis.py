@@ -673,3 +673,64 @@ def bpe_train(docs: DataFrame, n_merges: int = 10, min_count: int = 2) -> DataFr
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, merged string, n bigint"
     )
+
+
+def bpe_encode(docs: DataFrame, merges: DataFrame) -> DataFrame:
+    """Apply a trained BPE merge table (``bpe_train`` output) to the
+    corpus: (doc_id, n_tokens, n_pieces, pieces_text) where
+    pieces_text joins each token's sub-word pieces with '·' between
+    pieces and ' ' between tokens.
+
+    Scale shape mirrors training's distinct-vocab trick: the merge
+    fold (one built-in ``aggregate`` HOF per merge, applied in rank
+    order) runs over the DISTINCT token vocabulary, not the corpus;
+    the corpus is then rejoined to the encoded vocab on the token key
+    (broadcast when the vocab is small, keyed shuffle otherwise —
+    Spark's planner decides from stats). The merge table itself is
+    driver-resident — that is what a deployed tokenizer is; it is
+    bounded by the merge count, not the data."""
+    from sift_spark.models.text import with_tokens
+
+    ranked = [
+        (r["left"], r["right"], r["merged"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    def _merge_fold(syms_col, left, right, merged):
+        # factory binds the merge per call — a default-arg lambda would
+        # change the HOF arity PySpark inspects (see SURVEY §6 gotcha)
+        return F.aggregate(
+            syms_col,
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    vocab = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    syms = F.filter(F.split(F.col("tok"), "(?!^)"), lambda s: s != F.lit(""))
+    for left, right, merged in ranked:
+        syms = _merge_fold(syms, left, right, merged)
+    encoded = vocab.select("tok", syms.alias("pieces"))
+    tok = with_tokens(docs).select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    return (
+        tok.join(encoded, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.size("pieces")).alias("n_pieces"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.array_join("pieces", "·").alias("p")))
+                    ),
+                    lambda s: s["p"],
+                ),
+                " ",
+            ).alias("pieces_text"),
+        )
+    )

@@ -1027,3 +1027,85 @@ est AS (
 )
 SELECT user_id, est_count, true_count FROM est WHERE est_count >= 50
 """
+
+
+ORACLE_OPS["duplicate_spans"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+        FROM d WHERE len(toks) >= 5)
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+              THEN 0 ELSE 1 END AS new_island
+  FROM h
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS start_pos,
+       CAST(max(pos) + 5 AS INT) AS end_pos,
+       CAST(max(pos) + 5 - min(pos) AS INT) AS n_dup_tokens
+FROM isl2 GROUP BY doc_id, island
+"""
+
+# same semantics as dedup_ngram_jaccard — the prefix filter is a
+# candidate-pruning strategy, not a semantic change
+ORACLE_OPS["dedup_jaccard_prefix"] = ORACLE_OPS["dedup_ngram_jaccard"]
+
+ORACLE_OPS["events_attribution"] = """
+WITH t AS (
+  SELECT event_type,
+    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_touch
+  FROM events
+)
+SELECT first_touch, last_touch, count(*) AS n_conversions
+FROM t WHERE event_type = 'purchase'
+GROUP BY first_touch, last_touch
+"""
+
+ORACLE_OPS["events_ewma"] = """
+WITH rn AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT c.event_id, c.user_id,
+       round(sum(p.value * pow(0.7, c.rn - p.rn))
+             / sum(pow(0.7, c.rn - p.rn)), 6) AS ewma
+FROM rn c JOIN rn p
+  ON p.user_id = c.user_id AND p.rn BETWEEN c.rn - 19 AND c.rn
+GROUP BY c.event_id, c.user_id
+"""
+
+from sift_spark.functions.urls import canonical_url_sql as _curl_sql
+
+_URL_EXPR = (
+    "concat('HTTPS://WWW.', upper(source), '.Example.COM:443/Docs/', "
+    "CAST(doc_id % 100 AS VARCHAR), '?utm_source=feed&b=', "
+    "CAST(doc_id % 3 AS VARCHAR), '&a=', CAST(doc_id % 5 AS VARCHAR), "
+    "'#s', CAST(doc_id % 7 AS VARCHAR))"
+)
+
+ORACLE_OPS["url_canonical_groups"] = f"""
+WITH c AS (
+  SELECT doc_id, {_curl_sql(_URL_EXPR)} AS canonical_url FROM documents
+)
+SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM c GROUP BY canonical_url
+"""

@@ -841,12 +841,77 @@ def q_skipgram_embeddings(spark, sf_dir):
     return embedding_vocab(_docs(spark, sf_dir), dimensions=16, min_count=5)
 
 
+def q_duplicate_spans(spark, sf_dir):
+    from sift_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), l=5)
+
+
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    from sift_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    return ngram_jaccard_pairs_prefix(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+def q_events_attribution(spark, sf_dir):
+    from sift_spark.operators.events import attribution_counts
+
+    return attribution_counts(table(spark, sf_dir, "events"))
+
+
+def q_events_ewma(spark, sf_dir):
+    from sift_spark.operators.events import ewma_values
+
+    return ewma_values(table(spark, sf_dir, "events"), alpha=0.3, window=20)
+
+
+def q_url_canonical_groups(spark, sf_dir):
+    from sift_spark.functions.urls import canonical_url
+
+    # synthesize messy URLs from stable columns (the driver testdata has
+    # no URL column); the oracle builds the identical string
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM:443/Docs/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("?utm_source=feed&b="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&a="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("#s"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    return (
+        docs.select("doc_id", canonical_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def q_bpe_encode(spark, sf_dir):
+    from sift_spark.operators.text_analysis import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    return bpe_encode(docs, bpe_train(docs, n_merges=10, min_count=2))
+
+
 # Registration order IS the driver's sampling order: the driver hash-checks the
 # FIRST 50 entries at sf0.01 each round. Rounds 1-2 sampled the same 50
 # link/text/TPC-H queries, so the LLM-pipeline / dedup / ANN / r2 operators
 # (never driver-sampled) now register first; the already-driver-green 50
 # register last. Every ordering still passes the full local parity suite.
 QUERIES: dict[str, QueryFn] = {
+    "duplicate_spans": q_duplicate_spans,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+    "events_attribution": q_events_attribution,
+    "events_ewma": q_events_ewma,
+    "url_canonical_groups": q_url_canonical_groups,
+    "bpe_encode": q_bpe_encode,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "semantic_dedup": q_semantic_dedup,
     "dsir_weights": q_dsir_weights,

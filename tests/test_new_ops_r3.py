@@ -1,0 +1,218 @@
+"""Round-3 operators: exact duplicated-substring spans, prefix-filtered
+jaccard, BPE encode, URL canonicalization, attribution / EWMA windows.
+Cross-engine parity runs in test_oracle_parity; these tests check the
+semantics directly against hand-computable fixtures or an unfiltered
+reference implementation."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_finds_shared_and_self_repeats(spark):
+    from sift_spark.operators.dedup import duplicate_spans
+
+    # docs 1/2 share tokens 0..6 ("a b c d e f g"); doc 3 repeats its
+    # own 5-gram; doc 4 is unique filler
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f g x1 y1 z1 w1 v1"),
+            (2, "a b c d e f g x2 y2 z2 w2 v2"),
+            (3, "p q r s t p q r s t k1 k2 k3"),
+            (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        ],
+    )
+    spans = {
+        (r.doc_id, r.start_pos, r.end_pos, r.n_dup_tokens)
+        for r in duplicate_spans(docs, l=5).collect()
+    }
+    # shared prefix: 5-gram windows at pos 0,1,2 → merged span [0,7)
+    assert (1, 0, 7, 7) in spans
+    assert (2, 0, 7, 7) in spans
+    # self-repeat: "p q r s t" at pos 0 and 5 → windows 0 and 5 are
+    # duplicated, adjacent (5-0 <= 5) → one span [0,10)
+    assert (3, 0, 10, 10) in spans
+    assert not any(d == 4 for d, *_ in spans)
+
+
+def test_duplicate_spans_non_adjacent_islands_split(spark):
+    from sift_spark.operators.dedup import duplicate_spans
+
+    # the same 3-gram twice in one doc, far apart → two islands
+    docs = _docs(
+        spark,
+        [
+            (1, "m1 m2 m3 f1 f2 f3 f4 f5 f6 f7 m1 m2 m3"),
+            (2, "m1 m2 m3 g1 g2 g3 g4 g5 g6 g7 g8 g9 g10"),
+        ],
+    )
+    spans = sorted(
+        (r.doc_id, r.start_pos, r.end_pos)
+        for r in duplicate_spans(docs, l=3).collect()
+    )
+    assert spans == [(1, 0, 3), (1, 10, 13), (2, 0, 3)]
+
+
+def test_prefix_jaccard_equals_unfiltered(spark):
+    """PPJoin prefix filter is pruning-only: identical output to the
+    plain shared-shingle operator on the smoke corpus."""
+    from sift_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plain = {
+        (r.doc1, r.doc2, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    pref = {
+        (r.doc1, r.doc2, r.jaccard)
+        for r in ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.8).collect()
+    }
+    assert plain == pref
+    assert plain  # non-vacuous: the smoke corpus has near-dup pairs
+
+
+def test_bpe_encode_matches_reference(spark):
+    """bpe_encode ≡ a pure-Python encoder applying the same merge
+    table rank-by-rank, word-by-word, left-to-right."""
+    from sift_spark.operators.text_analysis import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(40)
+    merges_df = bpe_train(docs, n_merges=6, min_count=2)
+    merges = [
+        (r.left, r.right) for r in merges_df.orderBy("merge_rank").collect()
+    ]
+
+    def encode_word(w):
+        syms = list(w)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_pieces, r.pieces_text)
+        for r in bpe_encode(docs, merges_df).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        words = [w for w in row.text.split(" ") if w]
+        pieces = [encode_word(w) for w in words]
+        want = (
+            len(words),
+            sum(len(p) for p in pieces),
+            " ".join("·".join(p) for p in pieces),
+        )
+        assert got[row.doc_id] == want, row.doc_id
+
+
+def test_canonical_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from sift_spark.functions.urls import canonical_url
+
+    cases = [
+        # lowercase scheme+host, strip default port + fragment, sort params
+        ("HTTPS://Ex.COM:443/Path/X?b=2&a=1#frag", "https://ex.com/Path/X?a=1&b=2"),
+        # http default port; tracking params dropped; utmx= (no underscore) kept
+        ("http://A.B:80/p?utm_source=x&utmx=1&z=9", "http://a.b/p?utmx=1&z=9"),
+        # non-default port kept; no query
+        ("https://h.io:8443/q", "https://h.io:8443/q"),
+        # fbclid/gclid dropped; empty query → no '?'
+        ("https://h.io/?fbclid=abc&gclid=d", "https://h.io/"),
+        # path case preserved
+        ("HTTP://WWW.S.ORG/CaSe", "http://www.s.org/CaSe"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_canonical_url_sql_twin_agrees(spark):
+    """The DuckDB twin produces byte-identical canonical URLs for the
+    same inputs — the generated SQL and the Column expression encode
+    one rule set."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from sift_spark.functions.urls import canonical_url, canonical_url_sql
+
+    urls = [
+        "HTTPS://Ex.COM:443/Path/X?b=2&a=1#frag",
+        "http://A.B:80/p?utm_source=x&utmx=1&z=9",
+        "https://h.io:8443/q",
+        "https://h.io/?fbclid=abc&gclid=d&keep=1",
+        "HTTP://WWW.S.ORG/CaSe?c=3&b=2&a=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got_spark = [
+        r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.sql(
+            "SELECT " + canonical_url_sql("url") + " FROM (SELECT ? AS url)",
+            params=[u],
+        ).fetchone()[0]
+        for u in urls
+    ]
+    assert got_spark == got_duck
+
+
+def test_attribution_counts_semantics(spark):
+    from sift_spark.operators.events import attribution_counts
+
+    rows = [
+        # user 1: view → click → purchase  (first=view, last=click)
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:01:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 10:02:00", 1, "purchase", 5.0, "{}"),
+        # user 1 second purchase, no new touch → same first, last=click
+        (4, "2024-01-01 10:03:00", 1, "purchase", 7.0, "{}"),
+        # user 2: purchase with no preceding touch → (NULL, NULL)
+        (5, "2024-01-01 11:00:00", 2, "purchase", 3.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    got = {
+        (r.first_touch, r.last_touch): r.n_conversions
+        for r in attribution_counts(events).collect()
+    }
+    assert got == {("view", "click"): 2, (None, None): 1}
+
+
+def test_ewma_recent_events_weigh_more(spark):
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.events import ewma_values
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 10:01:00", 1, "view", 0.0, "{}"),
+        (3, "2024-01-01 10:02:00", 1, "view", 10.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.event_id: r.ewma for r in ewma_values(events, alpha=0.3).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 0.0
+    # weights (0.7^2, 0.7, 1) on (0, 0, 10) → 10/(0.49+0.7+1)
+    assert abs(got[3] - round(10.0 / 2.19, 6)) < 1e-9
+    # trailing window: more weight on the latest value than plain mean
+    assert got[3] > 10.0 / 3

@@ -46,6 +46,9 @@ def test_all_queries_have_oracle_or_are_declared():
         "multimodal_frame_stats",
         # iterative driver-argmax loop; verified vs a Python reference
         "bpe_train",
+        # applies bpe_train's merge table (driver-resident fold chain);
+        # verified vs a pure-Python encoder in test_text_analysis
+        "bpe_encode",
     }
     missing = set(QUERIES) - set(ORACLE) - declared_rows_only
     assert not missing, f"queries missing oracle twins: {missing}"
