@@ -167,6 +167,12 @@ def main() -> None:
         "events_ewma",
         "url_canonical_groups",
         "bpe_encode",
+        "session_stats",
+        "events_window_uniques",
+        "embedding_normalize",
+        "entity_hits",
+        "ann_ivf_scaled",
+        "ann_lsh_scaled",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

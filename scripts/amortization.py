@@ -65,6 +65,8 @@ QSET = [
     "lang_id",
     "duplicate_spans",
     "dedup_jaccard_prefix",
+    "ann_ivf_scaled",
+    "ann_lsh_scaled",
 ]
 
 
@@ -94,12 +96,15 @@ def main() -> None:
     timeout = 600.0
     if "--timeout" in sys.argv:
         timeout = float(sys.argv[sys.argv.index("--timeout") + 1])
+    qset = QSET
+    if "--only" in sys.argv:
+        qset = sys.argv[sys.argv.index("--only") + 1].split(",")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
     # --- DuckDB side: subprocess per query, wall timeout ---
     duck: dict[str, float | None] = {}
-    for name in QSET:
+    for name in qset:
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--duck-one", name, sf_dir],
@@ -126,7 +131,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(10).count()
 
     spk: dict[str, float | None] = {}
-    for name in QSET:
+    for name in qset:
         sc.setJobGroup(name, name, interruptOnCancel=True)
         timer = threading.Timer(timeout, lambda: sc.cancelJobGroup(name))
         timer.start()
@@ -142,7 +147,7 @@ def main() -> None:
             sc.setJobGroup("", "")
         print(f"# spark {name}: {spk[name]}", file=sys.stderr)
 
-    shared = [q for q in QSET if duck.get(q) is not None and spk.get(q) is not None]
+    shared = [q for q in qset if duck.get(q) is not None and spk.get(q) is not None]
     result = {
         "sf": sf,
         "timeout_sec": timeout,
@@ -156,7 +161,7 @@ def main() -> None:
                     else None
                 ),
             }
-            for q in QSET
+            for q in qset
         },
         "spark_total_sec": round(sum(spk[q] for q in shared), 3),
         "duck_total_sec": round(sum(duck[q] for q in shared), 3),

@@ -68,13 +68,7 @@ SIMHASH_BITS = 32
 LSH_TABLES = 4
 LSH_BITS = 6
 EMBED_DIM = 64
-LSH_PLANES = tuple(
-    tuple(
-        tuple((_py_h64(f"plane_{t}_{j}_{d}") % 2001 - 1000) / 1000.0 for d in range(EMBED_DIM))
-        for j in range(LSH_BITS)
-    )
-    for t in range(LSH_TABLES)
-)
+# LSH_PLANES is bound below once lsh_planes() is defined
 
 # --- IVF ANN: deterministic coarse-quantizer centroids --------------------
 # Fixed pseudo-random centroids (not trained k-means — determinism across
@@ -91,10 +85,41 @@ def _unit(vec):
 # Unit-normalized: with raw random centroids the |c|² term dominates
 # the distance argmin and every vector collapses into the smallest-
 # norm cell (measured: one 2000-vector cell → quadratic candidates).
-IVF_CENTROIDS = tuple(
-    _unit(tuple((_py_h64(f"ivf_{c}_{d}") % 2001 - 1000) / 1000.0 for d in range(EMBED_DIM)))
-    for c in range(IVF_N_CELLS)
-)
+def ivf_centroids(n_cells: int) -> tuple:
+    """Deterministic unit-norm coarse-quantizer codebook of any size —
+    cell count is a SIZING knob, not a semantic change, so operators
+    expose it (candidates per query scale with nprobe·N/n_cells: keep
+    n_cells ≈ nprobe·√N for O(N^1.5) total candidate volume; a fixed
+    codebook on growing data degrades quadratically — measured 244s at
+    sf1 with the 16-cell default before this knob existed)."""
+    return tuple(
+        _unit(tuple((_py_h64(f"ivf_{c}_{d}") % 2001 - 1000) / 1000.0 for d in range(EMBED_DIM)))
+        for c in range(n_cells)
+    )
+
+
+IVF_CENTROIDS = ivf_centroids(IVF_N_CELLS)
+
+
+def lsh_planes(n_tables: int, n_bits: int) -> tuple:
+    """Deterministic hyperplane tables of any shape. More bits →
+    smaller buckets (bucket population ≈ N/2^bits: raise bits with
+    log2(N) to hold expected bucket size constant); more tables →
+    recall. The (tables, bits) defaults below are sized for the
+    sf0.01 correctness corpus."""
+    return tuple(
+        tuple(
+            tuple(
+                (_py_h64(f"plane_{t}_{j}_{d}") % 2001 - 1000) / 1000.0
+                for d in range(EMBED_DIM)
+            )
+            for j in range(n_bits)
+        )
+        for t in range(n_tables)
+    )
+
+
+LSH_PLANES = lsh_planes(LSH_TABLES, LSH_BITS)
 
 # --- Product quantization: per-subspace codebooks -------------------------
 # 64-dim vectors → PQ_M subspaces of PQ_SUB_DIM dims, PQ_K centroids

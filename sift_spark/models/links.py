@@ -419,3 +419,49 @@ def entity_components(links: DataFrame, min_comentions: int = 2) -> DataFrame:
     return duplicate_clusters_star(pairs).select(
         F.col("doc_id").alias("target"), F.col("rep_id").alias("component")
     )
+
+
+def entity_hits(links: DataFrame, n_iter: int = 5) -> DataFrame:
+    """HITS (Kleinberg 1999) on the bipartite doc→entity link graph:
+    documents are hubs, entities are authorities. Returns per-entity
+    (entity, authority) L1-normalized after ``n_iter`` mutual-update
+    rounds, rounded at the output edge.
+
+    Extends the reference's inlink-popularity model (links.py:13
+    EntityCounts) the same way entity_pagerank does: inlink COUNTS
+    weight every linking doc equally; HITS weights links by how well
+    the linking doc's other links point at strong entities.
+
+    Scale shape mirrors entity_pagerank: the distinct edge list
+    persists once; each half-round is one keyed shuffle (join on the
+    score key + groupBy the other side); the L1 norms ride 1-row
+    broadcast crossJoins, so the whole run stays one lazy plan with a
+    fixed iteration count — the DuckDB oracle unrolls the identical
+    iterations."""
+    edges = links.select("doc_id", "target").distinct().persist()
+    hubs = edges.select("doc_id").distinct().select(
+        "doc_id", F.lit(1.0).alias("h")
+    )
+    auth = None
+    for _ in range(n_iter):
+        a_raw = (
+            edges.join(hubs, "doc_id")
+            .groupBy("target")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        a_norm = a_raw.agg(F.sum("a_raw").alias("a_tot"))
+        auth = a_raw.crossJoin(F.broadcast(a_norm)).select(
+            "target", (F.col("a_raw") / F.col("a_tot")).alias("a")
+        )
+        h_raw = (
+            edges.join(auth, "target")
+            .groupBy("doc_id")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h_norm = h_raw.agg(F.sum("h_raw").alias("h_tot"))
+        hubs = h_raw.crossJoin(F.broadcast(h_norm)).select(
+            "doc_id", (F.col("h_raw") / F.col("h_tot")).alias("h")
+        )
+    return auth.select(
+        F.col("target").alias("entity"), F.round("a", 6).alias("authority")
+    )

@@ -453,3 +453,39 @@ def ewma_values(events: DataFrame, alpha: float = 0.3, window: int = 20) -> Data
     return sized.select(
         "event_id", "user_id", F.round(num / den, 6).alias("ewma")
     )
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session summary over gap-based sessions:
+    (user_id, n_sessions, n_bounce, avg_session_s, avg_events) where
+    a bounce is a single-event session and avg_session_s averages
+    (session_end - session_start) in seconds.
+
+    Composes ``sessionize`` (one keyed shuffle) with a per-user
+    aggregate on the already-user-keyed session table — AQE keeps the
+    second aggregate on the same partitioning, so no extra shuffle at
+    scale."""
+    s = sessionize(events, gap_minutes)
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounce"),
+        F.round(F.avg(F.col("session_end") - F.col("session_start")), 6).alias(
+            "avg_session_s"
+        ),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+    )
+
+
+def window_uniques(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Distinct active users per (tumbling window, event_type):
+    (window_start, event_type, n_users). Exact distinct — one shuffle
+    on (window, type, user) then a count; the approximate scale path
+    for very hot windows is ``approx_count_distinct`` (sketch-mergeable,
+    no second shuffle), kept off the oracle-checked default."""
+    secs = minutes * 60
+    bucket = (epoch_seconds(events) - (epoch_seconds(events) % secs)).alias(
+        "window_start"
+    )
+    return events.groupBy(bucket, F.col("event_type")).agg(
+        F.countDistinct("user_id").alias("n_users")
+    )

@@ -72,7 +72,64 @@ def _score_candidates(cand: DataFrame, emb: DataFrame, k: int) -> DataFrame:
     return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def lsh_bucket_table(emb: DataFrame) -> DataFrame:
+def _cogroup_topk(q_side: DataFrame, m_side: DataFrame, key: str, k: int) -> DataFrame:
+    """Per-bucket exact-cosine local top-k via cogrouped GEMM:
+    ``q_side`` (key, vec_id, embedding) × ``m_side`` (key, neighbor_id,
+    embedding) → (vec_id, neighbor_id, sim) rows, at most ``k`` per
+    (query, bucket), self-pairs excluded, sims rounded 6dp half-away
+    (the cross-engine contract) BEFORE ranking.
+
+    This is the communication-optimal candidate scorer for bucketed
+    ANN: embeddings travel once per bucket membership, the |Q|×|M|
+    pair math stays inside one numpy kernel per bucket, and only
+    top-k survivors leave. Skewed buckets cost a bigger GEMM tile,
+    not a bigger shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(_key, l, r):
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []}).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+            )
+        Q = np.stack(l["embedding"].to_numpy()).astype("float64")
+        M = np.stack(r["__memb"].to_numpy()).astype("float64")
+        qids = l["vec_id"].to_numpy()
+        mids = r["neighbor_id"].to_numpy()
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        mn = np.sqrt((M * M).sum(axis=1))
+        S = round6_half_away((Q @ M.T) / np.outer(qn, mn))
+        out_q, out_m, out_s = [], [], []
+        kk = min(k, len(mids))
+        for i in range(len(qids)):
+            row = S[i]
+            order = np.lexsort((mids, -row))
+            order = order[mids[order] != qids[i]][:kk]
+            out_q.append(np.full(len(order), qids[i]))
+            out_m.append(mids[order])
+            out_s.append(row[order])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_q).astype("int64"),
+                "neighbor_id": np.concatenate(out_m).astype("int64"),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    # both sides usually derive from the same parent plan; renaming the
+    # member-side key and embedding mints fresh attributes so the
+    # cogroup analyzer doesn't see an ambiguous self-reference
+    m2 = m_side.withColumnRenamed(key, "__mkey").withColumnRenamed(
+        "embedding", "__memb"
+    )
+    return (
+        q_side.groupby(key)
+        .cogroup(m2.groupby("__mkey"))
+        .applyInPandas(fn, "vec_id long, neighbor_id long, sim double")
+    )
+
+
+def lsh_bucket_table(emb: DataFrame, planes=None) -> DataFrame:
     """(vec_id, t, bucket) rows — one per LSH table.
 
     All L·B hyperplane signatures are computed in a single numpy GEMM
@@ -81,7 +138,7 @@ def lsh_bucket_table(emb: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    P = np.array(LSH_PLANES, dtype="float64")  # (T, B, D)
+    P = np.array(planes if planes is not None else LSH_PLANES, dtype="float64")  # (T, B, D)
     T, B, D = P.shape
     flat = P.reshape(T * B, D)
     weights = (1 << np.arange(B)).astype("int64")
@@ -213,7 +270,8 @@ def knn_label_propagation(emb: DataFrame, k: int = 5, n_blocks: int = 8) -> Data
     )
 
 
-def ann_ivf_topk(emb: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
+def ann_ivf_topk(emb: DataFrame, k: int = 5, nprobe: int = 2,
+                 n_cells: int | None = None) -> DataFrame:
     """IVF-style ANN: vectors are assigned to their nearest coarse-
     quantizer cell; each query probes its ``nprobe`` nearest cells
     and ranks exact cosine within them.
@@ -225,13 +283,18 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
     in one numpy GEMM per Arrow batch (map-side, no crossJoin and no
     rank-window shuffle), candidate equi-join on cell id —
     communication O(N·nprobe), never a cross join over vectors.
+
+    ``n_cells`` is the scale knob (see ``core.ivf_centroids``): cell
+    population is N/n_cells and per-query candidates nprobe·N/n_cells,
+    so a FIXED codebook on growing data degrades quadratically —
+    keep n_cells ≈ nprobe·√N. None keeps the 16-cell oracle default.
     """
     import numpy as np
     import pandas as pd
 
-    from sift_spark.functions.core import IVF_CENTROIDS
+    from sift_spark.functions.core import IVF_N_CELLS, ivf_centroids
 
-    C = np.array(IVF_CENTROIDS, dtype="float64")  # (n_cells, D)
+    C = np.array(ivf_centroids(n_cells or IVF_N_CELLS), dtype="float64")  # (n_cells, D)
     n2 = (C * C).sum(axis=1)
 
     def rank_cells(it):
@@ -253,22 +316,37 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
                 }
             )
 
+    # persist: ranked feeds BOTH the assignment and the probe list —
+    # unpersisted, the whole Arrow scan + GEMM chain runs twice
     ranked = emb.select("vec_id", "embedding").mapInPandas(
         rank_cells, "vec_id long, cid int, rn int"
-    )
+    ).persist()
     assign = ranked.where(F.col("rn") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cid"
     )
     probes = ranked.where(F.col("rn") <= nprobe).select("vec_id", "cid")
-    # no distinct needed: each neighbor lives in exactly one cell, so a
-    # (vec_id, neighbor_id) pair arises from at most one probed cell
-    cand = probes.join(assign, "cid").where(
-        F.col("vec_id") != F.col("neighbor_id")
-    ).select("vec_id", "neighbor_id")
-    return _score_candidates(cand, emb, k)
+    # scoring is per-CELL GEMM, not per-pair joins: materializing the
+    # (query, member) candidate pairs and joining embeddings onto both
+    # sides shuffles O(candidates·D) — measured 19s of a 22s sf1 run
+    # on a 6.4M-pair candidate set. Cogrouping queries and members by
+    # cell ships each embedding once per probe (O(N·nprobe·D)) and
+    # does the pair math inside numpy. A neighbor lives in exactly one
+    # cell, so per-cell local top-k rows merge into the exact global
+    # top-k (no cross-cell duplicates).
+    e = emb.select("vec_id", "embedding")
+    q_side = probes.join(e, "vec_id")
+    m_side = assign.join(
+        e.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id"
+    )
+    celled = _cogroup_topk(q_side, m_side, "cid", k)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return celled.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def ann_lsh_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+def ann_lsh_topk(emb: DataFrame, k: int = 5, n_tables: int | None = None,
+                 n_bits: int | None = None) -> DataFrame:
     """Multi-table LSH approximate top-k: candidates are vector pairs
     sharing any table's bucket (OR over L tables), then exact cosine
     + per-query top-k on the candidate set only:
@@ -277,20 +355,36 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5) -> DataFrame:
     The bucket table is map-side GEMM output (cheap to recompute, so
     no cache management); the self-join is a keyed equi-join on
     (t, bucket) that scales out, with distinct() collapsing pairs
-    that collide in several tables."""
-    bt = lsh_bucket_table(emb.select("vec_id", "embedding"))
-    cand = (
-        bt.alias("l")
-        .join(
-            bt.alias("r"),
-            (F.col("l.t") == F.col("r.t"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vec_id") != F.col("r.vec_id")),
-        )
-        .select(F.col("l.vec_id").alias("vec_id"), F.col("r.vec_id").alias("neighbor_id"))
-        .distinct()
+    that collide in several tables.
+
+    ``n_bits`` is the scale knob: expected bucket population is
+    N/2^bits, so raise bits with log2(N) (and add tables to buy the
+    recall back). None keeps the 4×6 oracle default."""
+    planes = None
+    if n_tables is not None or n_bits is not None:
+        from sift_spark.functions.core import LSH_BITS, LSH_TABLES, lsh_planes
+
+        planes = lsh_planes(n_tables or LSH_TABLES, n_bits or LSH_BITS)
+    # per-(table,bucket) cogrouped GEMM instead of a pair-materializing
+    # self-join + embedding joins (see _cogroup_topk): embeddings ship
+    # once per table membership, pair math stays in numpy. A neighbor
+    # sharing several buckets with a query yields duplicate local rows
+    # with IDENTICAL sims — dropDuplicates before the global rank.
+    bt = lsh_bucket_table(emb.select("vec_id", "embedding"), planes=planes)
+    bkey = (F.col("t").cast("long") * F.lit(1 << 33) + F.col("bucket")).alias("bkey")
+    e = emb.select("vec_id", "embedding")
+    keyed = bt.select("vec_id", bkey).join(e, "vec_id")
+    q_side = keyed
+    m_side = keyed.select(
+        F.col("vec_id").alias("neighbor_id"), "bkey", "embedding"
     )
-    return _score_candidates(cand, emb, k)
+    local = _cogroup_topk(q_side, m_side, "bkey", k).dropDuplicates(
+        ["vec_id", "neighbor_id"]
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return local.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def kmeans_clusters(emb: DataFrame, n_iter: int = 2) -> DataFrame:
@@ -701,3 +795,27 @@ def ivfpq_query_index(spark, queries: DataFrame, path: str,
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def normalize_embeddings(emb: DataFrame) -> DataFrame:
+    """Per-dimension z-score normalization of the embedding matrix:
+    (vec_id, dim, z) with z = (x - mean_dim) / stddev_pop_dim rounded
+    at the edge — the standard feature-scaling step before distance
+    computations or quantization codebook training.
+
+    Shape: posexplode to (vec_id, dim, x) — map-side; ONE aggregate
+    keyed on dim (dim cardinality == vector width, tiny); the per-dim
+    stats broadcast back onto the exploded rows. At 100 TB the
+    exploded table is width×rows but never shuffles on it — the only
+    shuffle key is the dim."""
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    stats = x.groupBy("dim").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sigma")
+    )
+    return x.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        F.round((F.col("x") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+    )

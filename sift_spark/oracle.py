@@ -1039,3 +1039,24 @@ SELECT user_id, status, valid_from,
        n_events
 FROM a
 """
+
+
+_hits_iters = ",\n".join(
+    f"""a{i}r AS (
+  SELECT target, sum(h) AS a_raw FROM il JOIN h{i - 1} USING (doc_id) GROUP BY target
+),
+a{i} AS (SELECT target, a_raw / (SELECT sum(a_raw) FROM a{i}r) AS a FROM a{i}r),
+h{i}r AS (
+  SELECT doc_id, sum(a) AS h_raw FROM il JOIN a{i} USING (target) GROUP BY doc_id
+),
+h{i} AS (SELECT doc_id, h_raw / (SELECT sum(h_raw) FROM h{i}r) AS h FROM h{i}r)"""
+    for i in range(1, 6)
+)
+
+ORACLE["entity_hits"] = f"""
+WITH {TOK}, {LINKS},
+il AS (SELECT DISTINCT doc_id, target FROM links),
+h0 AS (SELECT DISTINCT doc_id, 1.0 AS h FROM il),
+{_hits_iters}
+SELECT target AS entity, round(a, 6) AS authority FROM a5
+"""

@@ -326,22 +326,25 @@ def _plane_sql(vec: tuple[float, ...]) -> str:
     return "[" + ", ".join(repr(v) for v in vec) + "]"
 
 
-def _table_bucket_terms(t: int) -> str:
-    return " + ".join(
-        f"(CASE WHEN list_dot_product(v, {_plane_sql(LSH_PLANES[t][j])}) >= 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(len(LSH_PLANES[t]))
+def lsh_oracle_sql(planes) -> str:
+    """LSH top-k oracle for ANY plane-table shape (the plane tuples
+    come from ``core.lsh_planes`` — one generator feeds both engines,
+    so the scaled variants stay hash-checkable too)."""
+
+    def bucket_terms(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_plane_sql(planes[t][j])}) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(len(planes[t]))
+        )
+
+    sig_unions = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, {t} AS t, CAST({bucket_terms(t)} AS INT) AS bucket FROM e"
+        for t in range(len(planes))
     )
-
-
-_sig_unions = "\n  UNION ALL\n".join(
-    f"  SELECT vec_id, v, {t} AS t, CAST({_table_bucket_terms(t)} AS INT) AS bucket FROM e"
-    for t in range(len(LSH_PLANES))
-)
-
-ORACLE_OPS["ann_lsh_bucketed"] = f"""
+    return f"""
 WITH {EMB},
 sig AS (
-{_sig_unions}
+{sig_unions}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
@@ -359,14 +362,19 @@ r AS (
 SELECT vec_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
 """
 
-def _ivf_oracle() -> str:
+
+ORACLE_OPS["ann_lsh_bucketed"] = lsh_oracle_sql(LSH_PLANES)
+
+def _ivf_oracle(centroids=None) -> str:
+    """IVF top-k oracle for ANY codebook size (codebooks come from
+    ``core.ivf_centroids`` — one generator feeds both engines)."""
     from sift_spark.functions.core import IVF_CENTROIDS
 
     cell_values = ", ".join(
         "({c}, {v}, {n2!r})".format(
             c=c, v=_plane_sql(v), n2=sum(x * x for x in v)
         )
-        for c, v in enumerate(IVF_CENTROIDS)
+        for c, v in enumerate(centroids if centroids is not None else IVF_CENTROIDS)
     )
     return f"""
 WITH {EMB},
@@ -399,6 +407,20 @@ SELECT vec_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
 
 
 ORACLE_OPS["ann_ivf_bucketed"] = _ivf_oracle()
+
+# scaled ANN variants: same algorithms with codebook/bit-width sized
+# for ~10x the bench corpus (the scaling rule each operator documents).
+# Registered separately so BOTH configurations stay hash-checked.
+
+
+def _scaled_ann_oracles() -> None:
+    from sift_spark.functions.core import ivf_centroids, lsh_planes
+
+    ORACLE_OPS["ann_ivf_scaled"] = _ivf_oracle(ivf_centroids(128))
+    ORACLE_OPS["ann_lsh_scaled"] = lsh_oracle_sql(lsh_planes(4, 12))
+
+
+_scaled_ann_oracles()
 
 _lang_unions = "\n  UNION ALL\n".join(
     "  SELECT doc_id, '{lang}' AS lang, round(avg(CASE WHEN anchor IN ({words}) THEN 1.0 ELSE 0.0 END), 6) AS score FROM tok GROUP BY doc_id".format(
@@ -1108,4 +1130,51 @@ WITH c AS (
 )
 SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keep_doc_id
 FROM c GROUP BY canonical_url
+"""
+
+
+ORACLE_OPS["session_stats"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1
+         ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, session_id,
+         CAST(floor(min(epoch(ts))) AS BIGINT) AS session_start,
+         CAST(floor(max(epoch(ts))) AS BIGINT) AS session_end,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+       round(avg(session_end - session_start), 6) AS avg_session_s,
+       round(avg(n_events), 6) AS avg_events
+FROM sess GROUP BY user_id
+"""
+
+ORACLE_OPS["events_window_uniques"] = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+ORACLE_OPS["embedding_normalize"] = """
+WITH x AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+st AS (SELECT dim, avg(x) AS mu, stddev_pop(x) AS sigma FROM x GROUP BY dim)
+SELECT vec_id, dim, round((x - mu) / sigma, 6) AS z
+FROM x JOIN st USING (dim)
 """

@@ -629,6 +629,18 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     return ann_lsh_topk(_emb(spark, sf_dir), k=5)
 
 
+def q_ann_ivf_scaled(spark, sf_dir):
+    from sift_spark.operators.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(_emb(spark, sf_dir), k=5, nprobe=2, n_cells=128)
+
+
+def q_ann_lsh_scaled(spark, sf_dir):
+    from sift_spark.operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_emb(spark, sf_dir), k=5, n_tables=4, n_bits=12)
+
+
 def q_lang_id(spark, sf_dir):
     from sift_spark.operators.text_analysis import lang_id
 
@@ -893,6 +905,28 @@ def q_url_canonical_groups(spark, sf_dir):
     )
 
 
+def q_session_stats(spark, sf_dir):
+    from sift_spark.operators.events import session_stats
+
+    return session_stats(table(spark, sf_dir, "events"))
+
+
+def q_events_window_uniques(spark, sf_dir):
+    from sift_spark.operators.events import window_uniques
+
+    return window_uniques(table(spark, sf_dir, "events"), minutes=60)
+
+
+def q_embedding_normalize(spark, sf_dir):
+    from sift_spark.operators.similarity import normalize_embeddings
+
+    return normalize_embeddings(table(spark, sf_dir, "embeddings"))
+
+
+def q_entity_hits(spark, sf_dir):
+    return L.entity_hits(wikify_links(_docs(spark, sf_dir)))
+
+
 def q_bpe_encode(spark, sf_dir):
     from sift_spark.operators.text_analysis import bpe_encode, bpe_train
 
@@ -911,6 +945,12 @@ QUERIES: dict[str, QueryFn] = {
     "events_attribution": q_events_attribution,
     "events_ewma": q_events_ewma,
     "url_canonical_groups": q_url_canonical_groups,
+    "session_stats": q_session_stats,
+    "events_window_uniques": q_events_window_uniques,
+    "embedding_normalize": q_embedding_normalize,
+    "entity_hits": q_entity_hits,
+    "ann_ivf_scaled": q_ann_ivf_scaled,
+    "ann_lsh_scaled": q_ann_lsh_scaled,
     "bpe_encode": q_bpe_encode,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "semantic_dedup": q_semantic_dedup,

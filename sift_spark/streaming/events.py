@@ -280,3 +280,67 @@ def stream_session_window_counts(events: DataFrame, gap_minutes: int = 30,
             "sum_value",
         )
     )
+
+
+ATTR_STATE = T.StructType(
+    [
+        T.StructField("first_touch", T.StringType()),
+        T.StructField("last_touch", T.StringType()),
+    ]
+)
+
+ATTR_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("first_touch", T.StringType()),
+        T.StructField("last_touch", T.StringType()),
+    ]
+)
+
+
+def stream_attribution(events: DataFrame, conversion: str = "purchase") -> DataFrame:
+    """Streaming twin of ``operators.events.attribution_counts``:
+    emits one row per ``conversion`` event carrying the user's first
+    and last preceding non-conversion touch — the per-conversion log a
+    marketing pipeline appends continuously; the batch operator's
+    (first,last) counts are one aggregate over this output.
+
+    State per user is exactly TWO strings (first/last touch so far) —
+    constant per key regardless of stream length, the cheapest
+    possible ``applyInPandasWithState`` shape."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        rows = pd.concat(list(pdfs))
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(["es", "event_id"])
+        first_t, last_t = state.get if state.exists else (None, None)
+        out = []
+        for eid, etype in zip(rows["event_id"], rows["event_type"]):
+            if etype == conversion:
+                out.append((user_id, int(eid), first_t, last_t))
+            else:
+                if first_t is None:
+                    first_t = etype
+                last_t = etype
+        state.update((first_t, last_t))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "first_touch", "last_touch"]
+            )
+
+    keyed = events.select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts_ts").alias("es")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=ATTR_OUT,
+        stateStructType=ATTR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

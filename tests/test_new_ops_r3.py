@@ -216,3 +216,70 @@ def test_ewma_recent_events_weigh_more(spark):
     assert abs(got[3] - round(10.0 / 2.19, 6)) < 1e-9
     # trailing window: more weight on the latest value than plain mean
     assert got[3] > 10.0 / 3
+
+
+def test_session_stats_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.events import session_stats
+
+    rows = [
+        # user 1: two events 5 min apart (one session), then a lone
+        # event 2h later (bounce session)
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 12:30:00", 1, "view", 1.0, "{}"),
+        # user 2: single event → one bounce session
+        (4, "2024-01-01 09:00:00", 2, "view", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.user_id: r for r in session_stats(events).collect()}
+    assert got[1].n_sessions == 2 and got[1].n_bounce == 1
+    assert got[1].avg_session_s == round((300 + 0) / 2, 6)
+    assert got[1].avg_events == 1.5
+    assert got[2].n_sessions == 1 and got[2].n_bounce == 1
+
+
+def test_entity_hits_authority_properties(spark):
+    from tests.conftest import SF_SMOKE
+
+    from sift_spark.corpora.synthetic import wikify_links
+    from sift_spark.models.links import entity_hits
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    links = wikify_links(docs)
+    auth = {r.entity: r.authority for r in entity_hits(links).collect()}
+    assert auth  # non-vacuous
+    # L1-normalized (rounding noise only)
+    assert abs(sum(auth.values()) - 1.0) < 1e-3
+    assert all(a >= 0 for a in auth.values())
+    # the most-inlinked entity should carry top-3 authority: HITS
+    # agrees with inlink popularity on broadly-linked graphs
+    from pyspark.sql import functions as F
+
+    top_inlinked = (
+        links.select("doc_id", "target").distinct()
+        .groupBy("target").count()
+        .orderBy(F.desc("count"), "target").first().target
+    )
+    top3 = sorted(auth, key=lambda e: -auth[e])[:3]
+    assert top_inlinked in top3
+
+
+def test_embedding_normalize_is_zscore(spark):
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+    from sift_spark.operators.similarity import normalize_embeddings
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    rows = normalize_embeddings(emb).collect()
+    by_dim: dict[int, list[float]] = {}
+    for r in rows:
+        by_dim.setdefault(r.dim, []).append(r.z)
+    for dim, zs in by_dim.items():
+        z = np.array(zs)
+        assert abs(z.mean()) < 1e-4, dim
+        assert abs(z.std() - 1.0) < 1e-4, dim

@@ -322,3 +322,26 @@ def test_stream_session_window_matches_batch(spark, events_dir):
     wm = max_ts - gap_s
     for k in set(want) - set(got):
         assert want[k][0] > wm, f"session {k} should have closed"
+
+
+def test_stream_attribution_matches_batch(spark, events_dir):
+    from sift_spark.operators.events import attribution_counts
+    from sift_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        stream_attribution,
+    )
+
+    stream = read_event_stream(spark, events_dir)
+    out = run_available_now(stream_attribution(stream), "t_attr", output_mode="append")
+    got: dict = {}
+    for r in out.collect():
+        k = (r.first_touch, r.last_touch)
+        got[k] = got.get(k, 0) + 1
+    want = {
+        (r.first_touch, r.last_touch): r.n_conversions
+        for r in attribution_counts(
+            spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        ).collect()
+    }
+    assert got == want
