@@ -134,10 +134,7 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """MinHash signatures: (doc_id, mh_0 … mh_{K-1}) via K linear
-    permutations (a·h+b) mod 2^31-1 — one aggregate shuffle total."""
-    sh = shingles(docs, n)
+def _minhash_from_shingles(sh: DataFrame) -> DataFrame:
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(MOD31)).alias(f"mh_{i}")
         for i in range(MINHASH_K)
@@ -145,10 +142,13 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_band_table(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Banded signatures: (doc_id, band, sig) — md5 over each band's
-    row values; the (band, sig) pair is the LSH bucket key."""
-    mh = minhash_signatures(docs, n)
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """MinHash signatures: (doc_id, mh_0 … mh_{K-1}) via K linear
+    permutations (a·h+b) mod 2^31-1 — one aggregate shuffle total."""
+    return _minhash_from_shingles(shingles(docs, n))
+
+
+def _bands_from_signatures(mh: DataFrame) -> DataFrame:
     bands = []
     for b in range(MINHASH_BANDS):
         cols = [F.col(f"mh_{b * MINHASH_ROWS + r}").cast("string") for r in range(MINHASH_ROWS)]
@@ -158,16 +158,25 @@ def minhash_band_table(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def minhash_band_table(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Banded signatures: (doc_id, band, sig) — md5 over each band's
+    row values; the (band, sig) pair is the LSH bucket key."""
+    return _bands_from_signatures(minhash_signatures(docs, n))
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact-jaccard verify:
     (doc1, doc2, jaccard). Candidates come from band-bucket equi-joins
     (never a cross join); jaccard is computed exactly on the candidate
     set only.
 
-    The band table and shingle table are persisted: each feeds both
-    sides of a self-join (and the verify re-reads shingles), which
-    would otherwise recompute the tokenize+shingle+hash chain 2-4×."""
-    bt = minhash_band_table(docs, n).persist()
+    ONE persisted shingle table feeds the signature aggregate AND the
+    verify (tokenize + ngram + md5 is the dominant linear cost — the
+    sf1 study measured the whole operator scaling ~linearly at ~12×
+    per 10× data, so not recomputing the shingle pass matters); the
+    band table persists because it self-joins."""
+    sh = shingles(docs, n).persist()
+    bt = _bands_from_signatures(_minhash_from_shingles(sh)).persist()
     cand = (
         bt.alias("l")
         .join(bt.alias("r"), (F.col("l.band") == F.col("r.band")) & (F.col("l.sig") == F.col("r.sig")))
@@ -175,7 +184,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> Da
         .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
         .distinct()
     )
-    return _jaccard_verify(cand, shingles(docs, n).persist(), threshold)
+    return _jaccard_verify(cand, sh, threshold)
 
 
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

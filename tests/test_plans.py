@@ -298,3 +298,41 @@ def test_tpch_topk_is_take_ordered(spark):
     }
     for name, plan in plans.items():
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_ann_ivf_scorer_is_cogrouped_gemm(spark):
+    """The IVF candidate scorer must stay the cogrouped per-cell GEMM:
+    a regression to pair-materializing embedding joins shuffles
+    O(candidates·D) (measured 19s of a 22s sf1 run) and shows up here
+    as the cogroup operator disappearing from the plan."""
+    from sift_spark.io import table
+    from sift_spark.operators.similarity import ann_ivf_topk
+
+    df = ann_ivf_topk(table(spark, SF_SMOKE, "embeddings"), k=5, nprobe=2)
+    plan = _plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_canonical_all_builtin_expressions(spark):
+    """canonical_url must stay JVM-side: no Python UDF anywhere in the
+    plan (regex + array HOFs only), so it runs inside codegen."""
+    from sift_spark.queries import QUERIES
+
+    df = QUERIES["url_canonical_groups"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_duplicate_spans_single_gram_shuffle(spark):
+    """duplicate_spans: the only wide exchanges are the gram-count
+    aggregate + gram re-join and the per-doc window — no cartesian
+    anything, and the gram aggregate must have a map-side partial
+    (count splits into partial_count/merge_count)."""
+    from sift_spark.operators.dedup import duplicate_spans
+    from sift_spark.io import table
+
+    df = duplicate_spans(table(spark, SF_SMOKE, "documents"), l=5)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
