@@ -435,9 +435,15 @@ def entity_hits(links: DataFrame, n_iter: int = 5) -> DataFrame:
     Scale shape mirrors entity_pagerank: the distinct edge list
     persists once; each half-round is one keyed shuffle (join on the
     score key + groupBy the other side); the L1 norms ride 1-row
-    broadcast crossJoins, so the whole run stays one lazy plan with a
-    fixed iteration count — the DuckDB oracle unrolls the identical
-    iterations."""
+    broadcast crossJoins. Unlike PageRank (whose plan grows linearly
+    per round — one self-reference), each HITS round references the
+    raw-score table TWICE (score + its L1 norm), so a fully lazy
+    unroll quadruples the plan per round (~4^n subtree copies — a
+    measured driver-heap OOM at n_iter=5). The hub table is therefore
+    ``localCheckpoint``-ed once per round, exactly the
+    dedup.duplicate_clusters lineage cut: the checkpoint is one row
+    per document (node-sized, never corpus-sized), and the DuckDB
+    oracle unrolls the identical iterations."""
     edges = links.select("doc_id", "target").distinct().persist()
     hubs = edges.select("doc_id").distinct().select(
         "doc_id", F.lit(1.0).alias("h")
@@ -461,7 +467,7 @@ def entity_hits(links: DataFrame, n_iter: int = 5) -> DataFrame:
         h_norm = h_raw.agg(F.sum("h_raw").alias("h_tot"))
         hubs = h_raw.crossJoin(F.broadcast(h_norm)).select(
             "doc_id", (F.col("h_raw") / F.col("h_tot")).alias("h")
-        )
+        ).localCheckpoint()
     return auth.select(
         F.col("target").alias("entity"), F.round("a", 6).alias("authority")
     )

@@ -1041,15 +1041,20 @@ FROM a
 """
 
 
+# Each iteration references the raw-score CTE twice (score + its L1
+# norm); DuckDB inlines plain CTEs, so a lazy unroll quadruples the
+# plan per round exactly like the un-checkpointed Spark lineage did
+# (measured: both engines hang/OOM at 5 rounds). MATERIALIZED forces
+# one evaluation per CTE — the oracle twin of localCheckpoint.
 _hits_iters = ",\n".join(
-    f"""a{i}r AS (
+    f"""a{i}r AS MATERIALIZED (
   SELECT target, sum(h) AS a_raw FROM il JOIN h{i - 1} USING (doc_id) GROUP BY target
 ),
-a{i} AS (SELECT target, a_raw / (SELECT sum(a_raw) FROM a{i}r) AS a FROM a{i}r),
-h{i}r AS (
+a{i} AS MATERIALIZED (SELECT target, a_raw / (SELECT sum(a_raw) FROM a{i}r) AS a FROM a{i}r),
+h{i}r AS MATERIALIZED (
   SELECT doc_id, sum(a) AS h_raw FROM il JOIN a{i} USING (target) GROUP BY doc_id
 ),
-h{i} AS (SELECT doc_id, h_raw / (SELECT sum(h_raw) FROM h{i}r) AS h FROM h{i}r)"""
+h{i} AS MATERIALIZED (SELECT doc_id, h_raw / (SELECT sum(h_raw) FROM h{i}r) AS h FROM h{i}r)"""
     for i in range(1, 6)
 )
 
