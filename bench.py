@@ -173,6 +173,10 @@ def main() -> None:
         "entity_hits",
         "ann_ivf_scaled",
         "ann_lsh_scaled",
+        "events_changepoint",
+        "temperature_weights",
+        "temperature_sample",
+        "embedding_pca",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

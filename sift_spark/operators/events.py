@@ -489,3 +489,47 @@ def window_uniques(events: DataFrame, minutes: int = 60) -> DataFrame:
     return events.groupBy(bucket, F.col("event_type")).agg(
         F.countDistinct("user_id").alias("n_users")
     )
+
+
+def changepoint_cusum(events: DataFrame, bucket_s: int = 3600, k: float = 0.5,
+                      h: float = 4.0) -> DataFrame:
+    """Two-sided CUSUM level-shift detection (Page 1954) on the
+    per-type event-rate series: bucket counts per (event_type,
+    ``bucket_s`` window), standardize against the type's own
+    mean/stddev, then accumulate drift beyond the slack ``k`` and
+    flag buckets where either side exceeds the decision threshold
+    ``h``. Output: (event_type, window_start, n, cusum_pos,
+    cusum_neg, is_change), one row per bucket.
+
+    The textbook recursion s_t = max(0, s_{t-1} + x_t) looks
+    sequential, but has the prefix closed form
+    s_t = S_t − min(0, min_{j≤t} S_j) with S the running sum of x —
+    so both sides are TWO ordered windows (cumulative sum + cumulative
+    min of it), no UDF, no iteration. The only shuffle is the
+    bucket aggregate + the per-type window partition; per-type series
+    are bounded by time range / bucket_s, never by corpus size, and
+    the two stat tables ride in as k-row broadcasts."""
+    es = epoch_seconds(events)
+    counts = events.groupBy(
+        F.col("event_type"), (es - es % bucket_s).alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = counts.join(F.broadcast(stats), "event_type").withColumn(
+        "z", (F.col("n") - F.col("mu")) / F.col("sd")
+    )
+    w = Window.partitionBy("event_type").orderBy("window_start")
+    pre = z.select(
+        "event_type", "window_start", "n",
+        F.sum(F.col("z") - k).over(w).alias("sp"),
+        F.sum(-F.col("z") - k).over(w).alias("sn"),
+    )
+    cp = F.col("sp") - F.least(F.lit(0.0), F.min("sp").over(w))
+    cn = F.col("sn") - F.least(F.lit(0.0), F.min("sn").over(w))
+    return pre.select(
+        "event_type", "window_start", "n",
+        F.round(cp, 6).alias("cusum_pos"),
+        F.round(cn, 6).alias("cusum_neg"),
+        F.when((cp > h) | (cn > h), 1).otherwise(0).cast("int").alias("is_change"),
+    )

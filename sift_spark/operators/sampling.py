@@ -213,3 +213,63 @@ def dsir_importance_weights(docs: DataFrame, target_lang: str = "en",
         .agg(F.round(F.avg("lr"), 6).alias("weight"))
     )
     return weights.orderBy(F.col("weight").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def temperature_weights(docs: DataFrame, alpha: float = 0.3,
+                        budget: int = 10000,
+                        source_col: str = "source") -> DataFrame:
+    """Temperature-based source mixing (the multilingual-corpus
+    sampling rule of XLM-R / mC4: p_s ∝ n_s^α): per source, the raw
+    corpus share, the temperature-flattened share, the resulting
+    up/down-sampling boost, and the expected document count under a
+    total ``budget``. α = 1 reproduces the natural mix; α → 0
+    approaches uniform-over-sources.
+
+    Output: (source, n_docs, p_raw, p_temp, boost, expected_docs).
+
+    Scale shape: one count aggregate keyed on source (map-side
+    combine does nearly all the work), totals ride back on a 1-row
+    broadcast crossJoin — the corpus itself is touched exactly once
+    and never wide-shuffled."""
+    cnt = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = cnt.agg(
+        F.sum("n_docs").alias("t"),
+        F.sum(F.pow(F.col("n_docs"), alpha)).alias("ta"),
+    )
+    p_temp = F.pow(F.col("n_docs"), alpha) / F.col("ta")
+    p_raw = F.col("n_docs") / F.col("t")
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / p_raw, 6).alias("boost"),
+        F.round(F.lit(float(budget)) * p_temp, 2).alias("expected_docs"),
+    )
+
+
+def temperature_sample(docs: DataFrame, alpha: float = 0.3,
+                       budget: int = 10000, key_col: str = "doc_id",
+                       source_col: str = "source",
+                       salt: str = "temp") -> DataFrame:
+    """Apply :func:`temperature_weights`: keep each document with
+    probability min(1, budget·p_temp(source)/n_docs(source)), decided
+    by the deterministic keyed hash (same membership on every run and
+    every cluster layout). Downsampling only — a source whose target
+    exceeds its size keeps everything (upsampling is a repeat-count
+    concern for the packing stage, not a filter).
+
+    Output: (key, source). The per-source rate table is a broadcast
+    join; the corpus never shuffles."""
+    rates = temperature_weights(docs, alpha, budget, source_col).select(
+        source_col,
+        F.least(
+            F.lit(1.0), F.col("expected_docs") / F.col("n_docs")
+        ).alias("rate"),
+    )
+    hb = hash_bucket(F.col(key_col), salt, 1_000_000)
+    return (
+        docs.join(F.broadcast(rates), source_col)
+        .where(hb < F.round(F.col("rate") * 1_000_000))
+        .select(key_col, source_col)
+    )

@@ -819,3 +819,78 @@ def normalize_embeddings(emb: DataFrame) -> DataFrame:
         "dim",
         F.round((F.col("x") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
     )
+
+
+def embedding_pca(emb: DataFrame, n_components: int = 4) -> DataFrame:
+    """Distributed PCA over the embedding column: project each vector
+    onto the top ``n_components`` principal axes of the corpus
+    covariance. Output: (vec_id, pc) with ``pc`` an
+    array<double> of length ``n_components``, rounded at the edge.
+
+    Scale shape — the classic two-pass GEMM reduction (same layout as
+    Spark MLlib's RowMatrix PCA): each partition computes its own
+    d-vector sum and d×d Gram block X^T X in one Arrow batch
+    (``mapInPandas``), emitting ONE flattened row per batch; a single
+    global aggregate sums those d²-sized partials (bytes per
+    partition, never per row); the driver eigendecomposes the d×d
+    covariance (d = embedding width, always tiny) and the component
+    matrix rides back into a map-side projection as literal arrays.
+    The corpus is scanned exactly twice and never shuffled.
+
+    Determinism: eigenvector signs are fixed by making each
+    component's largest-magnitude coordinate positive; components are
+    ordered by descending eigenvalue (ties broken by numpy's stable
+    eigh order).
+    """
+    import numpy as np
+
+    def partials(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({
+                "n": [float(len(X))],
+                "s": [X.sum(axis=0).tolist()],
+                "g": [(X.T @ X).ravel().tolist()],
+            })
+
+    agg = (
+        emb.select("embedding")
+        .mapInPandas(partials, "n double, s array<double>, g array<double>")
+        .select("n", F.posexplode(F.concat("s", "g")).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"), F.sum("n").alias("n"))
+    )
+    rows = agg.collect()  # d + d² rows — width-sized, never corpus-sized
+    d = int(round((-1 + (1 + 4 * len(rows)) ** 0.5) / 2))
+    flat = np.zeros(d + d * d)
+    for r in rows:
+        flat[r["i"]] = r["v"]
+    n = float(rows[0]["n"])  # every i-group sums the same per-batch counts
+    s, G = flat[:d], flat[d:].reshape(d, d)
+    mu = s / n
+    cov = (G - np.outer(mu, s)) / (n - 1.0)  # G − n·μμᵀ, with s = n·μ
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    W = evecs[:, order]
+    sign = np.sign(W[np.abs(W).argmax(axis=0), range(W.shape[1])])
+    W = W * sign
+    mu_lit = F.array(*[F.lit(float(v)) for v in mu])
+    centered = F.zip_with("embedding", mu_lit, lambda x, m: x.cast("double") - m)
+    pcs = F.array(*[
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(float(v)) for v in W[:, j]]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+        for j in range(W.shape[1])
+    ])
+    return emb.select("vec_id", pcs.alias("pc"))

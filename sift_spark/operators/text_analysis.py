@@ -401,7 +401,9 @@ def filtered_corpus(
     keyed on the text hash."""
     from sift_spark.operators.dedup import dedup_exact
 
-    kept = dedup_exact(docs)
+    # the dedup output feeds BOTH feature branches — without a persist
+    # the text-hash dedup shuffle and the corpus scan run twice
+    kept = dedup_exact(docs).persist()
     q = quality_score(kept).where(
         (F.col("n_tokens") >= min_tokens) & (F.col("score") >= min_score)
     )

@@ -1065,3 +1065,62 @@ h0 AS (SELECT DISTINCT doc_id, 1.0 AS h FROM il),
 {_hits_iters}
 SELECT target AS entity, round(a, 6) AS authority FROM a5
 """
+
+
+ORACLE["events_changepoint"] = """
+WITH es AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events
+),
+c AS (
+  SELECT event_type, e - e % 3600 AS window_start, count(*) AS n
+  FROM es GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd FROM c GROUP BY 1
+),
+z AS (
+  SELECT c.event_type, window_start, n, (n - mu) / sd AS z
+  FROM c JOIN s USING (event_type)
+),
+pre AS (
+  SELECT event_type, window_start, n,
+         sum(z - 0.5) OVER (PARTITION BY event_type ORDER BY window_start) AS sp,
+         sum(-z - 0.5) OVER (PARTITION BY event_type ORDER BY window_start) AS sn
+  FROM z
+),
+cu AS (
+  SELECT event_type, window_start, n,
+         sp - least(0, min(sp) OVER (PARTITION BY event_type ORDER BY window_start)) AS cp,
+         sn - least(0, min(sn) OVER (PARTITION BY event_type ORDER BY window_start)) AS cn
+  FROM pre
+)
+SELECT event_type, window_start, n,
+       round(cp, 6) AS cusum_pos, round(cn, 6) AS cusum_neg,
+       CAST(CASE WHEN cp > 4.0 OR cn > 4.0 THEN 1 ELSE 0 END AS INT) AS is_change
+FROM cu
+"""
+
+
+ORACLE["temperature_weights"] = """
+WITH cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT sum(n_docs) AS t, sum(pow(n_docs, 0.3)) AS ta FROM cnt)
+SELECT source, n_docs,
+       round(n_docs / t, 6) AS p_raw,
+       round(pow(n_docs, 0.3) / ta, 6) AS p_temp,
+       round((pow(n_docs, 0.3) / ta) / (n_docs / t), 6) AS boost,
+       round(10000.0 * pow(n_docs, 0.3) / ta, 2) AS expected_docs
+FROM cnt, tot
+"""
+
+
+ORACLE["temperature_sample"] = """
+WITH cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT sum(n_docs) AS t, sum(pow(n_docs, 0.3)) AS ta FROM cnt),
+rates AS (
+  SELECT source, least(1.0, round(10000.0 * pow(n_docs, 0.3) / ta, 2) / n_docs) AS rate
+  FROM cnt, tot
+)
+SELECT doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE cast(concat('0x', substr(md5(concat('temp:', cast(doc_id as varchar))), 1, 15)) as bigint) % 1000000 < round(rate * 1000000)
+"""

@@ -934,12 +934,41 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, bpe_train(docs, n_merges=10, min_count=2))
 
 
+def q_events_changepoint(spark, sf_dir):
+    return EV.changepoint_cusum(table(spark, sf_dir, "events"))
+
+
+def q_temperature_weights(spark, sf_dir):
+    from sift_spark.operators.sampling import temperature_weights
+
+    return temperature_weights(_docs(spark, sf_dir))
+
+
+def q_temperature_sample(spark, sf_dir):
+    from sift_spark.operators.sampling import temperature_sample
+
+    return temperature_sample(_docs(spark, sf_dir))
+
+
+def q_embedding_pca(spark, sf_dir):
+    """[r] rows-only: the d x d eigendecomposition is not
+    SQL-expressible; tested against a full-data numpy PCA in
+    tests/test_similarity_extra.py instead."""
+    from sift_spark.operators.similarity import embedding_pca
+
+    return embedding_pca(_emb(spark, sf_dir))
+
+
 # Registration order IS the driver's sampling order: the driver hash-checks the
 # FIRST 50 entries at sf0.01 each round. Rounds 1-2 sampled the same 50
 # link/text/TPC-H queries, so the LLM-pipeline / dedup / ANN / r2 operators
 # (never driver-sampled) now register first; the already-driver-green 50
 # register last. Every ordering still passes the full local parity suite.
 QUERIES: dict[str, QueryFn] = {
+    "events_changepoint": q_events_changepoint,
+    "temperature_weights": q_temperature_weights,
+    "temperature_sample": q_temperature_sample,
+    "embedding_pca": q_embedding_pca,
     "duplicate_spans": q_duplicate_spans,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "events_attribution": q_events_attribution,

@@ -283,3 +283,82 @@ def test_embedding_normalize_is_zscore(spark):
         z = np.array(zs)
         assert abs(z.mean()) < 1e-4, dim
         assert abs(z.std() - 1.0) < 1e-4, dim
+
+
+def test_embedding_pca_matches_numpy(spark):
+    import numpy as np
+
+    from sift_spark.io import table
+    from sift_spark.operators.similarity import embedding_pca
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    got = {r.vec_id: np.array(r.pc) for r in embedding_pca(emb, 4).collect()}
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / (len(X) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    W = evecs[:, np.argsort(evals)[::-1][:4]]
+    W = W * np.sign(W[np.abs(W).argmax(axis=0), range(4)])
+    want = (X - mu) @ W
+    for i, vid in enumerate(pdf["vec_id"]):
+        assert np.allclose(got[vid], want[i], atol=2e-6), (vid, got[vid], want[i])
+
+
+def test_changepoint_cusum_flags_injected_level_shift(spark):
+    from sift_spark.operators.events import changepoint_cusum
+
+    # 30 buckets of ~steady rate, then 10 buckets at 5x: the CUSUM
+    # positive side must cross the threshold after the shift and the
+    # pre-shift region must stay unflagged.
+    rows = []
+    eid = 0
+    for b in range(40):
+        n = 4 if b < 30 else 20
+        for j in range(n):
+            eid += 1
+            rows.append((eid, b * 3600 + j * 7, 1, "click", 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, es long, user_id long, event_type string, value double"
+    ).selectExpr(
+        "event_id", "cast(es as timestamp) AS ts", "user_id", "event_type", "value"
+    )
+    out = {r.window_start: r for r in changepoint_cusum(ev).collect()}
+    assert len(out) == 40
+    flagged = sorted(ws for ws, r in out.items() if r.is_change == 1)
+    assert flagged, "level shift not detected"
+    assert min(flagged) >= 30 * 3600, "false positive before the shift"
+    # closed-form == recursion: recompute s_t = max(0, s+x) in Python
+    import math
+    vals = [out[b * 3600].n for b in range(40)]
+    mu = sum(vals) / len(vals)
+    sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / (len(vals) - 1))
+    s = 0.0
+    for b in range(40):
+        s = max(0.0, s + (vals[b] - mu) / sd - 0.5)
+        assert abs(out[b * 3600].cusum_pos - round(s, 6)) < 1e-6
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    from sift_spark.io import table
+    from sift_spark.operators.sampling import temperature_sample, temperature_weights
+
+    docs = table(spark, SF_SMOKE, "documents")
+    w = {r.source: r for r in temperature_weights(docs, budget=100).collect()}
+    assert abs(sum(r.p_temp for r in w.values()) - 1.0) < 1e-4
+    assert abs(sum(r.p_raw for r in w.values()) - 1.0) < 1e-4
+    # temperature flattens: on a skewed mix the dominant source is
+    # downweighted and the rare one upweighted (the sf0.001 corpus is
+    # uniform across sources, so use a synthetic skew here)
+    skew = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    ws = {r.source: r for r in temperature_weights(skew, budget=100).collect()}
+    assert ws["big"].boost < 1.0 < ws["small"].boost
+    s1 = {r.doc_id for r in temperature_sample(docs, budget=100).collect()}
+    s2 = {r.doc_id for r in temperature_sample(docs.repartition(7), budget=100).collect()}
+    assert s1 == s2, "membership must not depend on partitioning"
+    got = len(s1)
+    assert 0 < got < docs.count()

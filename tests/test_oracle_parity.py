@@ -49,6 +49,9 @@ def test_all_queries_have_oracle_or_are_declared():
         # applies bpe_train's merge table (driver-resident fold chain);
         # verified vs a pure-Python encoder in test_text_analysis
         "bpe_encode",
+        # d×d eigendecomposition — not SQL-expressible; verified vs a
+        # full-data numpy PCA in test_new_ops_r3
+        "embedding_pca",
     }
     missing = set(QUERIES) - set(ORACLE) - declared_rows_only
     assert not missing, f"queries missing oracle twins: {missing}"

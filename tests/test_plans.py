@@ -336,3 +336,28 @@ def test_duplicate_spans_single_gram_shuffle(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_temperature_sample_broadcasts_rates(spark):
+    """The per-source rate table must ride in as a broadcast join —
+    the corpus side of temperature_sample never shuffles."""
+    from sift_spark.io import table
+    from sift_spark.operators.sampling import temperature_sample
+
+    df = temperature_sample(table(spark, SF_SMOKE, "documents"))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_pca_projection_stays_jvm_side(spark):
+    """embedding_pca's projection is literal-array zip_with/aggregate
+    expressions — no Python eval and no exchange in the output plan
+    (the corpus is scanned map-side only)."""
+    from sift_spark.io import table
+    from sift_spark.operators.similarity import embedding_pca
+
+    df = embedding_pca(table(spark, SF_SMOKE, "embeddings"), 2)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
