@@ -344,3 +344,96 @@ def stream_attribution(events: DataFrame, conversion: str = "purchase") -> DataF
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_STATE = T.StructType(
+    [
+        T.StructField("cur_bucket", T.LongType()),
+        T.StructField("cur_n", T.LongType()),
+        T.StructField("sp", T.DoubleType()),
+        T.StructField("sn", T.DoubleType()),
+    ]
+)
+
+CUSUM_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("window_start", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("cusum_pos", T.DoubleType()),
+        T.StructField("cusum_neg", T.DoubleType()),
+        T.StructField("is_change", T.IntegerType()),
+    ]
+)
+
+
+def stream_changepoint(events: DataFrame, ref_stats: dict,
+                       bucket_s: int = 3600, k: float = 0.5,
+                       h: float = 4.0) -> DataFrame:
+    """Streaming twin of ``operators.events.changepoint_cusum``:
+    per-type CUSUM over bucketed event rates, maintained as the
+    textbook recursion s ← max(0, s + x) in
+    ``applyInPandasWithState`` keyed by event_type — which is exactly
+    the form a stream CAN run (the batch twin had to re-express it as
+    a prefix closed form; the stream just carries s).
+
+    ``ref_stats`` maps event_type → (mu, sd) reference bucket-rate
+    statistics, computed offline from history (a live stream cannot
+    standardize against the full-series mean the batch operator uses
+    — passing batch-computed stats makes the two outputs exactly
+    equal, which the test exploits).
+
+    State per type is four scalars (open bucket, its count, two CUSUM
+    sides); a bucket is emitted when a later bucket's first event
+    arrives, so the stream stays one row per closed bucket regardless
+    of event volume. Buckets must arrive in order per type (true for
+    an event-time-ordered source; out-of-order buckets within a
+    micro-batch are sorted before folding)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (etype,) = key
+        rows = pd.concat(list(pdfs))
+        if len(rows) == 0:
+            return
+        mu, sd = ref_stats.get(etype, (None, None))
+        if mu is None:
+            return
+        counts = (
+            rows.assign(b=(rows["es"] - rows["es"] % bucket_s))
+            .groupby("b")["es"].count().sort_index()
+        )
+        if state.exists:
+            cur_b, cur_n, sp, sn = state.get
+        else:
+            cur_b, cur_n, sp, sn = None, 0, 0.0, 0.0
+        out = []
+        for b, n in counts.items():
+            if cur_b is None:
+                cur_b, cur_n = int(b), 0
+            if int(b) != cur_b:
+                z = (cur_n - mu) / sd
+                sp = max(0.0, sp + z - k)
+                sn = max(0.0, sn - z - k)
+                out.append((etype, cur_b, cur_n, round(sp, 6), round(sn, 6),
+                            int(sp > h or sn > h)))
+                cur_b, cur_n = int(b), 0
+            cur_n += int(n)
+        state.update((cur_b, cur_n, sp, sn))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["event_type", "window_start", "n",
+                         "cusum_pos", "cusum_neg", "is_change"],
+            )
+
+    keyed = events.select("event_type", F.unix_timestamp("ts_ts").alias("es"))
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=CUSUM_OUT,
+        stateStructType=CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -345,3 +345,47 @@ def test_stream_attribution_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_changepoint_matches_batch(spark, events_dir):
+    from sift_spark.operators.events import changepoint_cusum
+    from sift_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        stream_changepoint,
+    )
+
+    batch_ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    want = {
+        (r.event_type, r.window_start): (r.n, r.cusum_pos, r.cusum_neg, r.is_change)
+        for r in changepoint_cusum(batch_ev).collect()
+    }
+    # the stream standardizes against reference stats; feed it the
+    # batch series' own mean/std so the two outputs are exactly equal
+    import math
+
+    series: dict = {}
+    for (et, ws), (n, *_rest) in want.items():
+        series.setdefault(et, []).append(n)
+    ref = {}
+    for et, ns in series.items():
+        mu = sum(ns) / len(ns)
+        sd = math.sqrt(sum((v - mu) ** 2 for v in ns) / (len(ns) - 1))
+        ref[et] = (mu, sd)
+
+    stream = read_event_stream(spark, events_dir)
+    out = run_available_now(
+        stream_changepoint(stream, ref), "t_cusum", output_mode="append"
+    )
+    got = {
+        (r.event_type, r.window_start): (r.n, r.cusum_pos, r.cusum_neg, r.is_change)
+        for r in out.collect()
+    }
+    # the stream emits a bucket when the NEXT bucket opens, so each
+    # type's final (never-closed) bucket is absent — everything else
+    # must match the batch operator exactly
+    last = {et: max(ws for (e, ws) in want if e == et) for et in series}
+    expected = {
+        (et, ws): v for (et, ws), v in want.items() if ws != last[et]
+    }
+    assert got == expected
