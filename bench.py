@@ -177,6 +177,7 @@ def main() -> None:
         "temperature_weights",
         "temperature_sample",
         "embedding_pca",
+        "entity_salience",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -471,3 +471,38 @@ def entity_hits(links: DataFrame, n_iter: int = 5) -> DataFrame:
     return auth.select(
         F.col("target").alias("entity"), F.round("a", 6).alias("authority")
     )
+
+
+def entity_salience(links: DataFrame, doc_tokens: DataFrame) -> DataFrame:
+    """Per-document entity salience — the feature an entity-linking
+    pipeline ranks candidates with once mentions are resolved
+    (extends the reference's corpus-global popularity models,
+    links.py:13 EntityCounts, to a per-document score): mentions that
+    are frequent within the document AND appear early score higher.
+
+    salience = n_mentions / n_tokens + 1 / (1 + first_pos)
+
+    (rational arithmetic only, so both engines agree to 6dp without
+    transcendental-function drift). ``doc_tokens`` is any
+    (doc_id, n_tokens) table — ``token_stats`` output works.
+
+    Output: (doc_id, target, n_mentions, first_pos, salience).
+
+    One aggregate keyed on (doc_id, target) + a doc-keyed broadcastable
+    join against the per-doc token counts; never a corpus-wide
+    shuffle on anything but those natural keys."""
+    per = links.groupBy("doc_id", "target").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.min("pos").alias("first_pos"),
+    )
+    return per.join(doc_tokens.select("doc_id", "n_tokens"), "doc_id").select(
+        "doc_id",
+        "target",
+        "n_mentions",
+        F.col("first_pos").cast("int").alias("first_pos"),
+        F.round(
+            F.col("n_mentions") / F.col("n_tokens")
+            + 1.0 / (1.0 + F.col("first_pos")),
+            6,
+        ).alias("salience"),
+    )

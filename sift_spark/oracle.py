@@ -1124,3 +1124,17 @@ SELECT doc_id, d.source
 FROM documents d JOIN rates r ON d.source = r.source
 WHERE cast(concat('0x', substr(md5(concat('temp:', cast(doc_id as varchar))), 1, 15)) as bigint) % 1000000 < round(rate * 1000000)
 """
+
+
+ORACLE["entity_salience"] = f"""
+WITH {TOK}, {LINKS},
+nt AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+per AS (
+  SELECT doc_id, target, count(*) AS n_mentions,
+         CAST(min(pos) AS INT) AS first_pos
+  FROM links GROUP BY doc_id, target
+)
+SELECT p.doc_id, p.target, p.n_mentions, p.first_pos,
+       round(p.n_mentions * 1.0 / n.n_tokens + 1.0 / (1.0 + p.first_pos), 6) AS salience
+FROM per p JOIN nt n ON p.doc_id = n.doc_id
+"""

