@@ -178,6 +178,7 @@ def main() -> None:
         "temperature_sample",
         "embedding_pca",
         "entity_salience",
+        "fuzzy_contamination",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

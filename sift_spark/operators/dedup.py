@@ -836,3 +836,64 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
         .where(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Fuzzy (MinHash-LSH) benchmark decontamination: corpus documents
+    NEAR-duplicating an eval-set document — the screen that catches
+    paraphrased/partially-edited leakage `contamination_check`'s exact
+    n-gram hit-rate misses. Output: (doc_id, n_matches, max_jaccard)
+    per contaminated corpus document (n_matches = #benchmark docs with
+    verified jaccard ≥ ``threshold``).
+
+    Same banded candidate generation as :func:`minhash_lsh_pairs` but
+    one-directional: the benchmark's band table and shingle set are
+    BROADCAST (eval sets are tiny), so the corpus never shuffles for
+    candidates and the verify's only wide exchange is the per-pair
+    intersection count keyed on (doc2, shingle). Work scales with the
+    corpus × its benchmark-collision rate, never all-pairs.
+
+    ``docs`` and ``benchmark`` doc_ids must be disjoint (they are
+    different tables in practice; the registered query splits one
+    table on doc_id % 20)."""
+    sh = shingles(docs, n).persist()
+    bsh = shingles(benchmark, n).persist()
+    bt = _bands_from_signatures(_minhash_from_shingles(sh))
+    bbt = _bands_from_signatures(_minhash_from_shingles(bsh))
+    cand = (
+        bt.alias("l")
+        .join(
+            F.broadcast(bbt.alias("r")),
+            (F.col("l.band") == F.col("r.band")) & (F.col("l.sig") == F.col("r.sig")),
+        )
+        .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
+        .distinct()
+    )
+    n1 = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n1"))
+    n2 = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n2"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc1"), "shingle"), "doc1")
+        .join(
+            F.broadcast(bsh.select(F.col("doc_id").alias("doc2"), "shingle")),
+            ["doc2", "shingle"],
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(n1.select(F.col("doc_id").alias("doc1"), "n1"), "doc1")
+        .join(F.broadcast(n2.select(F.col("doc_id").alias("doc2"), "n2")), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(
+                F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return jac.groupBy(F.col("doc1").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )

@@ -1138,3 +1138,64 @@ SELECT p.doc_id, p.target, p.n_mentions, p.first_pos,
        round(p.n_mentions * 1.0 / n.n_tokens + 1.0 / (1.0 + p.first_pos), 6) AS salience
 FROM per p JOIN nt n ON p.doc_id = n.doc_id
 """
+
+
+# fuzzy decontamination = the full LSH pair machinery restricted to
+# corpus x benchmark pairs, aggregated per corpus doc
+ORACLE["fuzzy_contamination"] = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+),
+shh AS (SELECT doc_id, shingle, (cast(concat('0x', substr(md5(shingle), 1, 15)) as bigint) % 2147483647) AS h FROM sh), mh AS (
+  SELECT doc_id,
+    min((1294255605 * h + 458256859) % 2147483647) AS mh_0,
+    min((1645468585 * h + 42517570) % 2147483647) AS mh_1,
+    min((2067182730 * h + 456440371) % 2147483647) AS mh_2,
+    min((1531557246 * h + 203272735) % 2147483647) AS mh_3,
+    min((587169733 * h + 1479202771) % 2147483647) AS mh_4,
+    min((351678804 * h + 1556618321) % 2147483647) AS mh_5,
+    min((790715258 * h + 376822726) % 2147483647) AS mh_6,
+    min((1193424488 * h + 1609216730) % 2147483647) AS mh_7,
+    min((991095636 * h + 138072304) % 2147483647) AS mh_8,
+    min((478203456 * h + 1661692021) % 2147483647) AS mh_9,
+    min((1540739706 * h + 240715902) % 2147483647) AS mh_10,
+    min((801816812 * h + 699735852) % 2147483647) AS mh_11,
+    min((1250870341 * h + 1432581497) % 2147483647) AS mh_12,
+    min((1384636946 * h + 238483714) % 2147483647) AS mh_13,
+    min((1980986935 * h + 1333487546) % 2147483647) AS mh_14,
+    min((812150289 * h + 967644531) % 2147483647) AS mh_15
+  FROM shh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(concat_ws(',', CAST(mh_0 AS VARCHAR), CAST(mh_1 AS VARCHAR), CAST(mh_2 AS VARCHAR), CAST(mh_3 AS VARCHAR))) AS sig FROM mh
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(concat_ws(',', CAST(mh_4 AS VARCHAR), CAST(mh_5 AS VARCHAR), CAST(mh_6 AS VARCHAR), CAST(mh_7 AS VARCHAR))) AS sig FROM mh
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5(concat_ws(',', CAST(mh_8 AS VARCHAR), CAST(mh_9 AS VARCHAR), CAST(mh_10 AS VARCHAR), CAST(mh_11 AS VARCHAR))) AS sig FROM mh
+  UNION ALL
+  SELECT doc_id, 3 AS band, md5(concat_ws(',', CAST(mh_12 AS VARCHAR), CAST(mh_13 AS VARCHAR), CAST(mh_14 AS VARCHAR), CAST(mh_15 AS VARCHAR))) AS sig FROM mh
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
+  WHERE l.doc_id % 20 <> 0 AND r.doc_id % 20 = 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc1
+  JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+  GROUP BY c.doc1, c.doc2
+),
+jac AS (
+  SELECT i.doc1, i.doc2,
+         round(i.inter * 1.0 / (x.n_sh + y.n_sh - i.inter), 6) AS jaccard
+  FROM inter i
+  JOIN sizes x ON x.doc_id = i.doc1
+  JOIN sizes y ON y.doc_id = i.doc2
+)
+SELECT doc1 AS doc_id, count(*) AS n_matches, max(jaccard) AS max_jaccard
+FROM jac WHERE jaccard >= 0.5 GROUP BY doc1
+"""

@@ -966,12 +966,22 @@ def q_entity_salience(spark, sf_dir):
     return L.entity_salience(wikify_links(docs), token_stats(docs))
 
 
+def q_fuzzy_contamination(spark, sf_dir):
+    from sift_spark.operators.dedup import fuzzy_contamination
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return fuzzy_contamination(corpus, bench, threshold=0.5)
+
+
 # Registration order IS the driver's sampling order: the driver hash-checks the
 # FIRST 50 entries at sf0.01 each round. Rounds 1-2 sampled the same 50
 # link/text/TPC-H queries, so the LLM-pipeline / dedup / ANN / r2 operators
 # (never driver-sampled) now register first; the already-driver-green 50
 # register last. Every ordering still passes the full local parity suite.
 QUERIES: dict[str, QueryFn] = {
+    "fuzzy_contamination": q_fuzzy_contamination,
     "entity_salience": q_entity_salience,
     "events_changepoint": q_events_changepoint,
     "temperature_weights": q_temperature_weights,

@@ -361,3 +361,21 @@ def test_embedding_pca_projection_stays_jvm_side(spark):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_fuzzy_contamination_broadcasts_benchmark(spark):
+    """The benchmark side (bands + shingles) must ride in as broadcast
+    joins: the corpus side of the decontamination screen never
+    shuffles for candidate generation."""
+    from pyspark.sql import functions as F
+    from sift_spark.io import table
+    from sift_spark.operators.dedup import fuzzy_contamination
+
+    docs = table(spark, SF_SMOKE, "documents")
+    df = fuzzy_contamination(
+        docs.where(F.col("doc_id") % 20 != 0),
+        docs.where(F.col("doc_id") % 20 == 0),
+    )
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
