@@ -67,6 +67,12 @@ QSET = [
     "dedup_jaccard_prefix",
     "ann_ivf_scaled",
     "ann_lsh_scaled",
+    # r3 additions
+    "fuzzy_contamination",
+    "entity_hits",
+    "events_changepoint",
+    "entity_salience",
+    "temperature_sample",
 ]
 
 
