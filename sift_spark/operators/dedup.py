@@ -848,18 +848,33 @@ def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
     verified jaccard ≥ ``threshold``).
 
     Same banded candidate generation as :func:`minhash_lsh_pairs` but
-    one-directional: the benchmark's band table and shingle set are
-    BROADCAST (eval sets are tiny), so the corpus never shuffles for
-    candidates and the verify's only wide exchange is the per-pair
-    intersection count keyed on (doc2, shingle). Work scales with the
-    corpus × its benchmark-collision rate, never all-pairs.
+    one-directional and corpus-cache-free:
 
-    ``docs`` and ``benchmark`` doc_ids must be disjoint (they are
-    different tables in practice; the registered query splits one
-    table on doc_id % 20)."""
-    sh = shingles(docs, n).persist()
+    - the benchmark's band table and shingle set are BROADCAST (eval
+      sets are tiny), so the corpus never shuffles for candidates;
+    - the corpus-sized shingle table is NEVER persisted — the per-doc
+      shingle count is fused into the signature aggregate (one extra
+      count beside the K mins), so the only cached table is doc-sized.
+      Caching the raw shingles was measured at 6.5s of a 9.4s pass at
+      sf1 — pure cache-build cost on a table used essentially once;
+    - the exact-jaccard verify re-tokenizes ONLY candidate documents:
+      the candidate doc_id set is broadcast-semi-joined onto the
+      corpus before shingling, so the second scan prunes to the
+      collision rate (hundreds of docs, not the corpus).
+
+    Work scales with the corpus × its benchmark-collision rate, never
+    all-pairs. ``docs`` and ``benchmark`` doc_ids must be disjoint
+    (they are different tables in practice; the registered query
+    splits one table on doc_id % 20)."""
+    sig_aggs = [
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(MOD31)
+        ).alias(f"mh_{i}")
+        for i in range(MINHASH_K)
+    ] + [F.count(F.lit(1)).alias("n_sh")]
+    sig = shingles(docs, n).groupBy("doc_id").agg(*sig_aggs).persist()
     bsh = shingles(benchmark, n).persist()
-    bt = _bands_from_signatures(_minhash_from_shingles(sh))
+    bt = _bands_from_signatures(sig)
     bbt = _bands_from_signatures(_minhash_from_shingles(bsh))
     cand = (
         bt.alias("l")
@@ -869,11 +884,13 @@ def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
         )
         .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
         .distinct()
+        .persist()
     )
-    n1 = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n1"))
+    cand_docs = cand.select(F.col("doc1").alias("doc_id")).distinct()
+    csh = shingles(docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"), n)
     n2 = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n2"))
     inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc1"), "shingle"), "doc1")
+        cand.join(csh.select(F.col("doc_id").alias("doc1"), "shingle"), "doc1")
         .join(
             F.broadcast(bsh.select(F.col("doc_id").alias("doc2"), "shingle")),
             ["doc2", "shingle"],
@@ -882,7 +899,7 @@ def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = (
-        inter.join(n1.select(F.col("doc_id").alias("doc1"), "n1"), "doc1")
+        inter.join(sig.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")), "doc1")
         .join(F.broadcast(n2.select(F.col("doc_id").alias("doc2"), "n2")), "doc2")
         .select(
             "doc1",
