@@ -110,3 +110,38 @@ def rate_event_stream(spark: SparkSession, rows_per_second: int = 100,
         F.to_json(F.struct(F.col("value").alias("seq"))).alias("props"),
         F.col("timestamp").alias("ts_ts"),
     )
+
+
+def parse_text_events(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """Text lines → event rows: the socket/text parse contract. Each
+    line is one JSON event document (the same payload Kafka carries
+    in its value bytes, minus the broker metadata). Works identically
+    on a streaming frame (socket/text source) and a static frame of
+    lines — which is how it is unit-tested without a listener.
+
+    Malformed lines decode to NULL event_ids and are dropped
+    explicitly (from_json PERMISSIVE nulls), so one bad line can't
+    poison a micro-batch."""
+    ev = F.from_json(F.col(line_col).cast("string"), EVENT_JSON_SCHEMA)
+    return (
+        lines.select(ev.alias("ev"))
+        .select("ev.*", F.col("ev.ts").alias("ts_ts"))
+        .where(F.col("event_id").isNotNull())
+    )
+
+
+def socket_event_stream(spark: SparkSession, host: str = "localhost",
+                        port: int = 9999) -> DataFrame:
+    """Unbounded event stream from a TCP socket of JSON lines — the
+    zero-dependency live-ingest path (nc -lk 9999 < events.jsonl).
+    Spark's socket source is not fault-tolerant (no offsets), so this
+    is a dev/demo source; the parse step is shared with any
+    line-oriented source (files via ``spark.readStream.text`` gets
+    replayability with the same contract)."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return parse_text_events(raw)
