@@ -434,42 +434,44 @@ def entity_hits(links: DataFrame, n_iter: int = 5) -> DataFrame:
 
     Scale shape mirrors entity_pagerank: the distinct edge list
     persists once; each half-round is one keyed shuffle (join on the
-    score key + groupBy the other side); the L1 norms ride 1-row
-    broadcast crossJoins. Unlike PageRank (whose plan grows linearly
-    per round — one self-reference), each HITS round references the
-    raw-score table TWICE (score + its L1 norm), so a fully lazy
-    unroll quadruples the plan per round (~4^n subtree copies — a
-    measured driver-heap OOM at n_iter=5). The hub table is therefore
-    ``localCheckpoint``-ed once per round, exactly the
-    dedup.duplicate_clusters lineage cut: the checkpoint is one row
-    per document (node-sized, never corpus-sized), and the DuckDB
-    oracle unrolls the identical iterations."""
+    score key + groupBy the other side). The iterations run
+    UNNORMALIZED: per-round L1 normalization is only a numerical-
+    stability device, and skipping it makes each round reference the
+    previous score table exactly once — the plan grows linearly like
+    PageRank's and the whole run stays ONE lazy plan with a single
+    final normalization crossJoin. (A per-round-normalized draft
+    referenced each raw-score table twice — score + its norm — so the
+    lazy unroll quadrupled the plan per round: a measured driver-heap
+    OOM at n_iter=5 in a default-heap session, and the identical
+    blowup hangs DuckDB's CTE inlining. The DuckDB oracle runs the
+    same unnormalized unroll.) Magnitudes grow ~(Σdeg)^n_iter per
+    round but stay far inside double range for any physical graph
+    (1e10 nodes × 5 rounds ≈ 1e50 ≪ 1e308); only the final
+    normalized values are emitted, rounded at the edge."""
     edges = links.select("doc_id", "target").distinct().persist()
     hubs = edges.select("doc_id").distinct().select(
         "doc_id", F.lit(1.0).alias("h")
     )
-    auth = None
+    a_raw = None
     for _ in range(n_iter):
         a_raw = (
             edges.join(hubs, "doc_id")
             .groupBy("target")
             .agg(F.sum("h").alias("a_raw"))
         )
-        a_norm = a_raw.agg(F.sum("a_raw").alias("a_tot"))
-        auth = a_raw.crossJoin(F.broadcast(a_norm)).select(
-            "target", (F.col("a_raw") / F.col("a_tot")).alias("a")
-        )
-        h_raw = (
-            edges.join(auth, "target")
+        hubs = (
+            edges.join(a_raw.select(F.col("target"), F.col("a_raw").alias("a")), "target")
             .groupBy("doc_id")
-            .agg(F.sum("a").alias("h_raw"))
+            .agg(F.sum("a").alias("h"))
         )
-        h_norm = h_raw.agg(F.sum("h_raw").alias("h_tot"))
-        hubs = h_raw.crossJoin(F.broadcast(h_norm)).select(
-            "doc_id", (F.col("h_raw") / F.col("h_tot")).alias("h")
-        ).localCheckpoint()
-    return auth.select(
-        F.col("target").alias("entity"), F.round("a", 6).alias("authority")
+    # the final table is referenced twice (values + norm) — persist the
+    # entity-sized result so the norm branch doesn't re-execute the
+    # whole iteration chain
+    a_raw = a_raw.persist()
+    a_norm = a_raw.agg(F.sum("a_raw").alias("a_tot"))
+    return a_raw.crossJoin(F.broadcast(a_norm)).select(
+        F.col("target").alias("entity"),
+        F.round(F.col("a_raw") / F.col("a_tot"), 6).alias("authority"),
     )
 
 

@@ -1041,20 +1041,21 @@ FROM a
 """
 
 
-# Each iteration references the raw-score CTE twice (score + its L1
-# norm); DuckDB inlines plain CTEs, so a lazy unroll quadruples the
-# plan per round exactly like the un-checkpointed Spark lineage did
-# (measured: both engines hang/OOM at 5 rounds). MATERIALIZED forces
-# one evaluation per CTE — the oracle twin of localCheckpoint.
+# Unnormalized HITS iterations (the Spark twin runs the same scheme):
+# per-round L1 norms would make every round reference its raw-score
+# CTE twice, and DuckDB inlines plain CTEs — a lazy unroll quadruples
+# the plan per round (measured hang at 5 rounds). Without the norms
+# each CTE is referenced once, the unroll is linear, and one final
+# normalization produces the identical L1-normalized authorities.
+# MATERIALIZED keeps evaluation single even where a5 feeds both the
+# values and the final norm.
 _hits_iters = ",\n".join(
-    f"""a{i}r AS MATERIALIZED (
+    f"""a{i} AS MATERIALIZED (
   SELECT target, sum(h) AS a_raw FROM il JOIN h{i - 1} USING (doc_id) GROUP BY target
 ),
-a{i} AS MATERIALIZED (SELECT target, a_raw / (SELECT sum(a_raw) FROM a{i}r) AS a FROM a{i}r),
-h{i}r AS MATERIALIZED (
-  SELECT doc_id, sum(a) AS h_raw FROM il JOIN a{i} USING (target) GROUP BY doc_id
-),
-h{i} AS MATERIALIZED (SELECT doc_id, h_raw / (SELECT sum(h_raw) FROM h{i}r) AS h FROM h{i}r)"""
+h{i} AS MATERIALIZED (
+  SELECT doc_id, sum(a_raw) AS h FROM il JOIN a{i} USING (target) GROUP BY doc_id
+)"""
     for i in range(1, 6)
 )
 
@@ -1063,7 +1064,9 @@ WITH {TOK}, {LINKS},
 il AS (SELECT DISTINCT doc_id, target FROM links),
 h0 AS (SELECT DISTINCT doc_id, 1.0 AS h FROM il),
 {_hits_iters}
-SELECT target AS entity, round(a, 6) AS authority FROM a5
+SELECT target AS entity,
+       round(a_raw / (SELECT sum(a_raw) FROM a5), 6) AS authority
+FROM a5
 """
 
 
