@@ -129,12 +129,15 @@ def entity_vocab(links: DataFrame, min_rank: int | None = 0, max_rank: int | Non
     ascending (the reference's sortByKey leaves ties undefined — a
     total order is required for cross-engine parity)."""
     counts = links.groupBy("target").agg(F.count(F.lit(1)).alias("count"))
-    w = Window.orderBy(F.col("count").desc(), F.col("target").asc())
-    m = counts.withColumn("rank", F.row_number().over(w) - 1)
+    order = (F.col("count").desc(), F.col("target").asc())
+    if max_rank is not None:
+        # orderBy+limit plans as TakeOrderedAndProject, so the dense
+        # rank below runs on ≤ max_rank rows — never a global window
+        # over the full (corpus-scale) vocabulary
+        counts = counts.orderBy(*order).limit(max_rank)
+    m = counts.withColumn("rank", F.row_number().over(Window.orderBy(*order)) - 1)
     if min_rank is not None:
         m = m.where(F.col("rank") >= min_rank)
-    if max_rank is not None:
-        m = m.where(F.col("rank") < max_rank)
     return m
 
 

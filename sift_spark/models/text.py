@@ -84,12 +84,14 @@ def term_vocab(docs: DataFrame, max_rank: int | None = 10000, min_rank: int | No
     """Df-ranked term index (reference text.py:128 ``TermVocab``);
     ties broken by term ascending for cross-engine determinism."""
     dfs = term_doc_frequencies(docs, max_ngram=max_ngram, lowercase=lowercase, min_df=min_df)
-    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
-    m = dfs.withColumn("rank", F.row_number().over(w) - 1)
+    order = (F.col("df").desc(), F.col("term").asc())
+    if max_rank is not None:
+        # TakeOrderedAndProject: the rank window below then runs on
+        # ≤ max_rank rows, never the full term vocabulary
+        dfs = dfs.orderBy(*order).limit(max_rank)
+    m = dfs.withColumn("rank", F.row_number().over(Window.orderBy(*order)) - 1)
     if min_rank is not None:
         m = m.where(F.col("rank") >= min_rank)
-    if max_rank is not None:
-        m = m.where(F.col("rank") < max_rank)
     return m
 
 

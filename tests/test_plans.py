@@ -379,3 +379,20 @@ def test_fuzzy_contamination_broadcasts_benchmark(spark):
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_ranking_is_take_ordered(spark):
+    """entity_vocab/term_vocab with a max_rank must pre-limit via
+    TakeOrderedAndProject so the dense-rank window runs on <= max_rank
+    rows, never the full corpus-scale vocabulary."""
+    from sift_spark.io import table
+    from sift_spark.corpora.synthetic import wikify_links
+    from sift_spark.models.links import entity_vocab
+    from sift_spark.models.text import term_vocab
+
+    docs = table(spark, SF_SMOKE, "documents")
+    for name, df in (
+        ("entity_vocab", entity_vocab(wikify_links(docs))),
+        ("term_vocab", term_vocab(docs)),
+    ):
+        assert "TakeOrderedAndProject" in _plan(df), name
