@@ -179,6 +179,7 @@ def main() -> None:
         "embedding_pca",
         "entity_salience",
         "fuzzy_contamination",
+        "entity_random_walks",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -511,3 +511,72 @@ def entity_salience(links: DataFrame, doc_tokens: DataFrame) -> DataFrame:
             6,
         ).alias("salience"),
     )
+
+
+def entity_random_walks(links: DataFrame, n_walks: int = 2,
+                        walk_len: int = 4) -> DataFrame:
+    """DeepWalk-style random walks over the entity comention graph
+    (Perozzi et al. 2014) — the walk corpus a graph-embedding trainer
+    (e.g. :mod:`sift_spark.models.embeddings`) consumes; extends the
+    reference's comention models the same way entity_pagerank does.
+
+    Walks are DETERMINISTIC: at step t, walk w at node v moves to
+    neighbor index hash31(walk_id:t) mod degree(v), with the
+    adjacency indexed by a per-source row_number over dst ascending
+    (a total order). The same corpus is reproduced on every run, any
+    cluster layout — and the DuckDB oracle unrolls the identical
+    steps, so the walks are oracle-checked exactly.
+
+    Output: (walk_id, start, path) with path the comma-joined node
+    sequence of length ``walk_len`` + 1.
+
+    Scale shape: adjacency indexing is one src-keyed window (per-node
+    neighbor lists, the natural key); each step is ONE keyed equi-join
+    of the walk-state table against the adjacency (state carries a
+    path string, never a struct array); the whole run is one lazy
+    plan with ``walk_len`` joins — linear plan growth, no driver
+    actions, no RNG state."""
+    il = links.select("doc_id", "target").distinct()
+    e = (
+        il.alias("l")
+        .join(il.alias("r"), "doc_id")
+        .where(F.col("l.target") != F.col("r.target"))
+        .select(F.col("l.target").alias("src"), F.col("r.target").alias("dst"))
+        .distinct()
+    )
+    w_adj = Window.partitionBy("src").orderBy("dst")
+    adj = e.withColumn("idx", F.row_number().over(w_adj) - 1).persist()
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    from sift_spark.functions.core import hash31
+
+    walks = deg.select(
+        F.col("src").alias("cur"),
+        "deg",
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("w"),
+    ).select(
+        F.concat(F.col("cur"), F.lit("#"), F.col("w")).alias("walk_id"),
+        F.col("cur").alias("start"),
+        "cur",
+        F.col("cur").alias("path"),
+    )
+    for t in range(walk_len):
+        pick = hash31(F.concat(F.col("walk_id"), F.lit(f":{t}")))
+        step = (
+            walks.join(deg, F.col("cur") == F.col("src"))
+            .select(
+                "walk_id", "start", "path",
+                F.col("cur").alias("c"),
+                (pick % F.col("deg")).alias("idx"),
+            )
+        )
+        walks = (
+            step.join(adj, (F.col("c") == adj["src"]) & (step["idx"] == adj["idx"]))
+            .select(
+                "walk_id",
+                "start",
+                F.concat(F.col("path"), F.lit(","), F.col("dst")).alias("path"),
+                F.col("dst").alias("cur"),
+            )
+        )
+    return walks.select("walk_id", "start", "path")

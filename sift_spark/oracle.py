@@ -1202,3 +1202,39 @@ jac AS (
 SELECT doc1 AS doc_id, count(*) AS n_matches, max(jaccard) AS max_jaccard
 FROM jac WHERE jaccard >= 0.5 GROUP BY doc1
 """
+
+
+# deterministic DeepWalk oracle: identical hash-picked steps unrolled
+ORACLE["entity_random_walks"] = f"""
+WITH {TOK}, {LINKS},
+il AS (SELECT DISTINCT doc_id, target FROM links),
+e AS (SELECT DISTINCT l.target AS src, r.target AS dst
+      FROM il l JOIN il r ON l.doc_id = r.doc_id AND l.target <> r.target),
+adj AS (SELECT src, dst, CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx FROM e),
+deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+w0 AS (
+  SELECT src || '#' || u.w AS walk_id, src AS start, src AS cur, src AS path
+  FROM deg, (SELECT unnest(generate_series(0, 1)) AS w) u
+),
+w1 AS (
+  SELECT walk_id, start, path || ',' || a.dst AS path, a.dst AS cur
+  FROM w0 JOIN deg d ON w0.cur = d.src
+  JOIN adj a ON a.src = w0.cur AND a.idx = (cast(concat('0x', substr(md5(w0.walk_id || ':0'), 1, 15)) as bigint) % 2147483647) % d.deg
+),
+w2 AS (
+  SELECT walk_id, start, path || ',' || a.dst AS path, a.dst AS cur
+  FROM w1 JOIN deg d ON w1.cur = d.src
+  JOIN adj a ON a.src = w1.cur AND a.idx = (cast(concat('0x', substr(md5(w1.walk_id || ':1'), 1, 15)) as bigint) % 2147483647) % d.deg
+),
+w3 AS (
+  SELECT walk_id, start, path || ',' || a.dst AS path, a.dst AS cur
+  FROM w2 JOIN deg d ON w2.cur = d.src
+  JOIN adj a ON a.src = w2.cur AND a.idx = (cast(concat('0x', substr(md5(w2.walk_id || ':2'), 1, 15)) as bigint) % 2147483647) % d.deg
+),
+w4 AS (
+  SELECT walk_id, start, path || ',' || a.dst AS path, a.dst AS cur
+  FROM w3 JOIN deg d ON w3.cur = d.src
+  JOIN adj a ON a.src = w3.cur AND a.idx = (cast(concat('0x', substr(md5(w3.walk_id || ':3'), 1, 15)) as bigint) % 2147483647) % d.deg
+)
+SELECT walk_id, start, path FROM w4
+"""
