@@ -71,3 +71,42 @@ def embedding_vocab(docs: DataFrame, dimensions: int = 32, min_count: int = 5) -
     what the driver's rows-only gate checks."""
     vecs = skipgram_embeddings(docs, dimensions=dimensions, min_count=min_count)
     return vecs.select("term", F.size("vector").alias("dim"))
+
+
+def walk_embeddings(links: DataFrame, dimensions: int = 16, n_walks: int = 4,
+                    walk_len: int = 6, min_count: int = 1, seed: int = 42,
+                    num_partitions: int | None = None) -> DataFrame:
+    """DeepWalk node embeddings (Perozzi et al. 2014): the
+    deterministic walk corpus from
+    :func:`sift_spark.models.links.entity_random_walks` fed to the
+    same distributed Word2Vec as :func:`skipgram_embeddings` —
+    entities embedded by their GRAPH neighborhoods instead of their
+    textual contexts (the two spaces are complementary features for
+    entity disambiguation). Output: (term, vector array<float>).
+
+    The walk corpus is reproducible (hash-picked steps), so the vocab
+    is exactly the comention graph's node set on every run; vector
+    values inherit Spark ML's training-order nondeterminism like the
+    text variant (rows-only checked)."""
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    from sift_spark.models.links import entity_random_walks
+
+    sents = entity_random_walks(links, n_walks, walk_len).select(
+        F.split("path", ",").alias("sentence")
+    )
+    if num_partitions is None:
+        num_partitions = max(1, sents.rdd.getNumPartitions())
+    w2v = Word2Vec(
+        vectorSize=dimensions,
+        minCount=min_count,
+        seed=seed,
+        inputCol="sentence",
+        outputCol="vec",
+        numPartitions=num_partitions,
+    )
+    return w2v.fit(sents).getVectors().select(
+        F.col("word").alias("term"),
+        vector_to_array(F.col("vector"), "float32").alias("vector"),
+    )

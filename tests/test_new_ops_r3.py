@@ -362,3 +362,21 @@ def test_temperature_sample_rates_and_determinism(spark):
     assert s1 == s2, "membership must not depend on partitioning"
     got = len(s1)
     assert 0 < got < docs.count()
+
+
+def test_walk_embeddings_cover_graph_nodes(spark):
+    """DeepWalk composition: every comention-graph node gets a vector
+    of the requested width (the walk corpus is deterministic, so the
+    vocab is exactly the node set on every run)."""
+    from sift_spark.corpora.synthetic import wikify_links
+    from sift_spark.io import table
+    from sift_spark.models.embeddings import walk_embeddings
+    from sift_spark.models.links import entity_random_walks
+
+    links = wikify_links(table(spark, SF_SMOKE, "documents"))
+    vecs = walk_embeddings(links, dimensions=8).collect()
+    nodes = {
+        r.start for r in entity_random_walks(links).select("start").distinct().collect()
+    }
+    assert {r.term for r in vecs} == nodes
+    assert all(len(r.vector) == 8 for r in vecs)
