@@ -180,6 +180,7 @@ def main() -> None:
         "entity_salience",
         "fuzzy_contamination",
         "entity_random_walks",
+        "events_forecast",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

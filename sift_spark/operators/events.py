@@ -533,3 +533,37 @@ def changepoint_cusum(events: DataFrame, bucket_s: int = 3600, k: float = 0.5,
         F.round(cn, 6).alias("cusum_neg"),
         F.when((cp > h) | (cn > h), 1).otherwise(0).cast("int").alias("is_change"),
     )
+
+
+def seasonal_forecast(events: DataFrame, bucket_s: int = 86400,
+                      season_s: int = 604800) -> DataFrame:
+    """Seasonal-naive forecast + accuracy per event type: each
+    bucket's count is forecast by the count one season earlier
+    (forecast_t = n_{t-season}), the baseline every real forecasting
+    pipeline must beat before anything fancier ships. Output:
+    (event_type, window_start, n, forecast_n, abs_err, ape) for every
+    bucket with a same-season predecessor; ape = |n - f| / n rounded.
+
+    The shifted series comes from a keyed equi-join of the bucket
+    table to itself on (event_type, window_start - season) — buckets
+    missing on either side drop out deterministically (a lag window
+    over EXISTING rows would silently mis-shift across gaps). Both
+    tables are the same one aggregate; per-type-per-bucket rows are
+    time-bounded, never corpus-bounded."""
+    es = epoch_seconds(events)
+    counts = events.groupBy(
+        F.col("event_type"), (es - es % bucket_s).alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    prev = counts.select(
+        "event_type",
+        (F.col("window_start") + season_s).alias("window_start"),
+        F.col("n").alias("forecast_n"),
+    )
+    return counts.join(prev, ["event_type", "window_start"]).select(
+        "event_type",
+        "window_start",
+        "n",
+        "forecast_n",
+        F.abs(F.col("n") - F.col("forecast_n")).alias("abs_err"),
+        F.round(F.abs(F.col("n") - F.col("forecast_n")) / F.col("n"), 6).alias("ape"),
+    )

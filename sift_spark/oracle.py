@@ -1238,3 +1238,19 @@ w4 AS (
 )
 SELECT walk_id, start, path FROM w4
 """
+
+
+ORACLE["events_forecast"] = """
+WITH es AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events
+),
+c AS (
+  SELECT event_type, e - e % 86400 AS window_start, count(*) AS n
+  FROM es GROUP BY 1, 2
+)
+SELECT a.event_type, a.window_start, a.n, p.n AS forecast_n,
+       abs(a.n - p.n) AS abs_err,
+       round(abs(a.n - p.n) * 1.0 / a.n, 6) AS ape
+FROM c a JOIN c p
+  ON a.event_type = p.event_type AND a.window_start = p.window_start + 604800
+"""

@@ -979,12 +979,17 @@ def q_entity_random_walks(spark, sf_dir):
     return L.entity_random_walks(wikify_links(_docs(spark, sf_dir)))
 
 
+def q_events_forecast(spark, sf_dir):
+    return EV.seasonal_forecast(table(spark, sf_dir, "events"))
+
+
 # Registration order IS the driver's sampling order: the driver hash-checks the
 # FIRST 50 entries at sf0.01 each round. Rounds 1-2 sampled the same 50
 # link/text/TPC-H queries, so the LLM-pipeline / dedup / ANN / r2 operators
 # (never driver-sampled) now register first; the already-driver-green 50
 # register last. Every ordering still passes the full local parity suite.
 QUERIES: dict[str, QueryFn] = {
+    "events_forecast": q_events_forecast,
     "entity_random_walks": q_entity_random_walks,
     "fuzzy_contamination": q_fuzzy_contamination,
     "entity_salience": q_entity_salience,
