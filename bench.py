@@ -181,6 +181,7 @@ def main() -> None:
         "fuzzy_contamination",
         "entity_random_walks",
         "events_forecast",
+        "dedup_cluster_stats",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

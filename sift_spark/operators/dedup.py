@@ -914,3 +914,21 @@ def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
         F.count(F.lit(1)).alias("n_matches"),
         F.max("jaccard").alias("max_jaccard"),
     )
+
+
+def duplicate_cluster_stats(pairs: DataFrame) -> DataFrame:
+    """Cluster-size profile of a near-dup pair set — the dashboard a
+    dedup run reports before applying removals: per cluster size, how
+    many clusters exist and how many documents deduplication would
+    remove (size − 1 per cluster, the representative survives).
+    Output: (cluster_size, n_clusters, n_docs_removed).
+
+    Composes :func:`duplicate_clusters` (min-label CC) with two
+    node-keyed aggregates; everything after the CC is cluster-count
+    sized."""
+    cc = duplicate_clusters(pairs)
+    sizes = cc.groupBy("rep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).alias("n_docs_removed"),
+    )

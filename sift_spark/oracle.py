@@ -1254,3 +1254,76 @@ SELECT a.event_type, a.window_start, a.n, p.n AS forecast_n,
 FROM c a JOIN c p
   ON a.event_type = p.event_type AND a.window_start = p.window_start + 604800
 """
+
+
+# cluster-size profile composed over the recursive CC oracle
+ORACLE["dedup_cluster_stats"] = """
+WITH cc AS (WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+),
+shh AS (SELECT doc_id, shingle, (cast(concat('0x', substr(md5(shingle), 1, 15)) as bigint) % 2147483647) AS h FROM sh), mh AS (
+  SELECT doc_id,
+    min((1294255605 * h + 458256859) % 2147483647) AS mh_0,
+    min((1645468585 * h + 42517570) % 2147483647) AS mh_1,
+    min((2067182730 * h + 456440371) % 2147483647) AS mh_2,
+    min((1531557246 * h + 203272735) % 2147483647) AS mh_3,
+    min((587169733 * h + 1479202771) % 2147483647) AS mh_4,
+    min((351678804 * h + 1556618321) % 2147483647) AS mh_5,
+    min((790715258 * h + 376822726) % 2147483647) AS mh_6,
+    min((1193424488 * h + 1609216730) % 2147483647) AS mh_7,
+    min((991095636 * h + 138072304) % 2147483647) AS mh_8,
+    min((478203456 * h + 1661692021) % 2147483647) AS mh_9,
+    min((1540739706 * h + 240715902) % 2147483647) AS mh_10,
+    min((801816812 * h + 699735852) % 2147483647) AS mh_11,
+    min((1250870341 * h + 1432581497) % 2147483647) AS mh_12,
+    min((1384636946 * h + 238483714) % 2147483647) AS mh_13,
+    min((1980986935 * h + 1333487546) % 2147483647) AS mh_14,
+    min((812150289 * h + 967644531) % 2147483647) AS mh_15
+  FROM shh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(concat_ws(',', CAST(mh_0 AS VARCHAR), CAST(mh_1 AS VARCHAR), CAST(mh_2 AS VARCHAR), CAST(mh_3 AS VARCHAR))) AS sig FROM mh
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(concat_ws(',', CAST(mh_4 AS VARCHAR), CAST(mh_5 AS VARCHAR), CAST(mh_6 AS VARCHAR), CAST(mh_7 AS VARCHAR))) AS sig FROM mh
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5(concat_ws(',', CAST(mh_8 AS VARCHAR), CAST(mh_9 AS VARCHAR), CAST(mh_10 AS VARCHAR), CAST(mh_11 AS VARCHAR))) AS sig FROM mh
+  UNION ALL
+  SELECT doc_id, 3 AS band, md5(concat_ws(',', CAST(mh_12 AS VARCHAR), CAST(mh_13 AS VARCHAR), CAST(mh_14 AS VARCHAR), CAST(mh_15 AS VARCHAR))) AS sig FROM mh
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc1
+  JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+  GROUP BY c.doc1, c.doc2
+),
+jac AS (
+  SELECT i.doc1, i.doc2,
+         round(i.inter * 1.0 / (x.n_sh + y.n_sh - i.inter), 6) AS jaccard
+  FROM inter i
+  JOIN sizes x ON x.doc_id = i.doc1
+  JOIN sizes y ON y.doc_id = i.doc2
+),
+pairs AS (SELECT doc1, doc2 FROM jac WHERE jaccard >= 0.8),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+reach(src, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT src AS doc_id, min(node) AS rep_id FROM reach GROUP BY src)
+SELECT cluster_size, count(*) AS n_clusters,
+       sum(cluster_size - 1) AS n_docs_removed
+FROM (SELECT rep_id, count(*) AS cluster_size FROM cc GROUP BY rep_id)
+GROUP BY cluster_size
+"""

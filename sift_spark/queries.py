@@ -983,12 +983,19 @@ def q_events_forecast(spark, sf_dir):
     return EV.seasonal_forecast(table(spark, sf_dir, "events"))
 
 
+def q_dedup_cluster_stats(spark, sf_dir):
+    from sift_spark.operators.dedup import duplicate_cluster_stats, minhash_lsh_pairs
+
+    return duplicate_cluster_stats(minhash_lsh_pairs(_docs(spark, sf_dir)))
+
+
 # Registration order IS the driver's sampling order: the driver hash-checks the
 # FIRST 50 entries at sf0.01 each round. Rounds 1-2 sampled the same 50
 # link/text/TPC-H queries, so the LLM-pipeline / dedup / ANN / r2 operators
 # (never driver-sampled) now register first; the already-driver-green 50
 # register last. Every ordering still passes the full local parity suite.
 QUERIES: dict[str, QueryFn] = {
+    "dedup_cluster_stats": q_dedup_cluster_stats,
     "events_forecast": q_events_forecast,
     "entity_random_walks": q_entity_random_walks,
     "fuzzy_contamination": q_fuzzy_contamination,
