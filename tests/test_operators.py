@@ -472,3 +472,38 @@ def test_survey_numbers_match_registry():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.check(include_test_count=False)
+
+
+def test_format_round_trips(spark, tmp_path):
+    """write_table/read_table round-trip the documents head through
+    every built-in format with schema + values preserved (CSV via the
+    explicit-schema path)."""
+    from sift_spark.io import read_table, table, write_table
+
+    from tests.conftest import SF_SMOKE
+
+    df = table(spark, SF_SMOKE, "documents").limit(20).cache()
+    want = {tuple(r) for r in df.collect()}
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = str(tmp_path / fmt)
+        write_table(df, p, fmt)
+        back = read_table(spark, p, fmt, schema=df.schema)
+        assert back.schema == df.schema, fmt
+        assert {tuple(r) for r in back.collect()} == want, fmt
+
+
+def test_avro_gated_not_stubbed(spark, tmp_path):
+    """Without the spark-avro package the avro path fails loudly."""
+    import pytest
+
+    from sift_spark.io import table, write_table
+
+    from tests.conftest import SF_SMOKE
+
+    df = table(spark, SF_SMOKE, "documents").limit(2)
+    try:
+        write_table(df, str(tmp_path / "a"), "avro")
+    except RuntimeError as e:
+        assert "spark-avro" in str(e)
+    else:  # pragma: no cover - containers that ship the package
+        pytest.skip("spark-avro available here")
