@@ -182,6 +182,7 @@ def main() -> None:
         "entity_random_walks",
         "events_forecast",
         "dedup_cluster_stats",
+        "user_type_entropy",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -567,3 +567,33 @@ def seasonal_forecast(events: DataFrame, bucket_s: int = 86400,
         F.abs(F.col("n") - F.col("forecast_n")).alias("abs_err"),
         F.round(F.abs(F.col("n") - F.col("forecast_n")) / F.col("n"), 6).alias("ape"),
     )
+
+
+def user_type_entropy(events: DataFrame) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy (nats) of the
+    user's event-type distribution — the classic bot/spam screen
+    (single-action accounts score 0, organic users approach
+    ln(n_types)): (user_id, n_events, n_types, entropy).
+
+    Two aggregates, both keyed on the user (the second rides the
+    first's partitioning): per-(user, type) counts, then the
+    entropy fold Σ -p·ln(p) per user. Pure built-in expressions."""
+    per = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            (-F.sum(F.col("c") * F.log(F.col("c")))).alias("part"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.round(
+                F.col("part") / F.col("n_events") + F.log(F.col("n_events")), 6
+            ).alias("entropy"),
+        )
+    )

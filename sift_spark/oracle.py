@@ -1327,3 +1327,13 @@ SELECT cluster_size, count(*) AS n_clusters,
 FROM (SELECT rep_id, count(*) AS cluster_size FROM cc GROUP BY rep_id)
 GROUP BY cluster_size
 """
+
+
+ORACLE["user_type_entropy"] = """
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+)
+SELECT user_id, sum(c) AS n_events, count(*) AS n_types,
+       round(-sum(c * ln(c)) / sum(c) + ln(sum(c)), 6) AS entropy
+FROM per GROUP BY user_id
+"""

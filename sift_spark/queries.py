@@ -989,12 +989,17 @@ def q_dedup_cluster_stats(spark, sf_dir):
     return duplicate_cluster_stats(minhash_lsh_pairs(_docs(spark, sf_dir)))
 
 
+def q_user_type_entropy(spark, sf_dir):
+    return EV.user_type_entropy(table(spark, sf_dir, "events"))
+
+
 # Registration order IS the driver's sampling order: the driver hash-checks the
 # FIRST 50 entries at sf0.01 each round. Rounds 1-2 sampled the same 50
 # link/text/TPC-H queries, so the LLM-pipeline / dedup / ANN / r2 operators
 # (never driver-sampled) now register first; the already-driver-green 50
 # register last. Every ordering still passes the full local parity suite.
 QUERIES: dict[str, QueryFn] = {
+    "user_type_entropy": q_user_type_entropy,
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "events_forecast": q_events_forecast,
     "entity_random_walks": q_entity_random_walks,
