@@ -183,6 +183,7 @@ def main() -> None:
         "events_forecast",
         "dedup_cluster_stats",
         "user_type_entropy",
+        "embedding_int8",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -894,3 +894,57 @@ def embedding_pca(emb: DataFrame, n_components: int = 4) -> DataFrame:
         for j in range(W.shape[1])
     ])
     return emb.select("vec_id", pcs.alias("pc"))
+
+
+def embedding_int8(emb: DataFrame) -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the
+    serving-side compression every vector store ships alongside PQ
+    (4× smaller than float32, ~1% recall loss at this granularity):
+    per dimension, codes = round(255·(x−min)/(max−min)); output
+    (vec_id, codes, mae) with ``codes`` the comma-joined int codes in
+    dimension order and ``mae`` the per-vector mean absolute
+    reconstruction error, rounded at the edge.
+
+    Shape: posexplode map-side; ONE dim-keyed aggregate for the
+    per-dim min/max (width-sized, broadcast back); per-vector
+    re-assembly is one vec-keyed aggregate with an ordered
+    struct-sort — two shuffles total, both on natural keys. Constant
+    dimensions (max = min) code to 0 with zero error."""
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    stats = x.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    coded = x.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        "x",
+        "lo",
+        "hi",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.round(255.0 * (F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")), 0),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("int")
+        .alias("code"),
+    )
+    decoded = coded.withColumn(
+        "err",
+        F.abs(
+            F.col("x")
+            - (
+                F.col("lo")
+                + F.col("code") * (F.col("hi") - F.col("lo")) / 255.0
+            )
+        ),
+    )
+    return decoded.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "code"))),
+                lambda s: s["code"].cast("string"),
+            ),
+            ",",
+        ).alias("codes"),
+        F.round(F.avg("err"), 6).alias("mae"),
+    )

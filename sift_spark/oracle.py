@@ -1337,3 +1337,23 @@ SELECT user_id, sum(c) AS n_events, count(*) AS n_types,
        round(-sum(c * ln(c)) / sum(c) + ln(sum(c)), 6) AS entropy
 FROM per GROUP BY user_id
 """
+
+
+ORACLE["embedding_int8"] = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+s AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM x GROUP BY dim),
+c AS (
+  SELECT vec_id, x.dim, x.x, lo, hi,
+         CAST(CASE WHEN hi > lo THEN round(255.0 * (x.x - lo) / (hi - lo), 0)
+              ELSE 0 END AS INT) AS code
+  FROM x JOIN s ON x.dim = s.dim
+)
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim) AS codes,
+       round(avg(abs(x - (lo + code * (hi - lo) / 255.0))), 6) AS mae
+FROM c GROUP BY vec_id
+"""

@@ -993,12 +993,19 @@ def q_user_type_entropy(spark, sf_dir):
     return EV.user_type_entropy(table(spark, sf_dir, "events"))
 
 
+def q_embedding_int8(spark, sf_dir):
+    from sift_spark.operators.similarity import embedding_int8
+
+    return embedding_int8(_emb(spark, sf_dir))
+
+
 # Registration order IS the driver's sampling order: the driver hash-checks the
 # FIRST 50 entries at sf0.01 each round. Rounds 1-2 sampled the same 50
 # link/text/TPC-H queries, so the LLM-pipeline / dedup / ANN / r2 operators
 # (never driver-sampled) now register first; the already-driver-green 50
 # register last. Every ordering still passes the full local parity suite.
 QUERIES: dict[str, QueryFn] = {
+    "embedding_int8": q_embedding_int8,
     "user_type_entropy": q_user_type_entropy,
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "events_forecast": q_events_forecast,
