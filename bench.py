@@ -184,6 +184,7 @@ def main() -> None:
         "dedup_cluster_stats",
         "user_type_entropy",
         "embedding_int8",
+        "quality_bins",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

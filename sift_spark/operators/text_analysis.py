@@ -736,3 +736,33 @@ def bpe_encode(docs: DataFrame, merges: DataFrame) -> DataFrame:
             ).alias("pieces_text"),
         )
     )
+
+
+def quality_bins(docs: DataFrame) -> DataFrame:
+    """Corpus quality histogram — the report used to pick the
+    ``filtered_corpus`` score threshold: documents and token mass per
+    0.1-wide composite-score bin. Output: (bin, n_docs, n_tokens,
+    doc_share, token_share) with ``bin`` = floor(score·10) (so bin 7
+    = scores [0.7, 0.8)).
+
+    Composes :func:`quality_score` (one doc-keyed aggregate) with a
+    bin-keyed rollup — the second aggregate's key cardinality is the
+    number of bins, so it's map-side-combined down to almost nothing
+    before the shuffle."""
+    q = quality_score(docs)
+    tot = q.agg(
+        F.count(F.lit(1)).alias("td"), F.sum("n_tokens").alias("tt")
+    )
+    return (
+        q.select(F.floor(F.col("score") * 10).cast("int").alias("bin"), "n_tokens")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("td"), 6).alias("doc_share"),
+            F.round(F.col("n_tokens") / F.col("tt"), 6).alias("token_share"),
+        )
+    )

@@ -1357,3 +1357,32 @@ SELECT vec_id,
        round(avg(abs(x - (lo + code * (hi - lo) / 255.0))), 6) AS mae
 FROM c GROUP BY vec_id
 """
+
+
+# histogram composed over the quality-score oracle
+ORACLE["quality_bins"] = """
+WITH q AS (WITH tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS anchor
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+feats AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    round(count(DISTINCT anchor) * 1.0 / count(*), 6) AS distinct_ratio,
+    round(avg(CASE WHEN anchor IN ('a', 'the') THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio,
+    round(avg(length(anchor)), 6) AS mean_tok_len
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio, mean_tok_len,
+       round(distinct_ratio - stopword_ratio + least(n_tokens, 200) / 200.0, 6) AS score
+FROM feats),
+b AS (
+  SELECT CAST(floor(score * 10) AS INT) AS bin, count(*) AS n_docs,
+         sum(n_tokens) AS n_tokens
+  FROM q GROUP BY 1
+),
+t AS (SELECT count(*) AS td, sum(n_tokens) AS tt FROM q)
+SELECT bin, n_docs, n_tokens,
+       round(n_docs * 1.0 / td, 6) AS doc_share,
+       round(n_tokens * 1.0 / tt, 6) AS token_share
+FROM b, t
+"""

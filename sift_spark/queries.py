@@ -999,12 +999,19 @@ def q_embedding_int8(spark, sf_dir):
     return embedding_int8(_emb(spark, sf_dir))
 
 
+def q_quality_bins(spark, sf_dir):
+    from sift_spark.operators.text_analysis import quality_bins
+
+    return quality_bins(_docs(spark, sf_dir))
+
+
 # Registration order IS the driver's sampling order: the driver hash-checks the
 # FIRST 50 entries at sf0.01 each round. Rounds 1-2 sampled the same 50
 # link/text/TPC-H queries, so the LLM-pipeline / dedup / ANN / r2 operators
 # (never driver-sampled) now register first; the already-driver-green 50
 # register last. Every ordering still passes the full local parity suite.
 QUERIES: dict[str, QueryFn] = {
+    "quality_bins": q_quality_bins,
     "embedding_int8": q_embedding_int8,
     "user_type_entropy": q_user_type_entropy,
     "dedup_cluster_stats": q_dedup_cluster_stats,
