@@ -507,3 +507,20 @@ def test_avro_gated_not_stubbed(spark, tmp_path):
         assert "spark-avro" in str(e)
     else:  # pragma: no cover - containers that ship the package
         pytest.skip("spark-avro available here")
+
+
+def test_bpe_train_distributed_path_equals_fast_path(spark):
+    """collect_vocab_max=0 forces the fully distributed merge loop;
+    its merge table must equal the driver-side fast path's exactly
+    (same tie-breaks)."""
+    from sift_spark.operators.text_analysis import bpe_train
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(60)
+    fast = [tuple(r) for r in bpe_train(docs, n_merges=5, min_count=2).collect()]
+    dist = [
+        tuple(r)
+        for r in bpe_train(
+            docs, n_merges=5, min_count=2, collect_vocab_max=0
+        ).collect()
+    ]
+    assert fast == dist and fast
