@@ -580,3 +580,49 @@ def entity_random_walks(links: DataFrame, n_walks: int = 2,
             )
         )
     return walks.select("walk_id", "start", "path")
+
+
+def entity_link_prediction(links: DataFrame, max_degree: int = 1000) -> DataFrame:
+    """Adamic-Adar link prediction over the comention graph (Adamic &
+    Adar 2003; the standard KG-completion baseline): for entity pairs
+    NOT yet comentioned but sharing neighbors, score = Σ_z 1/ln(deg z)
+    over common neighbors z — rare shared neighbors count more.
+    Output: (e1, e2, n_common, aa_score), e1 < e2.
+
+    Scale shape: candidate pairs come from the two-hop join
+    edges(a,z) ⋈ edges(z,b) keyed on the COMMON node — never
+    all-pairs. Hub nodes with degree > ``max_degree`` are excluded as
+    middle nodes (standard AA practice: a hub's 1/ln(deg) is ~0 and
+    its two-hop fanout is degree², so the cap changes scores ~nothing
+    and bounds the join at Σ min(deg, cap)²). Existing edges drop via
+    an anti-join on the edge list. A common neighbor always has
+    degree ≥ 2, so ln(deg) is never 0."""
+    il = links.select("doc_id", "target").distinct()
+    e = (
+        il.alias("l")
+        .join(il.alias("r"), "doc_id")
+        .where(F.col("l.target") != F.col("r.target"))
+        .select(F.col("l.target").alias("src"), F.col("r.target").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    mid = deg.where(F.col("deg") <= max_degree).withColumn(
+        "w", 1.0 / F.log("deg")
+    )
+    hops = (
+        e.alias("a")
+        .join(mid.select(F.col("src").alias("z"), "w"), F.col("a.dst") == F.col("z"))
+        .join(
+            e.alias("b").select(F.col("src").alias("z2"), F.col("dst").alias("e2")),
+            F.col("z") == F.col("z2"),
+        )
+        .where(F.col("a.src") < F.col("e2"))
+        .select(F.col("a.src").alias("e1"), "e2", "w")
+    )
+    scored = hops.groupBy("e1", "e2").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.round(F.sum("w"), 6).alias("aa_score"),
+    )
+    existing = e.select(F.col("src").alias("e1"), F.col("dst").alias("e2"))
+    return scored.join(existing, ["e1", "e2"], "left_anti")
