@@ -185,6 +185,7 @@ def main() -> None:
         "user_type_entropy",
         "embedding_int8",
         "quality_bins",
+        "entity_node2vec",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -626,3 +626,93 @@ def entity_link_prediction(links: DataFrame, max_degree: int = 1000) -> DataFram
     )
     existing = e.select(F.col("src").alias("e1"), F.col("dst").alias("e2"))
     return scored.join(existing, ["e1", "e2"], "left_anti")
+
+
+def entity_node2vec_walks(links: DataFrame, p: float = 2.0, q: float = 0.5,
+                          n_walks: int = 2, walk_len: int = 3) -> DataFrame:
+    """node2vec biased walks over the comention graph (Grover &
+    Leskovec 2016): the second-order extension of
+    :func:`entity_random_walks` — at each step the neighbor x of cur
+    (with previous node u) is drawn with weight 1/p if x = u (return),
+    1 if x is adjacent to u (BFS-ish), 1/q otherwise (DFS-ish). The
+    registered defaults p=2, q=1/2 bias walks outward.
+
+    Determinism contract (oracle-checked exactly): the draw picks the
+    first neighbor, in dst order, whose cumulative weight exceeds
+    hash31(walk_id:t)/2^31−1 × total. With power-of-two p and q every
+    weight is a dyadic rational, so cumulative sums are EXACT doubles
+    and both engines make identical picks — no RNG state, reproducible
+    on any cluster layout. The first step (no previous node) is
+    uniform.
+
+    Scale shape: per step, one keyed join of the walk state to the
+    adjacency (cur), one LEFT edge-membership join for the
+    BFS-distance class (prev, x), and a per-walk_id window cumsum over
+    that walk's neighbor list — all keyed on the walk or the node,
+    never global. Output: (walk_id, start, path)."""
+    from sift_spark.functions.core import MOD31, hash31
+
+    il = links.select("doc_id", "target").distinct()
+    e = (
+        il.alias("l")
+        .join(il.alias("r"), "doc_id")
+        .where(F.col("l.target") != F.col("r.target"))
+        .select(F.col("l.target").alias("src"), F.col("r.target").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    walks = e.select("src").distinct().select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("w"), "src"
+    ).select(
+        F.concat(F.col("src"), F.lit("#"), F.col("w")).alias("walk_id"),
+        F.col("src").alias("start"),
+        F.lit(None).cast("string").alias("prev"),
+        F.col("src").alias("cur"),
+        F.col("src").alias("path"),
+    )
+    for t in range(walk_len):
+        cand = walks.join(e, F.col("cur") == F.col("src")).select(
+            "walk_id", "start", "prev", "cur", "path", F.col("dst").alias("x")
+        )
+        back = e.select(F.col("src").alias("p2"), F.col("dst").alias("x2"))
+        cand = cand.join(
+            back,
+            (F.col("prev") == F.col("p2")) & (F.col("x") == F.col("x2")),
+            "left",
+        ).select(
+            "walk_id", "start", "prev", "cur", "path", "x",
+            F.when(F.col("prev").isNull(), F.lit(1.0))
+            .when(F.col("x") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("p2").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+            .alias("wt"),
+        )
+        win = Window.partitionBy("walk_id").orderBy("x")
+        tot = Window.partitionBy("walk_id")
+        scored = cand.select(
+            "walk_id", "start", "cur", "path", "x", "wt",
+            F.sum("wt").over(win).alias("cum"),
+            F.sum("wt").over(tot).alias("total"),
+        ).withColumn(
+            "target_w",
+            hash31(F.concat(F.col("walk_id"), F.lit(f":{t}"))) / F.lit(float(MOD31))
+            * F.col("total"),
+        )
+        walks = (
+            scored.where(F.col("cum") > F.col("target_w"))
+            .groupBy("walk_id")
+            .agg(
+                F.first("start").alias("start"),
+                F.first("cur").alias("c"),
+                F.first("path").alias("pp"),
+                F.min("x").alias("nxt"),
+            )
+            .select(
+                "walk_id",
+                "start",
+                F.col("c").alias("prev"),
+                F.col("nxt").alias("cur"),
+                F.concat(F.col("pp"), F.lit(","), F.col("nxt")).alias("path"),
+            )
+        )
+    return walks.select("walk_id", "start", "path")

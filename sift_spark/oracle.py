@@ -1386,3 +1386,86 @@ SELECT bin, n_docs, n_tokens,
        round(n_tokens * 1.0 / tt, 6) AS token_share
 FROM b, t
 """
+
+
+# node2vec oracle: identical biased hash-picked steps unrolled;
+# power-of-two p/q make every weight dyadic (exact doubles)
+ORACLE["entity_node2vec"] = f"""
+WITH {TOK}, {LINKS},
+il AS (SELECT DISTINCT doc_id, target FROM links),
+e AS (SELECT DISTINCT l.target AS src, r.target AS dst
+      FROM il l JOIN il r ON l.doc_id = r.doc_id AND l.target <> r.target),
+w0 AS (
+  SELECT s.src || '#' || u.w AS walk_id, s.src AS start,
+         CAST(NULL AS VARCHAR) AS prev, s.src AS cur, s.src AS path
+  FROM (SELECT DISTINCT src FROM e) s,
+       (SELECT unnest(generate_series(0, 1)) AS w) u
+),
+s0 AS (
+  SELECT w.walk_id, w.start, w.cur, w.path, e.dst AS x,
+         CASE WHEN w.prev IS NULL THEN 1.0
+              WHEN e.dst = w.prev THEN 0.5
+              WHEN b.x2 IS NOT NULL THEN 1.0
+              ELSE 2.0 END AS wt,
+         ((cast(concat('0x', substr(md5(w.walk_id || ':0'), 1, 15)) as bigint) % 2147483647) / 2147483647.0) AS r
+  FROM w0 w JOIN e ON w.cur = e.src
+  LEFT JOIN (SELECT src AS p2, dst AS x2 FROM e) b
+    ON w.prev = b.p2 AND e.dst = b.x2
+),
+c0 AS (
+  SELECT *, sum(wt) OVER (PARTITION BY walk_id ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(wt) OVER (PARTITION BY walk_id) AS total
+  FROM s0
+),
+w1 AS (
+  SELECT walk_id, min(start) AS start, min(cur) AS prev, min(x) AS cur,
+         min(path) || ',' || min(x) AS path
+  FROM c0 WHERE cum > r * total GROUP BY walk_id
+),
+s1 AS (
+  SELECT w.walk_id, w.start, w.cur, w.path, e.dst AS x,
+         CASE WHEN w.prev IS NULL THEN 1.0
+              WHEN e.dst = w.prev THEN 0.5
+              WHEN b.x2 IS NOT NULL THEN 1.0
+              ELSE 2.0 END AS wt,
+         ((cast(concat('0x', substr(md5(w.walk_id || ':1'), 1, 15)) as bigint) % 2147483647) / 2147483647.0) AS r
+  FROM w1 w JOIN e ON w.cur = e.src
+  LEFT JOIN (SELECT src AS p2, dst AS x2 FROM e) b
+    ON w.prev = b.p2 AND e.dst = b.x2
+),
+c1 AS (
+  SELECT *, sum(wt) OVER (PARTITION BY walk_id ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(wt) OVER (PARTITION BY walk_id) AS total
+  FROM s1
+),
+w2 AS (
+  SELECT walk_id, min(start) AS start, min(cur) AS prev, min(x) AS cur,
+         min(path) || ',' || min(x) AS path
+  FROM c1 WHERE cum > r * total GROUP BY walk_id
+),
+s2 AS (
+  SELECT w.walk_id, w.start, w.cur, w.path, e.dst AS x,
+         CASE WHEN w.prev IS NULL THEN 1.0
+              WHEN e.dst = w.prev THEN 0.5
+              WHEN b.x2 IS NOT NULL THEN 1.0
+              ELSE 2.0 END AS wt,
+         ((cast(concat('0x', substr(md5(w.walk_id || ':2'), 1, 15)) as bigint) % 2147483647) / 2147483647.0) AS r
+  FROM w2 w JOIN e ON w.cur = e.src
+  LEFT JOIN (SELECT src AS p2, dst AS x2 FROM e) b
+    ON w.prev = b.p2 AND e.dst = b.x2
+),
+c2 AS (
+  SELECT *, sum(wt) OVER (PARTITION BY walk_id ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(wt) OVER (PARTITION BY walk_id) AS total
+  FROM s2
+),
+w3 AS (
+  SELECT walk_id, min(start) AS start, min(cur) AS prev, min(x) AS cur,
+         min(path) || ',' || min(x) AS path
+  FROM c2 WHERE cum > r * total GROUP BY walk_id
+)
+SELECT walk_id, start, path FROM w3
+"""

@@ -1005,12 +1005,17 @@ def q_quality_bins(spark, sf_dir):
     return quality_bins(_docs(spark, sf_dir))
 
 
+def q_entity_node2vec(spark, sf_dir):
+    return L.entity_node2vec_walks(wikify_links(_docs(spark, sf_dir)))
+
+
 # Registration order IS the driver's sampling order: the driver hash-checks the
 # FIRST 50 entries at sf0.01 each round. Rounds 1-2 sampled the same 50
 # link/text/TPC-H queries, so the LLM-pipeline / dedup / ANN / r2 operators
 # (never driver-sampled) now register first; the already-driver-green 50
 # register last. Every ordering still passes the full local parity suite.
 QUERIES: dict[str, QueryFn] = {
+    "entity_node2vec": q_entity_node2vec,
     "quality_bins": q_quality_bins,
     "embedding_int8": q_embedding_int8,
     "user_type_entropy": q_user_type_entropy,

@@ -129,3 +129,26 @@ def test_entity_link_prediction_adamic_adar(spark):
     # predictions: A-C via B (deg 2), B-D via C (deg 2); A-D share none
     w = round(1.0 / math.log(2), 6)
     assert got == {("A", "C"): (1, w), ("B", "D"): (1, w)}
+
+
+def test_node2vec_bias_suppresses_backtracking(spark):
+    """On a 4-cycle with p = 2^30 (return weight ~0) and q = 1, a walk
+    at B that came from A must continue to C — never immediately
+    backtrack. entity_random_walks has no such bias, so this pins the
+    second-order semantics specifically."""
+    from sift_spark.models.links import entity_node2vec_walks
+
+    # docs comention consecutive cycle nodes: A-B, B-C, C-D, D-A
+    rows = []
+    for d, (x, y) in enumerate([("A", "B"), ("B", "C"), ("C", "D"), ("D", "A")], 1):
+        rows += [(d, x), (d, y)]
+    links = spark.createDataFrame(rows, "doc_id long, target string")
+    walks = entity_node2vec_walks(
+        links, p=float(2 ** 30), q=1.0, n_walks=4, walk_len=5
+    ).collect()
+    assert walks
+    for r in walks:
+        path = r.path.split(",")
+        assert len(path) == 6
+        for i in range(2, len(path)):
+            assert path[i] != path[i - 2], (r.walk_id, r.path)
