@@ -186,6 +186,7 @@ def main() -> None:
         "embedding_int8",
         "quality_bins",
         "entity_node2vec",
+        "orders_checks",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

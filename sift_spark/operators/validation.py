@@ -1,0 +1,121 @@
+"""Declarative data-quality checks (the Deequ/Great-Expectations
+surface a production pipeline gates loads with): each check compiles
+to ONE aggregate expression over the table — the whole suite runs as
+a single scan with map-side partials — except referential integrity,
+which is one anti-join per foreign key (broadcast when the parent's
+key set fits).
+
+Report row: (check, column, n_violations, n_rows, passed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REPORT_COLS = ("check", "column", "n_violations", "n_rows", "passed")
+
+
+def _report(rows: list[DataFrame]) -> DataFrame:
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(*REPORT_COLS)
+
+
+def table_checks(
+    df: DataFrame,
+    not_null: tuple[str, ...] = (),
+    unique: tuple[str, ...] = (),
+    accepted_values: dict[str, tuple] | None = None,
+    non_negative: tuple[str, ...] = (),
+    foreign_keys: dict[str, tuple[DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Run the declared checks and return the violations report.
+
+    - ``not_null`` / ``non_negative`` / ``accepted_values`` compile
+      into one shared aggregation (single scan of ``df``).
+    - ``unique`` is one keyed count per column (duplicate rows beyond
+      the first per value count as violations).
+    - ``foreign_keys`` maps child column → (parent_df, parent_col):
+      a left-anti join counts orphans; Catalyst broadcasts the parent
+      side when its distinct key set fits.
+    """
+    accepted_values = accepted_values or {}
+    foreign_keys = foreign_keys or {}
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    labels: list[tuple[str, str]] = []
+    for c in not_null:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"v{len(labels)}"))
+        labels.append(("not_null", c))
+    for c in non_negative:
+        aggs.append(F.sum(F.when(F.col(c) < 0, 1).otherwise(0)).alias(f"v{len(labels)}"))
+        labels.append(("non_negative", c))
+    for c, vals in accepted_values.items():
+        aggs.append(
+            F.sum(
+                F.when(~F.col(c).isin(*vals) | F.col(c).isNull(), 1).otherwise(0)
+            ).alias(f"v{len(labels)}")
+        )
+        labels.append(("accepted_values", c))
+
+    spark = df.sparkSession
+    parts: list[DataFrame] = []
+    if labels:
+        row = df.agg(*aggs)
+        stacked = row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(chk).alias("check"),
+                            F.lit(col).alias("column"),
+                            F.col(f"v{i}").cast("long").alias("n_violations"),
+                            F.col("__n").cast("long").alias("n_rows"),
+                        )
+                        for i, (chk, col) in enumerate(labels)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+        parts.append(stacked.withColumn("passed", (F.col("n_violations") == 0).cast("int")))
+
+    n_rows = None
+    for c in unique:
+        if n_rows is None:
+            n_rows = df.count()
+        dups = (
+            df.groupBy(c)
+            .agg((F.count(F.lit(1)) - 1).alias("extra"))
+            .agg(F.coalesce(F.sum("extra"), F.lit(0)).alias("n_violations"))
+        )
+        parts.append(
+            dups.select(
+                F.lit("unique").alias("check"),
+                F.lit(c).alias("column"),
+                F.col("n_violations").cast("long"),
+                F.lit(n_rows).cast("long").alias("n_rows"),
+                (F.col("n_violations") == 0).cast("int").alias("passed"),
+            )
+        )
+    for c, (parent, pcol) in foreign_keys.items():
+        if n_rows is None:
+            n_rows = df.count()
+        orphans = (
+            df.select(F.col(c))
+            .where(F.col(c).isNotNull())
+            .join(parent.select(F.col(pcol).alias(c)).distinct(), c, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+        parts.append(
+            orphans.select(
+                F.lit("foreign_key").alias("check"),
+                F.lit(c).alias("column"),
+                F.col("n_violations").cast("long"),
+                F.lit(n_rows).cast("long").alias("n_rows"),
+                (F.col("n_violations") == 0).cast("int").alias("passed"),
+            )
+        )
+    assert parts, "no checks declared"
+    _ = spark
+    return _report(parts)

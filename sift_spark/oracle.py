@@ -1469,3 +1469,43 @@ w3 AS (
 )
 SELECT walk_id, start, path FROM w3
 """
+
+
+ORACLE["orders_checks"] = """
+WITH n AS (SELECT count(*) AS n_rows FROM orders)
+SELECT 'not_null' AS "check", 'o_orderkey' AS "column",
+       (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS n_violations,
+       n_rows, CAST((SELECT count(*) FROM orders WHERE o_orderkey IS NULL) = 0 AS INT) AS passed FROM n
+UNION ALL
+SELECT 'not_null', 'o_custkey',
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL), n_rows,
+       CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0 AS INT) FROM n
+UNION ALL
+SELECT 'not_null', 'o_orderdate',
+       (SELECT count(*) FROM orders WHERE o_orderdate IS NULL), n_rows,
+       CAST((SELECT count(*) FROM orders WHERE o_orderdate IS NULL) = 0 AS INT) FROM n
+UNION ALL
+SELECT 'non_negative', 'o_totalprice',
+       (SELECT count(*) FROM orders WHERE o_totalprice < 0), n_rows,
+       CAST((SELECT count(*) FROM orders WHERE o_totalprice < 0) = 0 AS INT) FROM n
+UNION ALL
+SELECT 'accepted_values', 'o_orderstatus',
+       (SELECT count(*) FROM orders
+        WHERE o_orderstatus NOT IN ('O', 'F', 'P') OR o_orderstatus IS NULL), n_rows,
+       CAST((SELECT count(*) FROM orders
+             WHERE o_orderstatus NOT IN ('O', 'F', 'P') OR o_orderstatus IS NULL) = 0 AS INT) FROM n
+UNION ALL
+SELECT 'unique', 'o_orderkey',
+       (SELECT coalesce(sum(c - 1), 0) FROM
+          (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)), n_rows,
+       CAST((SELECT coalesce(sum(c - 1), 0) FROM
+          (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)) = 0 AS INT) FROM n
+UNION ALL
+SELECT 'foreign_key', 'o_custkey',
+       (SELECT count(*) FROM orders o
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)), n_rows,
+       CAST((SELECT count(*) FROM orders o
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0 AS INT) FROM n
+"""

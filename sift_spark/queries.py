@@ -1009,12 +1009,26 @@ def q_entity_node2vec(spark, sf_dir):
     return L.entity_node2vec_walks(wikify_links(_docs(spark, sf_dir)))
 
 
+def q_orders_checks(spark, sf_dir):
+    from sift_spark.operators.validation import table_checks
+
+    return table_checks(
+        table(spark, sf_dir, "orders"),
+        not_null=("o_orderkey", "o_custkey", "o_orderdate"),
+        unique=("o_orderkey",),
+        accepted_values={"o_orderstatus": ("O", "F", "P")},
+        non_negative=("o_totalprice",),
+        foreign_keys={"o_custkey": (table(spark, sf_dir, "customer"), "c_custkey")},
+    )
+
+
 # Registration order IS the driver's sampling order: the driver hash-checks the
 # FIRST 50 entries at sf0.01 each round. Rounds 1-2 sampled the same 50
 # link/text/TPC-H queries, so the LLM-pipeline / dedup / ANN / r2 operators
 # (never driver-sampled) now register first; the already-driver-green 50
 # register last. Every ordering still passes the full local parity suite.
 QUERIES: dict[str, QueryFn] = {
+    "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,
     "quality_bins": q_quality_bins,
     "embedding_int8": q_embedding_int8,

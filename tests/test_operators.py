@@ -524,3 +524,29 @@ def test_bpe_train_distributed_path_equals_fast_path(spark):
         ).collect()
     ]
     assert fast == dist and fast
+
+
+def test_table_checks_counts_injected_violations(spark):
+    from sift_spark.operators.validation import table_checks
+
+    child = spark.createDataFrame(
+        [(1, "A", 5.0), (2, "A", -1.0), (2, "X", None), (None, "B", 3.0)],
+        "id long, status string, amt double",
+    )
+    parent = spark.createDataFrame([(1,), (3,)], "pid long")
+    rep = {
+        (r.check, r.column): (r.n_violations, r.n_rows, r.passed)
+        for r in table_checks(
+            child,
+            not_null=("id",),
+            unique=("id",),
+            accepted_values={"status": ("A", "B")},
+            non_negative=("amt",),
+            foreign_keys={"id": (parent, "pid")},
+        ).collect()
+    }
+    assert rep[("not_null", "id")] == (1, 4, 0)
+    assert rep[("unique", "id")] == (1, 4, 0)          # id=2 twice -> 1 extra
+    assert rep[("accepted_values", "status")] == (1, 4, 0)  # 'X'
+    assert rep[("non_negative", "amt")] == (1, 4, 0)   # -1.0 (NULL amt not counted)
+    assert rep[("foreign_key", "id")] == (2, 4, 0)     # both id=2 rows orphaned
