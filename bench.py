@@ -187,6 +187,7 @@ def main() -> None:
         "quality_bins",
         "entity_node2vec",
         "orders_checks",
+        "customer_profile",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

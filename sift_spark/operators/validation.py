@@ -119,3 +119,40 @@ def table_checks(
     assert parts, "no checks declared"
     _ = spark
     return _report(parts)
+
+
+def column_profile(df: DataFrame, numeric_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Column-level profile (the Deequ/GE profiling analog a pipeline
+    runs before writing checks): per column, null count and exact
+    distinct count; numeric columns additionally get min/max/mean
+    (rounded). Output long format:
+    (column, n_rows, n_nulls, n_distinct, min_v, max_v, mean_v) with
+    the numeric stats NULL for non-numeric columns.
+
+    The ENTIRE profile is one aggregate — one scan of the table with
+    map-side partials — then an explode to long format; no per-column
+    jobs, no driver loop."""
+    numeric = set(numeric_cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in df.columns:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+        if c in numeric:
+            aggs.append(F.round(F.min(c), 6).alias(f"mn_{c}"))
+            aggs.append(F.round(F.max(c), 6).alias(f"mx_{c}"))
+            aggs.append(F.round(F.avg(c), 6).alias(f"av_{c}"))
+    row = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col(f"nn_{c}").cast("long").alias("n_nulls"),
+            F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+            (F.col(f"mn_{c}").cast("double") if c in numeric else null_d).alias("min_v"),
+            (F.col(f"mx_{c}").cast("double") if c in numeric else null_d).alias("max_v"),
+            (F.col(f"av_{c}").cast("double") if c in numeric else null_d).alias("mean_v"),
+        )
+        for c in df.columns
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")

@@ -1509,3 +1509,36 @@ SELECT 'foreign_key', 'o_custkey',
         WHERE o_custkey IS NOT NULL
           AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0 AS INT) FROM n
 """
+
+
+ORACLE["customer_profile"] = """
+SELECT 'c_custkey' AS "column", count(*) AS n_rows,
+       sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT c_custkey) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v, CAST(NULL AS DOUBLE) AS mean_v
+FROM customer
+UNION ALL
+SELECT 'c_name' AS "column", count(*) AS n_rows,
+       sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT c_name) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v, CAST(NULL AS DOUBLE) AS mean_v
+FROM customer
+UNION ALL
+SELECT 'c_nationkey' AS "column", count(*) AS n_rows,
+       sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT c_nationkey) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v, CAST(NULL AS DOUBLE) AS mean_v
+FROM customer
+UNION ALL
+SELECT 'c_acctbal' AS "column", count(*) AS n_rows,
+       sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT c_acctbal) AS n_distinct,
+       round(min(c_acctbal), 6) AS min_v, round(max(c_acctbal), 6) AS max_v, round(avg(c_acctbal), 6) AS mean_v
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment' AS "column", count(*) AS n_rows,
+       sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT c_mktsegment) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v, CAST(NULL AS DOUBLE) AS mean_v
+FROM customer
+"""

@@ -1022,12 +1022,21 @@ def q_orders_checks(spark, sf_dir):
     )
 
 
+def q_customer_profile(spark, sf_dir):
+    from sift_spark.operators.validation import column_profile
+
+    return column_profile(
+        table(spark, sf_dir, "customer"), numeric_cols=("c_acctbal",)
+    )
+
+
 # Registration order IS the driver's sampling order: the driver hash-checks the
 # FIRST 50 entries at sf0.01 each round. Rounds 1-2 sampled the same 50
 # link/text/TPC-H queries, so the LLM-pipeline / dedup / ANN / r2 operators
 # (never driver-sampled) now register first; the already-driver-green 50
 # register last. Every ordering still passes the full local parity suite.
 QUERIES: dict[str, QueryFn] = {
+    "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,
     "quality_bins": q_quality_bins,
