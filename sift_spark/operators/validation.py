@@ -156,3 +156,42 @@ def column_profile(df: DataFrame, numeric_cols: tuple[str, ...] = ()) -> DataFra
         for c in df.columns
     ]
     return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def profile_drift(old: DataFrame, new: DataFrame,
+                  numeric_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Schema/profile drift between two versions of a table — the
+    gate a pipeline runs before promoting a new load: per column,
+    whether it was added/removed, and how null rate, distinct count,
+    and mean moved. Output: (column, status, null_rate_delta,
+    distinct_ratio, mean_delta) with deltas NULL where undefined
+    (added/removed columns, non-numerics).
+
+    Two single-scan profiles (:func:`column_profile`) full-outer
+    joined on the column name — the comparison itself is column-count
+    sized."""
+    po = column_profile(old, numeric_cols).select(
+        "column",
+        (F.col("n_nulls") / F.col("n_rows")).alias("nr_o"),
+        F.col("n_distinct").alias("nd_o"),
+        F.col("mean_v").alias("mv_o"),
+    )
+    pn = column_profile(new, numeric_cols).select(
+        "column",
+        (F.col("n_nulls") / F.col("n_rows")).alias("nr_n"),
+        F.col("n_distinct").alias("nd_n"),
+        F.col("mean_v").alias("mv_n"),
+    )
+    j = po.join(pn, "column", "full_outer")
+    status = (
+        F.when(F.col("nr_o").isNull(), F.lit("added"))
+        .when(F.col("nr_n").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select(
+        "column",
+        status.alias("status"),
+        F.round(F.col("nr_n") - F.col("nr_o"), 6).alias("null_rate_delta"),
+        F.round(F.col("nd_n") / F.col("nd_o"), 6).alias("distinct_ratio"),
+        F.round(F.col("mv_n") - F.col("mv_o"), 6).alias("mean_delta"),
+    )

@@ -550,3 +550,22 @@ def test_table_checks_counts_injected_violations(spark):
     assert rep[("accepted_values", "status")] == (1, 4, 0)  # 'X'
     assert rep[("non_negative", "amt")] == (1, 4, 0)   # -1.0 (NULL amt not counted)
     assert rep[("foreign_key", "id")] == (2, 4, 0)     # both id=2 rows orphaned
+
+
+def test_profile_drift_detects_changes(spark):
+    from sift_spark.operators.validation import profile_drift
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "id long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 1.0, "x"), (2, None, "x"), (3, 4.0, "y"), (4, 5.0, "y")],
+        "id long, v double, extra string",
+    )
+    got = {r.column: r for r in profile_drift(old, new, ("v",)).collect()}
+    assert got["s"].status == "removed"
+    assert got["extra"].status == "added"
+    assert got["id"].status == "kept" and got["id"].null_rate_delta == 0.0
+    # v: nulls 0/3 -> 1/4; mean 2.0 -> (1+4+5)/3
+    assert got["v"].null_rate_delta == 0.25
+    assert abs(got["v"].mean_delta - (10.0 / 3 - 2.0)) < 1e-6
