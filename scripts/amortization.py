@@ -73,6 +73,8 @@ QSET = [
     "events_changepoint",
     "entity_salience",
     "temperature_sample",
+    "entity_random_walks",
+    "entity_node2vec",
 ]
 
 
