@@ -476,19 +476,25 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def window_uniques(events: DataFrame, minutes: int = 60) -> DataFrame:
+def window_uniques(events: DataFrame, minutes: int = 60,
+                   approx: bool = False, rsd: float = 0.05) -> DataFrame:
     """Distinct active users per (tumbling window, event_type):
-    (window_start, event_type, n_users). Exact distinct — one shuffle
-    on (window, type, user) then a count; the approximate scale path
-    for very hot windows is ``approx_count_distinct`` (sketch-mergeable,
-    no second shuffle), kept off the oracle-checked default."""
+    (window_start, event_type, n_users). Exact distinct (the
+    oracle-checked default) shuffles on (window, type, user) then
+    counts; ``approx=True`` switches to ``approx_count_distinct``
+    (HLL++): one sketch-mergeable aggregate, no expanded shuffle —
+    the scale path for very hot windows, accurate to ``rsd``
+    (unit-tested within tolerance against exact)."""
     secs = minutes * 60
     bucket = (epoch_seconds(events) - (epoch_seconds(events) % secs)).alias(
         "window_start"
     )
-    return events.groupBy(bucket, F.col("event_type")).agg(
-        F.countDistinct("user_id").alias("n_users")
+    agg = (
+        F.approx_count_distinct("user_id", rsd)
+        if approx
+        else F.countDistinct("user_id")
     )
+    return events.groupBy(bucket, F.col("event_type")).agg(agg.alias("n_users"))
 
 
 def changepoint_cusum(events: DataFrame, bucket_s: int = 3600, k: float = 0.5,

@@ -569,3 +569,23 @@ def test_profile_drift_detects_changes(spark):
     # v: nulls 0/3 -> 1/4; mean 2.0 -> (1+4+5)/3
     assert got["v"].null_rate_delta == 0.25
     assert abs(got["v"].mean_delta - (10.0 / 3 - 2.0)) < 1e-6
+
+
+def test_window_uniques_approx_within_tolerance(spark):
+    """The HLL++ scale path must agree with exact distinct within the
+    configured relative standard deviation (x3 slack for small
+    windows)."""
+    from sift_spark.operators.events import window_uniques
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    exact = {
+        (r.window_start, r.event_type): r.n_users
+        for r in window_uniques(ev).collect()
+    }
+    approx = {
+        (r.window_start, r.event_type): r.n_users
+        for r in window_uniques(ev, approx=True, rsd=0.05).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.15 * n), (k, n, approx[k])
