@@ -238,21 +238,46 @@ def mad_outliers(events: DataFrame, k: float = 3.0) -> DataFrame:
     )
 
 
-def interarrival_stats(events: DataFrame) -> DataFrame:
+def interarrival_stats(events: DataFrame, day_bucketed: bool = False) -> DataFrame:
     """Per-type event interarrival profile: (event_type, n_gaps,
-    avg_gap_s, max_gap_s) from consecutive epoch-second gaps in
-    (ts, event_id) order. The lag window partitions by event_type —
-    at production scale (few types × many events) this would be the
-    classic window-skew shape, so the scale path is per-(type,
-    day-bucket) windows plus a boundary-row handoff; at bench scale
-    the direct window is correct and one shuffle."""
+    avg_gap_s, max_gap_s) from consecutive epoch-second gaps.
+
+    The default lag window partitions by event_type — at production
+    scale (few types × many events) that is the classic window-skew
+    shape, so ``day_bucketed=True`` switches to the scale path:
+    per-(type, day) windows compute within-day gaps (bounded by daily
+    volume) and a per-day (first, last) boundary table — ONE ROW per
+    type-day — supplies the cross-day gaps via a tiny second window.
+    The gap multiset is identical (proven equal in tests); both paths
+    are one logical pass over the events."""
     es = epoch_seconds(events)
-    w = Window.partitionBy("event_type").orderBy("es", "event_id")
-    g = (
-        events.select("event_type", "event_id", es.alias("es"))
-        .withColumn("gap", F.col("es") - F.lag("es").over(w))
-        .where(F.col("gap").isNotNull())
-    )
+    if day_bucketed:
+        e = events.select("event_type", "event_id", es.alias("es")).withColumn(
+            "day", F.floor(F.col("es") / 86400)
+        )
+        wd = Window.partitionBy("event_type", "day").orderBy("es", "event_id")
+        within = (
+            e.withColumn("gap", F.col("es") - F.lag("es").over(wd))
+            .where(F.col("gap").isNotNull())
+            .select("event_type", "gap")
+        )
+        days = e.groupBy("event_type", "day").agg(
+            F.min("es").alias("first_es"), F.max("es").alias("last_es")
+        )
+        wb = Window.partitionBy("event_type").orderBy("day")
+        boundary = (
+            days.withColumn("gap", F.col("first_es") - F.lag("last_es").over(wb))
+            .where(F.col("gap").isNotNull())
+            .select("event_type", "gap")
+        )
+        g = within.unionByName(boundary)
+    else:
+        w = Window.partitionBy("event_type").orderBy("es", "event_id")
+        g = (
+            events.select("event_type", "event_id", es.alias("es"))
+            .withColumn("gap", F.col("es") - F.lag("es").over(w))
+            .where(F.col("gap").isNotNull())
+        )
     return g.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.round(F.avg("gap"), 6).alias("avg_gap_s"),

@@ -589,3 +589,15 @@ def test_window_uniques_approx_within_tolerance(spark):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.15 * n), (k, n, approx[k])
+
+
+def test_interarrival_day_bucketed_equals_direct(spark):
+    """The skew-safe day-bucketed path (within-day windows + a one-row
+    -per-day boundary handoff) must produce the identical gap profile
+    to the direct per-type window."""
+    from sift_spark.operators.events import interarrival_stats
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    direct = {tuple(r) for r in interarrival_stats(ev).collect()}
+    bucketed = {tuple(r) for r in interarrival_stats(ev, day_bucketed=True).collect()}
+    assert direct == bucketed and direct
