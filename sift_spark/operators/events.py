@@ -547,8 +547,12 @@ def changepoint_cusum(events: DataFrame, bucket_s: int = 3600, k: float = 0.5,
     stats = counts.groupBy("event_type").agg(
         F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
     )
+    # a constant series has sd = 0: ANSI mode (Spark 4 default) makes
+    # the division THROW mid-job, so guard explicitly — z (and the
+    # cusum columns) become NULL for that type in both engines
     z = counts.join(F.broadcast(stats), "event_type").withColumn(
-        "z", (F.col("n") - F.col("mu")) / F.col("sd")
+        "z",
+        F.when(F.col("sd") != 0, (F.col("n") - F.col("mu")) / F.col("sd")),
     )
     w = Window.partitionBy("event_type").orderBy("window_start")
     pre = z.select(

@@ -1082,7 +1082,8 @@ s AS (
   SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd FROM c GROUP BY 1
 ),
 z AS (
-  SELECT c.event_type, window_start, n, (n - mu) / sd AS z
+  SELECT c.event_type, window_start, n,
+         CASE WHEN sd = 0 THEN NULL ELSE (n - mu) / sd END AS z
   FROM c JOIN s USING (event_type)
 ),
 pre AS (

@@ -380,3 +380,52 @@ def test_walk_embeddings_cover_graph_nodes(spark):
     }
     assert {r.term for r in vecs} == nodes
     assert all(len(r.vector) == 8 for r in vecs)
+
+
+def test_changepoint_closed_form_property(spark):
+    """Property: on arbitrary bucket-count series the window closed
+    form s_t = S_t − min(0, min_j S_j) equals the direct recursion
+    s_t = max(0, s_{t-1} + x_t) for BOTH CUSUM sides. Few examples —
+    each runs a Spark job — but each example is an arbitrary series
+    shape (spikes, plateaus, dips)."""
+    import math
+
+    import pytest
+
+    hyp = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sift_spark.operators.events import changepoint_cusum
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=30), min_size=4, max_size=12)
+    )
+    def check(series):
+        rows = []
+        eid = 0
+        for b, n in enumerate(series):
+            for j in range(n):
+                eid += 1
+                rows.append((eid, b * 3600 + j, 1, "t", 1.0))
+        ev = spark.createDataFrame(
+            rows, "event_id long, es long, user_id long, event_type string, value double"
+        ).selectExpr("event_id", "cast(es as timestamp) AS ts", "user_id",
+                     "event_type", "value")
+        got = {r.window_start: r for r in changepoint_cusum(ev).collect()}
+        mu = sum(series) / len(series)
+        var = sum((v - mu) ** 2 for v in series) / (len(series) - 1)
+        if var == 0:
+            return  # z undefined (sd=0): both engines emit NULLs
+        sd = math.sqrt(var)
+        sp = sn = 0.0
+        for b, n in enumerate(series):
+            z = (n - mu) / sd
+            sp = max(0.0, sp + z - 0.5)
+            sn = max(0.0, sn - z - 0.5)
+            r = got[b * 3600]
+            assert abs(r.cusum_pos - round(sp, 6)) < 1e-6, (series, b)
+            assert abs(r.cusum_neg - round(sn, 6)) < 1e-6, (series, b)
+
+    check()
