@@ -191,9 +191,18 @@ def anomaly_zscore(events: DataFrame, threshold: float = 3.0) -> DataFrame:
     stats = events.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
     )
+    # sd = 0 (constant-value type) would THROW under ANSI mode; the
+    # guard makes z NULL there — no anomalies in a constant series —
+    # mirrored in the oracle
     return (
         events.join(F.broadcast(stats), "event_type")
-        .withColumn("z", F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6))
+        .withColumn(
+            "z",
+            F.when(
+                F.col("sd") != 0,
+                F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6),
+            ),
+        )
         .where(F.abs(F.col("z")) > threshold)
         .select("event_id", "event_type", F.round("value", 2).alias("value"), "z")
     )

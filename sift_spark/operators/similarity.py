@@ -814,10 +814,15 @@ def normalize_embeddings(emb: DataFrame) -> DataFrame:
     stats = x.groupBy("dim").agg(
         F.avg("x").alias("mu"), F.stddev_pop("x").alias("sigma")
     )
+    # a dead (constant) dimension has sigma = 0: ANSI mode would throw
+    # on the division, so z is NULL there — mirrored in the oracle
     return x.join(F.broadcast(stats), "dim").select(
         "vec_id",
         "dim",
-        F.round((F.col("x") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        F.when(
+            F.col("sigma") != 0,
+            F.round((F.col("x") - F.col("mu")) / F.col("sigma"), 6),
+        ).alias("z"),
     )
 
 

@@ -886,9 +886,9 @@ WITH stats AS (
   FROM events GROUP BY event_type
 )
 SELECT event_id, e.event_type, round(value, 2) AS value,
-       round((value - mu) / sd, 6) AS z
+       CASE WHEN sd = 0 THEN NULL ELSE round((value - mu) / sd, 6) END AS z
 FROM events e JOIN stats s ON e.event_type = s.event_type
-WHERE abs((value - mu) / sd) > 3.0
+WHERE sd <> 0 AND abs((value - mu) / sd) > 3.0
 """
 
 ORACLE["events_seasonality"] = """

@@ -1175,6 +1175,7 @@ WITH x AS (
   FROM embeddings
 ),
 st AS (SELECT dim, avg(x) AS mu, stddev_pop(x) AS sigma FROM x GROUP BY dim)
-SELECT vec_id, dim, round((x - mu) / sigma, 6) AS z
+SELECT vec_id, dim,
+       CASE WHEN sigma = 0 THEN NULL ELSE round((x - mu) / sigma, 6) END AS z
 FROM x JOIN st USING (dim)
 """

@@ -601,3 +601,30 @@ def test_interarrival_day_bucketed_equals_direct(spark):
     direct = {tuple(r) for r in interarrival_stats(ev).collect()}
     bucketed = {tuple(r) for r in interarrival_stats(ev, day_bucketed=True).collect()}
     assert direct == bucketed and direct
+
+
+def test_ansi_zero_variance_inputs_do_not_crash(spark):
+    """Constant-value types / dead embedding dimensions have zero
+    variance: under Spark 4's default ANSI mode an unguarded division
+    THROWS mid-job. All three z-score-family operators must instead
+    emit NULL z for the degenerate group (caught by the CUSUM
+    property test; guarded identically in the oracles)."""
+    from sift_spark.operators.events import anomaly_zscore, changepoint_cusum
+    from sift_spark.operators.similarity import normalize_embeddings
+
+    ev = spark.createDataFrame(
+        [(i, i * 60, 1, "t", 5.0) for i in range(6)],
+        "event_id long, es long, user_id long, event_type string, value double",
+    ).selectExpr(
+        "event_id", "cast(es as timestamp) as ts", "user_id", "event_type", "value"
+    )
+    assert anomaly_zscore(ev).collect() == []  # constant: no anomalies
+    assert all(
+        r.cusum_pos is None for r in changepoint_cusum(ev, bucket_s=60).collect()
+    )
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    rows = normalize_embeddings(emb).collect()
+    assert all(r.z is None for r in rows if r.dim == 0)      # dead dim
+    assert all(r.z is not None for r in rows if r.dim == 1)  # live dim
