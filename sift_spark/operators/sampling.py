@@ -149,9 +149,12 @@ def weighted_sample(df: DataFrame, k: int = 100, key_col: str = "doc_id",
     pr = F.round(-F.log(u) / F.col(weight_col), 6)
     # top-k as orderBy+limit (TakeOrderedAndProject: per-partition
     # top-k then a k·P-row merge), NOT a corpus-wide row_number
-    # window; rank is assigned after the limit over k rows only
+    # window; rank is assigned after the limit over k rows only.
+    # Non-positive weights mean P(selected) = 0 — and an unfiltered
+    # w = 0 row would make the division THROW under ANSI mode.
     topk = (
-        df.withColumn("priority", pr)
+        df.where(F.col(weight_col) > 0)
+        .withColumn("priority", pr)
         .orderBy(F.col("priority").asc(), F.col(key_col).asc())
         .limit(k)
     )

@@ -123,7 +123,10 @@ def tfidf_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
         .groupBy("doc_id")
         .agg(F.sum("w").alias("qw"))
     )
-    scored = qscore.join(norms, "doc_id").select(
+    # a document whose every term has idf 0 (df = N) has norm 0 — it
+    # carries no ranking signal and the division would throw in ANSI
+    # mode, so such docs are dropped (mirrored in the oracle)
+    scored = qscore.join(norms, "doc_id").where(F.col("norm") != 0).select(
         "doc_id", F.round(F.col("qw") / F.col("norm"), 6).alias("score")
     )
     return _ranked_topk(scored, k)

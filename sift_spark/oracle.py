@@ -931,7 +931,7 @@ ORACLE["weighted_sample"] = """
 WITH pr AS (
   SELECT doc_id, n_chars,
          round(-ln((cast(concat('0x', substr(md5(concat('wsample:', cast(doc_id as varchar))), 1, 15)) as bigint) % 1000000 + 0.5) / 1000000.0) / n_chars, 6) AS priority
-  FROM documents
+  FROM documents WHERE n_chars > 0
 )
 SELECT doc_id, n_chars, priority, rank FROM (
   SELECT doc_id, n_chars, priority,

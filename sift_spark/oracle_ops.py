@@ -528,7 +528,7 @@ idf AS (
 w AS (SELECT doc_id, term, sqrt(tf) * idf AS w FROM tf JOIN idf USING (term)),
 norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
 q AS (SELECT doc_id, sum(w) AS qw FROM w WHERE term IN ({_search_terms_sql}) GROUP BY doc_id),
-scored AS (SELECT q.doc_id, round(q.qw / n.norm, 6) AS score FROM q JOIN norms n ON n.doc_id = q.doc_id)
+scored AS (SELECT q.doc_id, round(q.qw / n.norm, 6) AS score FROM q JOIN norms n ON n.doc_id = q.doc_id WHERE n.norm <> 0)
 SELECT doc_id, score, rank FROM (
   SELECT doc_id, score,
          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
