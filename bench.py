@@ -188,6 +188,7 @@ def main() -> None:
         "entity_node2vec",
         "orders_checks",
         "customer_profile",
+        "ccnet_buckets",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -814,3 +814,66 @@ def quality_bins(docs: DataFrame) -> DataFrame:
             F.round(F.col("n_tokens") / F.col("tt"), 6).alias("token_share"),
         )
     )
+
+
+def ccnet_buckets(docs: DataFrame, approx: bool = False,
+                  accuracy: int = 10000) -> DataFrame:
+    """CCNet-style language-model quality bucketing (Wenzek et al.
+    2020): score every document with the corpus-bigram LM
+    (:func:`bigram_logprob` — higher avg logprob = more typical =
+    lower perplexity), then split each language into equal thirds:
+    ``head`` (most typical), ``middle``, ``tail``. Output
+    (doc_id, lang, avg_bigram_logprob, bucket); docs with < 2 tokens
+    have no LM score and drop out, exactly as in the SQL twin.
+
+    Two cutoff strategies (the rfm_segments pattern):
+    - exact (default, the oracle-checked path): per-lang rank with a
+      total ordering (rounded score DESC, doc_id) and integer
+      third-boundaries ``3·rn <= n`` / ``3·rn <= 2n`` — no float
+      boundary can flip a bucket cross-engine. The rank window
+      partitions by lang, whose per-key row count scales with the
+      corpus — fine at test SF, single-task-per-lang at 100 TB.
+    - ``approx=True`` (the scale path): per-lang approx_percentile
+      cutoffs on the score (one small aggregate, langs × 2 rows)
+      broadcast back and applied by comparison — no ranked window
+      anywhere; ≤ one-bucket disagreement vs exact is unit-tested.
+    """
+    from pyspark.sql import Window
+
+    scored = bigram_logprob(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    if approx:
+        cuts = scored.groupBy("lang").agg(
+            F.percentile_approx("avg_bigram_logprob", 2.0 / 3.0, accuracy).alias("c_head"),
+            F.percentile_approx("avg_bigram_logprob", 1.0 / 3.0, accuracy).alias("c_mid"),
+        )
+        return (
+            scored.join(F.broadcast(cuts), "lang")
+            .select(
+                "doc_id",
+                "lang",
+                "avg_bigram_logprob",
+                F.when(F.col("avg_bigram_logprob") >= F.col("c_head"), F.lit("head"))
+                .when(F.col("avg_bigram_logprob") >= F.col("c_mid"), F.lit("middle"))
+                .otherwise(F.lit("tail"))
+                .alias("bucket"),
+            )
+        )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_bigram_logprob").desc(), F.col("doc_id")
+    )
+    per_lang = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(per_lang), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_bigram_logprob",
+            F.when(F.col("rn") * 3 <= F.col("n_lang"), F.lit("head"))
+            .when(F.col("rn") * 3 <= F.col("n_lang") * 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

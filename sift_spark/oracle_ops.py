@@ -1179,3 +1179,33 @@ SELECT vec_id, dim,
        CASE WHEN sigma = 0 THEN NULL ELSE round((x - mu) / sigma, 6) END AS z
 FROM x JOIN st USING (dim)
 """
+
+ORACLE_OPS["ccnet_buckets"] = """
+WITH pr AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+),
+big AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY w1, w2),
+hd AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY w1),
+lp AS (
+  SELECT doc_id, round(avg(ln(c12 * 1.0 / c1)), 6) AS avg_bigram_logprob
+  FROM pr JOIN big USING (w1, w2) JOIN hd USING (w1)
+  GROUP BY doc_id
+),
+sc AS (
+  SELECT l.doc_id, d.lang, l.avg_bigram_logprob
+  FROM lp l JOIN documents d ON l.doc_id = d.doc_id
+),
+rk AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY lang ORDER BY avg_bigram_logprob DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM sc
+)
+SELECT doc_id, lang, avg_bigram_logprob,
+  CASE WHEN rn * 3 <= n_lang THEN 'head'
+       WHEN rn * 3 <= n_lang * 2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM rk
+"""

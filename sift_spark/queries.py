@@ -1035,7 +1035,14 @@ def q_customer_profile(spark, sf_dir):
 # link/text/TPC-H queries, so the LLM-pipeline / dedup / ANN / r2 operators
 # (never driver-sampled) now register first; the already-driver-green 50
 # register last. Every ordering still passes the full local parity suite.
+def q_ccnet_buckets(spark, sf_dir):
+    from sift_spark.operators.text_analysis import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, QueryFn] = {
+    "ccnet_buckets": q_ccnet_buckets,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,

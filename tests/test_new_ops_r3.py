@@ -429,3 +429,45 @@ def test_changepoint_closed_form_property(spark):
             assert abs(r.cusum_neg - round(sn, 6)) < 1e-6, (series, b)
 
     check()
+
+
+def test_ccnet_buckets_approx_adjacent_to_exact(spark):
+    """The approx_percentile scale path may move a doc by at most one
+    bucket relative to the exact ranked thirds, and only near the
+    cutoffs (agreement stays high on the test corpus)."""
+    from sift_spark.io import table
+    from sift_spark.operators.text_analysis import ccnet_buckets
+
+    docs = table(spark, SF_SMOKE, "documents")
+    exact = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(docs).collect()}
+    approx = {
+        r["doc_id"]: r["bucket"] for r in ccnet_buckets(docs, approx=True).collect()
+    }
+    assert set(exact) == set(approx)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    diffs = [k for k in exact if exact[k] != approx[k]]
+    assert all(abs(order[exact[k]] - order[approx[k]]) <= 1 for k in diffs)
+    assert len(diffs) <= 0.05 * len(exact)
+
+
+def test_ccnet_buckets_thirds_and_ordering(spark):
+    """Per-lang bucket sizes differ by at most one doc from exact
+    thirds, and every head score >= every middle score >= every tail
+    score within a language."""
+    from collections import defaultdict
+
+    from sift_spark.io import table
+    from sift_spark.operators.text_analysis import ccnet_buckets
+
+    docs = table(spark, SF_SMOKE, "documents")
+    rows = ccnet_buckets(docs).collect()
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_lang[r["lang"]][r["bucket"]].append(r["avg_bigram_logprob"])
+    for lang, buckets in by_lang.items():
+        sizes = [len(buckets[b]) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        if buckets["head"] and buckets["middle"]:
+            assert min(buckets["head"]) >= max(buckets["middle"])
+        if buckets["middle"] and buckets["tail"]:
+            assert min(buckets["middle"]) >= max(buckets["tail"])
