@@ -189,6 +189,7 @@ def main() -> None:
         "orders_checks",
         "customer_profile",
         "ccnet_buckets",
+        "hard_negatives",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -953,3 +953,78 @@ def embedding_int8(emb: DataFrame) -> DataFrame:
         ).alias("codes"),
         F.round(F.avg("err"), 6).alias("mae"),
     )
+
+
+def hard_negatives(emb: DataFrame, k: int = 5, n_blocks: int = 8) -> DataFrame:
+    """Hard-negative mining for contrastive / metric training: for
+    every vector, the ``k`` most-cosine-similar vectors carrying a
+    DIFFERENT label — the near-miss negatives a trainer wants in the
+    batch (Schroff et al. 2015 semi-hard mining, batched offline).
+    Output (vec_id, neighbor_id, sim, rank); ties break toward the
+    smaller neighbor_id on 6dp-rounded sims, so ranking is engine-exact.
+
+    Same distributed shape as :func:`ann_topk_bruteforce` — block-tiled
+    GEMM with the label carried into each tile, the different-label
+    filter and per-tile top-k applied INSIDE the kernel (only
+    n_blocks·k candidates per vector are ever shuffled), then one
+    per-vector window for the global top-k. At 100 TB swap the exact
+    tiles for the IVF/LSH candidate generators; the mining filter and
+    window are unchanged.
+    """
+    import pandas as pd  # noqa: F401 (applyInPandas requirement)
+
+    spark = emb.sparkSession
+    left = (
+        emb.select(
+            F.col("vec_id").alias("lid"),
+            F.col("embedding").alias("lemb"),
+            F.col("label").alias("llab"),
+        )
+        .withColumn("lb", F.col("lid") % n_blocks)
+        .crossJoin(F.broadcast(spark.range(n_blocks).select(F.col("id").cast("long").alias("rb"))))
+    )
+    right = (
+        emb.select(
+            F.col("vec_id").alias("rid"),
+            F.col("embedding").alias("remb"),
+            F.col("label").alias("rlab"),
+        )
+        .withColumn("rb", F.col("rid") % n_blocks)
+        .crossJoin(F.broadcast(spark.range(n_blocks).select(F.col("id").cast("long").alias("lb"))))
+    )
+
+    def tile(key, l, r):
+        import numpy as np
+        import pandas as pd
+
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []})
+        L = np.stack(l["lemb"].to_numpy()).astype("float64")
+        R = np.stack(r["remb"].to_numpy()).astype("float64")
+        L = L / np.linalg.norm(L, axis=1, keepdims=True)
+        R = R / np.linalg.norm(R, axis=1, keepdims=True)
+        Sr = round6_half_away(L @ R.T)
+        lids, rids = l["lid"].to_numpy(), r["rid"].to_numpy()
+        llab, rlab = l["llab"].to_numpy(), r["rlab"].to_numpy()
+        out_v, out_n, out_s = [], [], []
+        for i in range(Sr.shape[0]):
+            cand = np.where(rlab != llab[i])[0]
+            if len(cand) == 0:
+                continue
+            order = np.lexsort((rids[cand], -Sr[i][cand]))
+            top = cand[order[: min(k, len(cand))]]
+            out_v.extend([lids[i]] * len(top))
+            out_n.extend(rids[top])
+            out_s.extend(Sr[i][top])
+        return pd.DataFrame({"vec_id": out_v, "neighbor_id": out_n, "sim": out_s})
+
+    pairs = (
+        left.groupby("lb", "rb")
+        .cogroup(right.groupby("lb", "rb"))
+        .applyInPandas(tile, schema="vec_id long, neighbor_id long, sim double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

@@ -1209,3 +1209,20 @@ SELECT doc_id, lang, avg_bigram_logprob,
        ELSE 'tail' END AS bucket
 FROM rk
 """
+
+ORACLE_OPS["hard_negatives"] = f"""
+WITH el AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, round({_COS}, 6) AS sim
+  FROM el a JOIN el b ON a.label != b.label
+),
+r AS (
+  SELECT vec_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM p
+)
+SELECT vec_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+"""

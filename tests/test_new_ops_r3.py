@@ -471,3 +471,31 @@ def test_ccnet_buckets_thirds_and_ordering(spark):
             assert min(buckets["head"]) >= max(buckets["middle"])
         if buckets["middle"] and buckets["tail"]:
             assert min(buckets["middle"]) >= max(buckets["tail"])
+
+
+def test_hard_negatives_only_cross_label(spark):
+    from sift_spark.operators.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, [0.8, 0.2], 1),
+            (4, [0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = hard_negatives(emb, k=2, n_blocks=2).collect()
+    lab = {1: 0, 2: 0, 3: 1, 4: 1}
+    for r in rows:
+        assert lab[r["vec_id"]] != lab[r["neighbor_id"]]
+    # vec 1's hardest negative is 3 (closest different-label vector)
+    top1 = {r["vec_id"]: r["neighbor_id"] for r in rows if r["rank"] == 1}
+    assert top1[1] == 3 and top1[2] == 3
+    # ranks are contiguous per vector
+    from collections import defaultdict
+    got = defaultdict(list)
+    for r in rows:
+        got[r["vec_id"]].append(r["rank"])
+    for v, ranks in got.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
