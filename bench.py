@@ -190,6 +190,7 @@ def main() -> None:
         "customer_profile",
         "ccnet_buckets",
         "hard_negatives",
+        "cluster_balanced_sample",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

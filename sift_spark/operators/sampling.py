@@ -276,3 +276,31 @@ def temperature_sample(docs: DataFrame, alpha: float = 0.3,
         .where(hb < F.round(F.col("rate") * 1_000_000))
         .select(key_col, source_col)
     )
+
+
+def cluster_balanced_sample(emb: DataFrame, cap: int = 30, n_iter: int = 2,
+                            salt: str = "cbal") -> DataFrame:
+    """Diversity-aware corpus sampling: spread a selection budget
+    across the embedding space by keeping at most ``cap`` vectors per
+    k-means cluster, chosen by deterministic hash order (the
+    cluster-balanced curation step used to de-bias dominant modes —
+    the semantic analog of :func:`source_quota_sample`'s domain mix).
+    Output (vec_id, cluster), membership stable across runs and
+    cluster layouts.
+
+    Shape: the deterministic k-means assignment (map-side GEMM per
+    round + one keyed mean shuffle) followed by ONE cluster-keyed
+    row_number window. At 100 TB size k so N/k·row is window-safe, or
+    pre-filter with a hash threshold like source_quota_sample."""
+    from pyspark.sql import Window
+
+    from sift_spark.operators.similarity import kmeans_clusters
+
+    a = kmeans_clusters(emb, n_iter=n_iter)
+    h = hash64(F.concat(F.lit(salt + ":"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("cluster").orderBy(h.asc(), F.col("vec_id").asc())
+    return (
+        a.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= cap)
+        .select("vec_id", "cluster")
+    )

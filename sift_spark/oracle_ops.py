@@ -1226,3 +1226,12 @@ r AS (
 )
 SELECT vec_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
 """
+
+ORACLE_OPS["cluster_balanced_sample"] = f"""{_kmeans_ctes(2)}
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster
+           ORDER BY {_h64("concat('cbal:', cast(vec_id as varchar))")} ASC, vec_id ASC) AS rk
+  FROM a2)
+WHERE rk <= 30
+"""

@@ -1035,6 +1035,12 @@ def q_customer_profile(spark, sf_dir):
 # link/text/TPC-H queries, so the LLM-pipeline / dedup / ANN / r2 operators
 # (never driver-sampled) now register first; the already-driver-green 50
 # register last. Every ordering still passes the full local parity suite.
+def q_cluster_balanced_sample(spark, sf_dir):
+    from sift_spark.operators.sampling import cluster_balanced_sample
+
+    return cluster_balanced_sample(_emb(spark, sf_dir))
+
+
 def q_hard_negatives(spark, sf_dir):
     from sift_spark.operators.similarity import hard_negatives
 
@@ -1050,6 +1056,7 @@ def q_ccnet_buckets(spark, sf_dir):
 QUERIES: dict[str, QueryFn] = {
     "ccnet_buckets": q_ccnet_buckets,
     "hard_negatives": q_hard_negatives,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,

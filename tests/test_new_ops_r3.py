@@ -499,3 +499,25 @@ def test_hard_negatives_only_cross_label(spark):
         got[r["vec_id"]].append(r["rank"])
     for v, ranks in got.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_cluster_balanced_sample_caps_and_stability(spark):
+    from sift_spark.io import table
+    from sift_spark.operators.sampling import cluster_balanced_sample
+    from sift_spark.operators.similarity import kmeans_clusters
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    cap = 5
+    kept = cluster_balanced_sample(emb, cap=cap).collect()
+    from collections import Counter
+    per = Counter(r["cluster"] for r in kept)
+    assert all(v <= cap for v in per.values())
+    # clusters with >= cap members are filled to exactly cap
+    sizes = Counter(r["cluster"] for r in kmeans_clusters(emb).collect())
+    for c, n in sizes.items():
+        assert per.get(c, 0) == min(n, cap)
+    # membership is layout-invariant: same rows on a different partitioning
+    kept2 = cluster_balanced_sample(emb.repartition(7), cap=cap).collect()
+    assert sorted((r["vec_id"], r["cluster"]) for r in kept) == sorted(
+        (r["vec_id"], r["cluster"]) for r in kept2
+    )
