@@ -191,6 +191,7 @@ def main() -> None:
         "ccnet_buckets",
         "hard_negatives",
         "cluster_balanced_sample",
+        "quality_classifier",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

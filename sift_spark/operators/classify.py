@@ -1,0 +1,197 @@
+"""Distributed linear-classifier training for corpus curation.
+
+The quality-classifier step of an LLM data pipeline (the GPT-3/CCNet
+"looks like the reference corpus" filter): logistic regression over
+per-document quality features — here distilling the rule-based
+``quality_score`` filter into a model (label = score at/above the
+corpus median), which doubles as a strong correctness check: training
+must recover the generating rule's weights (≈ C·[−θ, +1, +1, −1] for
+bias/length/distinct/stopword), and it does (tested).
+
+Trained with IRLS / Newton steps (5-8 iterations to convergence vs
+thousands for plain GD). Distribution shape per iteration: the
+sigmoid residual is ROW-WISE over the per-doc feature table (weights
+ride along as literals — no join, no shuffle), then ONE global
+aggregate returns the d-vector gradient and d×d Hessian partials as a
+single 14-column row; the 4×4 Newton solve runs on the driver — the
+same partial-aggregate-to-driver pattern MLlib's LogisticRegression
+uses. Only O(d²) scalars ever reach the driver.
+
+Cross-engine determinism (the DuckDB oracle hash-matches): per-row
+gradient/Hessian contributions are quantized to 15dp and summed as
+DECIMALs — exact, order-independent arithmetic, so the partials are
+bit-identical on any partitioning and across engines (plain float
+sums are not: near convergence the Hessian is ridge-dominated and
+H⁻¹ amplifies a single 1e-9 rounding flip by 1/RIDGE — measured
+3e-5 weight drift vs a numpy twin before the decimal fix). The
+Cramer's-rule solve is generated ONCE as an arithmetic formula string
+evaluated verbatim by both Python (driver) and SQL (oracle) — same
+operation order, bit-identical deltas, rounded to 9dp.
+
+No counterpart in the reference (predates the operator class); the
+trained model serves `filtered_corpus`-style pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sift_spark.functions.core import STOPWORDS, tokens
+
+# feature names in weight order; x0 is the bias
+FEATURES = ("bias", "len_capped", "distinct_ratio", "stopword_ratio")
+D = len(FEATURES)
+# with exact decimal partials the residual cross-engine diff is
+# ~1e-17 (libm exp ULPs), so H⁻¹'s 1/RIDGE amplification stays far
+# below the 6dp output resolution (see determinism note above)
+RIDGE = 1e-4
+
+
+def _det3(m: list[list[str]]) -> str:
+    return (
+        f"{m[0][0]}*({m[1][1]}*{m[2][2]} - {m[1][2]}*{m[2][1]})"
+        f" - {m[0][1]}*({m[1][0]}*{m[2][2]} - {m[1][2]}*{m[2][0]})"
+        f" + {m[0][2]}*({m[1][0]}*{m[2][1]} - {m[1][1]}*{m[2][0]})"
+    )
+
+
+def _det4(m: list[list[str]]) -> str:
+    terms = []
+    for j in range(4):
+        minor = [[m[r][c] for c in range(4) if c != j] for r in range(1, 4)]
+        sign = "" if j % 2 == 0 else "-"
+        terms.append(f"{sign}{m[0][j]}*({_det3(minor)})")
+    return " + ".join(terms)
+
+
+def _h_sym(r: int, c: int) -> str:
+    # the aggregate only materializes the upper triangle
+    return f"h{min(r, c)}{max(r, c)}"
+
+
+def newton_delta_formulas() -> list[str]:
+    """Cramer's-rule solve H·delta = g as D formula strings over the
+    symbols h00..h33 (upper triangle) and g0..g3. The SAME strings are
+    eval'd on the driver and pasted into the oracle SQL, so both
+    engines perform the identical float operations in the identical
+    order."""
+    H = [[_h_sym(r, c) for c in range(D)] for r in range(D)]
+    det = f"({_det4(H)})"
+    out = []
+    for j in range(D):
+        M = [[(f"g{r}" if c == j else H[r][c]) for c in range(D)] for r in range(D)]
+        out.append(f"({_det4(M)}) / {det}")
+    return out
+
+
+_DELTAS = newton_delta_formulas()
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Per-doc engineered features, all O(1)-scaled:
+    (doc_id, x0..x3, y) with x0 = 1 (bias), x1 = min(n_tokens,200)/200,
+    x2 = distinct_ratio, x3 = stopword_ratio, and the training label
+    y = 1 iff the composite quality score is at or above the corpus
+    median. One token explode + one doc-keyed aggregate; the median is
+    a 1-row broadcast."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    feats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.count_distinct(F.col("tok")) / F.count(F.lit(1)), 6).alias("dr"),
+        F.round(
+            F.avg(F.when(F.col("tok").isin(*STOPWORDS), 1.0).otherwise(0.0)), 6
+        ).alias("sr"),
+    ).withColumn(
+        "score",
+        F.round(
+            F.col("dr") - F.col("sr") + F.least(F.col("n_tokens"), F.lit(200)) / 200.0,
+            6,
+        ),
+    )
+    med = feats.agg(F.expr("percentile(score, 0.5)").alias("med"))
+    return (
+        feats.crossJoin(F.broadcast(med))
+        .select(
+            "doc_id",
+            F.lit(1.0).alias("x0"),
+            (F.least(F.col("n_tokens"), F.lit(200)) / 200.0).alias("x1"),
+            F.col("dr").alias("x2"),
+            F.col("sr").alias("x3"),
+            (F.col("score") >= F.col("med")).cast("double").alias("y"),
+        )
+    )
+
+
+def logreg_train(docs: DataFrame, n_iter: int = 6) -> list[float]:
+    """IRLS on :func:`quality_features`; returns the D weight list.
+    Each iteration: one pass over the persisted feature table → a
+    single 14-column aggregate row (gradient + Hessian upper
+    triangle, 9dp-rounded), then the driver-side 4×4 Cramer solve."""
+    feat = quality_features(docs).persist()
+    n_docs = feat.count()
+    w = [0.0] * D
+    xs = [f"x{j}" for j in range(D)]
+    try:
+        for _ in range(n_iter):
+            margin = sum(F.col(x) * F.lit(w[j]) for j, x in enumerate(xs))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            pr = feat.withColumn("p", p)
+
+            def dsum(e):
+                # EXACT sum: per-row contributions quantized to 15dp
+                # decimals, summed with decimal (order-independent)
+                # arithmetic — identical on any partitioning and in
+                # the DuckDB twin
+                return F.sum(F.round(e, 15).cast("decimal(20,15)")).cast("double")
+
+            aggs = [
+                F.round(dsum(F.col(x) * (F.col("p") - F.col("y"))) / n_docs, 9).alias(f"g{j}")
+                for j, x in enumerate(xs)
+            ]
+            for r in range(D):
+                for c in range(r, D):
+                    aggs.append(
+                        F.round(
+                            dsum(
+                                F.col(xs[r]) * F.col(xs[c]) * F.col("p") * (1 - F.col("p"))
+                            )
+                            / n_docs,
+                            9,
+                        ).alias(f"h{r}{c}")
+                    )
+            row = pr.agg(*aggs).collect()[0]
+            env = {k: float(v) for k, v in row.asDict().items()}
+            for j in range(D):
+                env[f"h{j}{j}"] += RIDGE
+            for j in range(D):
+                d = eval(_DELTAS[j], {"__builtins__": {}}, env)  # noqa: S307 — generated arithmetic, shared verbatim with the SQL oracle
+                w[j] -= round(d, 9)
+    finally:
+        feat.unpersist()
+    return w
+
+
+def quality_classifier(docs: DataFrame, n_iter: int = 6) -> DataFrame:
+    """The trained classifier as a table: (j, feature, w) — the
+    artifact a pipeline persists and applies map-side
+    (:func:`classifier_scores`)."""
+    spark = docs.sparkSession
+    w = logreg_train(docs, n_iter=n_iter)
+    return spark.createDataFrame(
+        [(j, FEATURES[j], round(v, 6)) for j, v in enumerate(w)],
+        "j int, feature string, w double",
+    )
+
+
+def classifier_scores(docs: DataFrame, w: list[float]) -> DataFrame:
+    """Apply trained weights: (doc_id, p, y). Row-wise over the
+    feature table — the weights ride in the plan as literals; no
+    shuffle beyond the one feature aggregate."""
+    feat = quality_features(docs)
+    margin = sum(F.col(f"x{j}") * F.lit(float(w[j])) for j in range(D))
+    return feat.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6).alias("p"),
+        "y",
+    )

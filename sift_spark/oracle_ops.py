@@ -1235,3 +1235,85 @@ SELECT vec_id, cluster FROM (
   FROM a2)
 WHERE rk <= 30
 """
+
+
+
+def _logreg_oracle(n_iter: int = 6) -> str:
+    """Unrolled IRLS twin of operators/classify.py: per round one
+    row-wise sigmoid CTE, one 14-column gradient/Hessian aggregate
+    (9dp-rounded, ridge on the diagonal), and the 4×4 Cramer solve
+    pasted VERBATIM from the same formula strings the Spark driver
+    evals — identical float-operation order, bit-identical deltas.
+    Every round CTE is MATERIALIZED so the w{i-1}-referenced-twice
+    recursion can't inline exponentially (the SKILL's CTE gotcha)."""
+    from sift_spark.operators.classify import D, RIDGE, newton_delta_formulas
+
+    deltas = newton_delta_formulas()
+    xs = [f"x{j}" for j in range(D)]
+    margin = " + ".join(f"{x}*w.w{j}" for j, x in enumerate(xs))
+    parts = [
+        f"""{TOKCTE},
+qf AS MATERIALIZED (
+  SELECT doc_id, n_tokens, dr, sr,
+         round(dr - sr + least(n_tokens, 200) / 200.0, 6) AS score
+  FROM (SELECT doc_id, count(*) AS n_tokens,
+               round(count(DISTINCT anchor) * 1.0 / count(*), 6) AS dr,
+               round(avg(CASE WHEN anchor IN ({_stop_in}) THEN 1.0 ELSE 0.0 END), 6) AS sr
+        FROM tok GROUP BY doc_id)
+),
+feat AS MATERIALIZED (
+  SELECT doc_id, 1.0 AS x0, least(n_tokens, 200) / 200.0 AS x1, dr AS x2, sr AS x3,
+         CASE WHEN score >= (SELECT quantile_cont(score, 0.5) FROM qf)
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM qf
+)""",
+        "nn AS (SELECT count(*) AS n FROM feat)",
+        "w0(" + ", ".join(f"w{j}" for j in range(D)) + ") AS MATERIALIZED (SELECT "
+        + ", ".join(["0.0"] * D) + ")",
+    ]
+    for i in range(1, n_iter + 1):
+        def _dsum(expr: str) -> str:
+            # exact decimal sum of 15dp-quantized contributions —
+            # order-independent, matches the Spark side bit-for-bit
+            return (
+                f"CAST(sum(CAST(round({expr}, 15) AS DECIMAL(20,15))) AS DOUBLE)"
+            )
+
+        g_cols = ",\n         ".join(
+            f"round({_dsum(f'{x} * (p - y)')} / (SELECT n FROM nn), 9) AS g{j}"
+            for j, x in enumerate(xs)
+        )
+        h_cols = ",\n         ".join(
+            f"round({_dsum(f'{xs[r]} * {xs[c]} * p * (1 - p)')} / (SELECT n FROM nn), 9)"
+            + (f" + {RIDGE}" if r == c else "") + f" AS h{r}{c}"
+            for r in range(D) for c in range(r, D)
+        )
+        d_cols = ",\n         ".join(
+            f"round({deltas[j]}, 9) AS d{j}" for j in range(D)
+        )
+        w_cols = ", ".join(f"w.w{j} - d.d{j} AS w{j}" for j in range(D))
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT f.*, 1.0 / (1.0 + exp(-({margin}))) AS p
+  FROM feat f CROSS JOIN w{i - 1} w
+),
+a{i} AS MATERIALIZED (
+  SELECT {g_cols},
+         {h_cols}
+  FROM p{i}
+),
+d{i} AS MATERIALIZED (
+  SELECT {d_cols} FROM a{i}
+),
+w{i} AS MATERIALIZED (
+  SELECT {w_cols} FROM w{i - 1} w CROSS JOIN d{i} d
+)""")
+    joined = ",\n".join(parts)
+    names = ("bias", "len_capped", "distinct_ratio", "stopword_ratio")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {j} AS j, '{names[j]}' AS feature, round(w{j}, 6) AS w FROM w{n_iter}"
+        for j in range(D)
+    )
+    return f"WITH {joined}\n{sel}\n"
+
+
+ORACLE_OPS["quality_classifier"] = _logreg_oracle()

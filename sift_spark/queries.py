@@ -1035,6 +1035,12 @@ def q_customer_profile(spark, sf_dir):
 # link/text/TPC-H queries, so the LLM-pipeline / dedup / ANN / r2 operators
 # (never driver-sampled) now register first; the already-driver-green 50
 # register last. Every ordering still passes the full local parity suite.
+def q_quality_classifier(spark, sf_dir):
+    from sift_spark.operators.classify import quality_classifier
+
+    return quality_classifier(_docs(spark, sf_dir))
+
+
 def q_cluster_balanced_sample(spark, sf_dir):
     from sift_spark.operators.sampling import cluster_balanced_sample
 
@@ -1057,6 +1063,7 @@ QUERIES: dict[str, QueryFn] = {
     "ccnet_buckets": q_ccnet_buckets,
     "hard_negatives": q_hard_negatives,
     "cluster_balanced_sample": q_cluster_balanced_sample,
+    "quality_classifier": q_quality_classifier,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,
