@@ -192,6 +192,7 @@ def main() -> None:
         "hard_negatives",
         "cluster_balanced_sample",
         "quality_classifier",
+        "snapshot_delta",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -95,3 +95,34 @@ def scd2_merge(history: DataFrame, updates: DataFrame, key_cols: list[str],
         touched, key_cols, "left_semi"
     )
     return untouched_hist.unionByName(closed_hist).unionByName(versions)
+
+
+def snapshot_delta(old: DataFrame, new: DataFrame, key_col: str = "doc_id",
+                   content_cols: tuple[str, ...] = ("text",)) -> DataFrame:
+    """Row-level diff between two corpus versions (the audit a
+    pipeline publishes before promoting a new crawl/dump snapshot):
+    (key, change) with change in added / deleted / updated / unchanged,
+    compared by md5 over the content columns - so the diff costs one
+    key-equi full-outer join of (key, hash) projections, never a
+    content-column shuffle. At 100 TB both sides hash map-side to
+    16-byte digests before the join; with both snapshots bucketed on
+    the key the join is shuffle-free."""
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(key_col),
+            F.md5(F.concat_ws("", *content_cols)).alias(alias),
+        )
+
+    o = hashed(old, "h_old")
+    n = hashed(new, "h_new")
+    return (
+        o.join(n, key_col, "full_outer")
+        .select(
+            key_col,
+            F.when(F.col("h_old").isNull(), F.lit("added"))
+            .when(F.col("h_new").isNull(), F.lit("deleted"))
+            .when(F.col("h_old") != F.col("h_new"), F.lit("updated"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change"),
+        )
+    )

@@ -1317,3 +1317,21 @@ w{i} AS MATERIALIZED (
 
 
 ORACLE_OPS["quality_classifier"] = _logreg_oracle()
+
+
+ORACLE_OPS["snapshot_delta"] = """
+WITH v2 AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+),
+o AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+n AS (SELECT doc_id, md5(text) AS h_new FROM v2)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'deleted'
+       WHEN o.h_old != n.h_new THEN 'updated'
+       ELSE 'unchanged' END AS change
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""

@@ -1035,6 +1035,27 @@ def q_customer_profile(spark, sf_dir):
 # link/text/TPC-H queries, so the LLM-pipeline / dedup / ANN / r2 operators
 # (never driver-sampled) now register first; the already-driver-green 50
 # register last. Every ordering still passes the full local parity suite.
+def q_snapshot_delta(spark, sf_dir):
+    from sift_spark.operators.incremental import snapshot_delta
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    v2 = (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_delta(docs, v2)
+
+
 def q_quality_classifier(spark, sf_dir):
     from sift_spark.operators.classify import quality_classifier
 
@@ -1064,6 +1085,7 @@ QUERIES: dict[str, QueryFn] = {
     "hard_negatives": q_hard_negatives,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "quality_classifier": q_quality_classifier,
+    "snapshot_delta": q_snapshot_delta,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,

@@ -99,3 +99,16 @@ def test_scd2_merge_semantics(spark):
     # replaying the same batch is a no-op
     again = scd2_merge(out, updates, ["k"], ["plan"])
     assert {(r.k, r.plan, r.valid_from): r.valid_to for r in again.collect()} == rows
+
+
+def test_snapshot_delta_classifies_all_change_kinds(spark):
+    from sift_spark.operators.incremental import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["change"] for r in snapshot_delta(old, new).collect()}
+    assert got == {1: "unchanged", 2: "updated", 3: "deleted", 4: "added"}
