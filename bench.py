@@ -193,6 +193,7 @@ def main() -> None:
         "cluster_balanced_sample",
         "quality_classifier",
         "snapshot_delta",
+        "term_drift",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -126,3 +126,53 @@ def snapshot_delta(old: DataFrame, new: DataFrame, key_col: str = "doc_id",
             .alias("change"),
         )
     )
+
+
+def term_drift(old: DataFrame, new: DataFrame, min_total: int = 5) -> DataFrame:
+    """Vocabulary drift between two corpus versions — the text analog
+    of profile_drift: per term, counts and per-million rates in each
+    snapshot plus the Laplace-smoothed log rate ratio (positive =
+    growing). Terms with combined count < ``min_total`` are dropped
+    (noise floor). Output (term, c_old, c_new, rate_old, rate_new,
+    log_ratio).
+
+    Shape: one tf aggregate per snapshot (map-side combined), a
+    term-keyed full-outer join of the two count tables (vocab-sized,
+    far below corpus), and 1-row totals broadcast via crossJoin."""
+    from sift_spark.models.text import with_tokens
+
+    def tf(docs: DataFrame, alias: str) -> DataFrame:
+        return (
+            with_tokens(docs)
+            .select(F.explode("toks").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    o, n = tf(old, "c_old"), tf(new, "c_new")
+    tot = (
+        o.agg(F.sum("c_old").alias("t_old"))
+        .crossJoin(n.agg(F.sum("c_new").alias("t_new")))
+    )
+    return (
+        o.join(n, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("c_old", F.lit(0)).alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+        .where(F.col("c_old") + F.col("c_new") >= min_total)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "c_old",
+            "c_new",
+            F.round(F.col("c_old") * 1e6 / F.col("t_old"), 6).alias("rate_old"),
+            F.round(F.col("c_new") * 1e6 / F.col("t_new"), 6).alias("rate_new"),
+            F.round(
+                F.log((F.col("c_new") + 1) / (F.col("t_new") + 1))
+                - F.log((F.col("c_old") + 1) / (F.col("t_old") + 1)),
+                6,
+            ).alias("log_ratio"),
+        )
+    )

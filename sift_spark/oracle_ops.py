@@ -1335,3 +1335,29 @@ SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        ELSE 'unchanged' END AS change
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
+
+
+ORACLE_OPS["term_drift"] = """
+WITH v2 AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+),
+o AS (SELECT tok AS term, count(*) AS c_old
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1),
+n AS (SELECT tok AS term, count(*) AS c_new
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM v2) GROUP BY 1),
+tot AS (SELECT (SELECT sum(c_old) FROM o) AS t_old, (SELECT sum(c_new) FROM n) AS t_new),
+j AS (
+  SELECT coalesce(o.term, n.term) AS term,
+         coalesce(o.c_old, 0) AS c_old, coalesce(n.c_new, 0) AS c_new
+  FROM o FULL OUTER JOIN n ON o.term = n.term
+)
+SELECT term, c_old, c_new,
+       round(c_old * 1e6 / t_old, 6) AS rate_old,
+       round(c_new * 1e6 / t_new, 6) AS rate_new,
+       round(ln((c_new + 1) * 1.0 / (t_new + 1)) - ln((c_old + 1) * 1.0 / (t_old + 1)), 6) AS log_ratio
+FROM j, tot
+WHERE c_old + c_new >= 5
+"""

@@ -1039,7 +1039,15 @@ def q_snapshot_delta(spark, sf_dir):
     from sift_spark.operators.incremental import snapshot_delta
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    v2 = (
+    return snapshot_delta(docs, _docs_v2(docs))
+
+
+def _docs_v2(docs):
+    """Deterministic second corpus snapshot shared by the versioning
+    queries (snapshot_delta, term_drift): drop doc_id % 13 == 0,
+    append ' v2' to text when doc_id % 7 == 0, add doc_id % 17 == 0
+    back under shifted ids."""
+    return (
         docs.where(F.col("doc_id") % 13 != 0)
         .withColumn(
             "text",
@@ -1053,7 +1061,13 @@ def q_snapshot_delta(spark, sf_dir):
             )
         )
     )
-    return snapshot_delta(docs, v2)
+
+
+def q_term_drift(spark, sf_dir):
+    from sift_spark.operators.incremental import term_drift
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return term_drift(docs, _docs_v2(docs))
 
 
 def q_quality_classifier(spark, sf_dir):
@@ -1086,6 +1100,7 @@ QUERIES: dict[str, QueryFn] = {
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "quality_classifier": q_quality_classifier,
     "snapshot_delta": q_snapshot_delta,
+    "term_drift": q_term_drift,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,

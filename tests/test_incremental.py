@@ -112,3 +112,24 @@ def test_snapshot_delta_classifies_all_change_kinds(spark):
     )
     got = {r["doc_id"]: r["change"] for r in snapshot_delta(old, new).collect()}
     assert got == {1: "unchanged", 2: "updated", 3: "deleted", 4: "added"}
+
+
+def test_term_drift_direction_and_noise_floor(spark):
+    from sift_spark.operators.incremental import term_drift
+
+    old = spark.createDataFrame(
+        [(1, "alpha alpha alpha beta"), (2, "alpha beta beta gamma")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha beta beta beta"), (2, "beta beta delta delta delta")],
+        "doc_id long, text string",
+    )
+    rows = {r["term"]: r for r in term_drift(old, new, min_total=3).collect()}
+    # gamma (1+0) and alpha-drop side terms below the floor are pruned
+    assert "gamma" not in rows
+    assert rows["alpha"]["log_ratio"] < 0      # 4 -> 1
+    assert rows["beta"]["log_ratio"] > 0       # 3 -> 5
+    assert rows["delta"]["c_old"] == 0 and rows["delta"]["log_ratio"] > 0
+    assert rows["beta"]["rate_old"] == round(3 * 1e6 / 8, 6)
+    assert rows["beta"]["rate_new"] == round(5 * 1e6 / 9, 6)
