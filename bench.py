@@ -194,6 +194,7 @@ def main() -> None:
         "quality_classifier",
         "snapshot_delta",
         "term_drift",
+        "unigram_train",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

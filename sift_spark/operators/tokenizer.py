@@ -1,0 +1,215 @@
+"""Unigram-LM tokenizer training (SentencePiece's unigram model,
+Kudo 2018), hard-EM variant — completes the tokenizer family next to
+``bpe_train``/``bpe_encode`` (text_analysis.py).
+
+Distribution shape (the same argument as every deployed trainer):
+the corpus-sized work is ONE distributed word-frequency aggregate and
+ONE distributed substring-seed aggregate; after that, EM iterates over
+the DISTINCT-WORD table (sublinear in corpus size) with the piece
+inventory riding along broadcast (bounded by vocab_size). Each E-step
+is an Arrow-batched mapInPandas Viterbi over distinct words emitting
+integer piece counts weighted by word tf; each M-step is one
+piece-keyed integer aggregate (exact — no float summation anywhere in
+the distributed part, so results are bit-stable on any partitioning).
+Only the piece table (vocab_size rows) ever reaches the driver.
+
+Determinism: Viterbi ties break toward the smallest split point
+(= longest final piece); hard-EM counts are integers; pruning orders
+by (count desc, piece asc); single characters are never pruned
+(coverage guarantee). A pure-Python reference implementation must
+reproduce the trained table exactly (tested).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_frequencies(docs: DataFrame) -> DataFrame:
+    """(word, tf) — the one corpus-sized aggregate."""
+    from sift_spark.models.text import with_tokens
+
+    return (
+        with_tokens(docs)
+        .select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _substring_counts(words: DataFrame, max_piece_len: int) -> DataFrame:
+    """(piece, count): tf-weighted occurrences of every substring of
+    length 1..L across distinct words — map-side explode, one integer
+    aggregate."""
+    w = F.col("word")
+    subs = words.select(
+        "tf",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.least(F.length(w), F.lit(max_piece_len))),
+                    lambda ln: F.transform(
+                        F.sequence(F.lit(1), F.length(w) - ln + 1),
+                        lambda i: w.substr(i, ln),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    return subs.groupBy("piece").agg(F.sum("tf").alias("count"))
+
+
+def seed_pieces(words: DataFrame, max_piece_len: int = 5,
+                seed_size: int = 400) -> dict[str, int]:
+    """Candidate inventory: top ``seed_size`` substrings by
+    (count desc, piece asc) UNION all single characters (coverage).
+    Only the top slice is collected (TakeOrdered-sized transfer)."""
+    sc = _substring_counts(words, max_piece_len).persist()
+    try:
+        top = (
+            sc.orderBy(F.col("count").desc(), F.col("piece").asc())
+            .limit(seed_size)
+            .collect()
+        )
+        chars = sc.where(F.length("piece") == 1).collect()
+    finally:
+        sc.unpersist()
+    inv = {r["piece"]: r["count"] for r in top}
+    for r in chars:
+        inv.setdefault(r["piece"], r["count"])
+    return inv
+
+
+def _viterbi(word: str, logp: dict[str, float], max_len: int) -> list[str]:
+    """1-best segmentation; ties prefer the smallest split point
+    (longest last piece). Unknown single chars get a floor score so
+    segmentation never fails."""
+    n = len(word)
+    NEG = -1e18
+    best = [NEG] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        lo = max(0, i - max_len)
+        for j in range(lo, i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j == 1:
+                    lp = -100.0  # unk-char floor
+                else:
+                    continue
+            s = best[j] + lp
+            if s > best[i]:
+                best[i] = s
+                back[i] = j
+    out = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def _logprobs(counts: dict[str, int]) -> dict[str, float]:
+    total = sum(counts.values())
+    return {p: math.log(c / total) for p, c in counts.items() if c > 0}
+
+
+def _estep_counts(words: DataFrame, logp: dict[str, float],
+                  max_piece_len: int) -> list[tuple[str, int]]:
+    """Distributed hard E-step: Viterbi-segment every distinct word
+    (Arrow batches; the piece table rides in the task closure), emit
+    integer (piece, count·tf) rows, aggregate piece-keyed, collect
+    the vocab-bounded result."""
+    import pandas as pd
+
+    def seg(it):
+        for pdf in it:
+            out: dict[str, int] = {}
+            for word, tf in zip(pdf["word"], pdf["tf"]):
+                for piece in _viterbi(word, logp, max_piece_len):
+                    out[piece] = out.get(piece, 0) + int(tf)
+            yield pd.DataFrame(
+                {"piece": list(out.keys()), "c": list(out.values())}
+            )
+
+    agg = (
+        words.mapInPandas(seg, "piece string, c long")
+        .groupBy("piece")
+        .agg(F.sum("c").alias("count"))
+        .collect()
+    )
+    return [(r["piece"], r["count"]) for r in agg]
+
+
+def unigram_train_counts(docs: DataFrame, vocab_size: int = 120,
+                         n_iter: int = 3, max_piece_len: int = 5,
+                         seed_size: int = 400) -> list[tuple[str, int]]:
+    """Run the EM loop; returns the final (piece, count) list in
+    canonical (count desc, piece asc) order."""
+    words = word_frequencies(docs).persist()
+    try:
+        counts = seed_pieces(words, max_piece_len, seed_size)
+        for _ in range(n_iter):
+            logp = _logprobs(counts)
+            observed = dict(_estep_counts(words, logp, max_piece_len))
+            # prune to vocab_size by observed count, keeping all
+            # single chars (coverage) even at zero count
+            multi = sorted(
+                ((p, c) for p, c in observed.items() if len(p) > 1),
+                key=lambda pc: (-pc[1], pc[0]),
+            )
+            chars = {p: observed.get(p, 0) for p in counts if len(p) == 1}
+            budget = max(vocab_size - len(chars), 0)
+            counts = dict(multi[:budget])
+            counts.update(chars)
+    finally:
+        words.unpersist()
+    return sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))
+
+
+def unigram_train(docs: DataFrame, vocab_size: int = 120, n_iter: int = 3,
+                  max_piece_len: int = 5, seed_size: int = 400) -> DataFrame:
+    """The trained model as a table: (piece, count, logprob) with
+    ln(count/total) rounded to 6dp (zero-count coverage chars carry
+    NULL logprob)."""
+    spark = docs.sparkSession
+    counts = unigram_train_counts(docs, vocab_size, n_iter, max_piece_len, seed_size)
+    total = sum(c for _, c in counts)
+    rows = [
+        (p, c, round(math.log(c / total), 6) if c > 0 else None)
+        for p, c in counts
+    ]
+    return spark.createDataFrame(rows, "piece string, count long, logprob double")
+
+
+def unigram_encode(docs: DataFrame, model: list[tuple[str, int]],
+                   max_piece_len: int = 5) -> DataFrame:
+    """Apply a trained inventory: (doc_id, pieces array<string>) —
+    the whole corpus segmented map-side (the model rides in the task
+    closure, exactly how a deployed tokenizer ships)."""
+    import pandas as pd
+
+    from sift_spark.models.text import with_tokens
+
+    logp = _logprobs(dict(model))
+
+    def enc(it):
+        for pdf in it:
+            out = []
+            for toks in pdf["toks"]:
+                pieces: list[str] = []
+                for word in toks:
+                    pieces.extend(_viterbi(word, logp, max_piece_len))
+                out.append(pieces)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pieces": out})
+
+    return with_tokens(docs).select("doc_id", "toks").mapInPandas(
+        enc, "doc_id long, pieces array<string>"
+    )

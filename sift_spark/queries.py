@@ -1070,6 +1070,13 @@ def q_term_drift(spark, sf_dir):
     return term_drift(docs, _docs_v2(docs))
 
 
+
+def q_unigram_train(spark, sf_dir):
+    from sift_spark.operators.tokenizer import unigram_train
+
+    return unigram_train(_docs(spark, sf_dir))
+
+
 def q_quality_classifier(spark, sf_dir):
     from sift_spark.operators.classify import quality_classifier
 
@@ -1101,6 +1108,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_classifier": q_quality_classifier,
     "snapshot_delta": q_snapshot_delta,
     "term_drift": q_term_drift,
+    "unigram_train": q_unigram_train,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,

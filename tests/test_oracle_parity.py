@@ -52,6 +52,9 @@ def test_all_queries_have_oracle_or_are_declared():
         # d×d eigendecomposition — not SQL-expressible; verified vs a
         # full-data numpy PCA in test_new_ops_r3
         "embedding_pca",
+        # hard-EM unigram tokenizer: verified exactly vs a pure-Python
+        # reference in test_tokenizer
+        "unigram_train",
     }
     missing = set(QUERIES) - set(ORACLE) - declared_rows_only
     assert not missing, f"queries missing oracle twins: {missing}"
