@@ -26,6 +26,9 @@ BNLJ_OK = {
     "knn_label_propagation",
     "dedup_embedding",
     "similar_docs",
+    # same block-replication layout, with the different-label filter
+    # and per-tile top-k inside the GEMM kernel
+    "hard_negatives",
 }
 
 # ArrowEvalPython = vectorized pandas_udf (the sanctioned Python
