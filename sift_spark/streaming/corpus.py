@@ -132,3 +132,38 @@ def stream_corpus_dedup(docs_stream: DataFrame, index_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_classifier_route(docs_stream: DataFrame, weights: list[float],
+                            accept_path: str, reject_path: str,
+                            threshold: float = 0.5,
+                            query_name: str = "classifier_route"):
+    """Model serving on the ingest stream: score each micro-batch of
+    documents with a batch-trained quality classifier
+    (operators/classify.py) and route rows to accept/reject parquet
+    sinks — the standard train-offline/serve-online split. The weight
+    vector rides in the plan as literals (no join, no state); the
+    only shuffle per batch is the classifier's one feature aggregate.
+
+    Replay-idempotent: per-batch ``batch_id=<id>`` overwrite
+    directories, same contract as stream_corpus_dedup.
+    """
+    from sift_spark.operators.classify import classifier_scores
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        scored = classifier_scores(batch_df, weights).join(
+            batch_df.select("doc_id", "text"), "doc_id"
+        )
+        scored.where(F.col("p") >= threshold).write.mode("overwrite").parquet(
+            f"{accept_path}/batch_id={batch_id}"
+        )
+        scored.where(F.col("p") < threshold).write.mode("overwrite").parquet(
+            f"{reject_path}/batch_id={batch_id}"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -229,3 +229,49 @@ def test_socket_stream_parse_contract_via_text_source(spark, tmp_path):
     )
     got = {r.user_id: r["count"] for r in out.collect()}
     assert got == {0: 4, 1: 3, 2: 3}
+
+
+def test_stream_classifier_route_equals_batch_scoring(spark, tmp_path):
+    """Train offline, serve on the stream: routed accept/reject sets
+    over two micro-batches equal the batch classifier's split of each
+    half (scores are batch-relative only through the label column,
+    which routing ignores)."""
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.classify import classifier_scores, logreg_train
+    from sift_spark.streaming.corpus import stream_classifier_route
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    w = logreg_train(docs)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    half_a.coalesce(1).write.parquet(str(src / "batch_a.parquet"))
+    half_b.coalesce(1).write.parquet(str(src / "batch_b.parquet"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    q = stream_classifier_route(
+        stream, w, str(tmp_path / "accept"), str(tmp_path / "reject")
+    )
+    q.awaitTermination()
+
+    accept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "accept")).collect()}
+    reject = {r.doc_id for r in spark.read.parquet(str(tmp_path / "reject")).collect()}
+    assert accept | reject == {r.doc_id for r in docs.collect()}
+    assert accept.isdisjoint(reject)
+    want_accept = set()
+    for half in (half_a, half_b):
+        want_accept |= {
+            r.doc_id
+            for r in classifier_scores(half, w).collect()
+            if r.p >= 0.5
+        }
+    assert accept == want_accept
+    assert accept and reject, "both routes should be exercised"
