@@ -1028,3 +1028,49 @@ def hard_negatives(emb: DataFrame, k: int = 5, n_blocks: int = 8) -> DataFrame:
         pairs.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def label_spread(emb: DataFrame, k: int = 5, n_rounds: int = 2,
+                 n_blocks: int = 8) -> DataFrame:
+    """Multi-round label propagation over the exact kNN graph (Zhu &
+    Ghahramani 2002, hard variant) — the multi-hop extension of
+    :func:`knn_label_propagation`: every node SIMULTANEOUSLY takes the
+    majority label of its k nearest neighbors each round, so labels
+    diffuse through the graph. Output (vec_id, label, pred_label)
+    after ``n_rounds``. Vote ties break toward the smaller label —
+    a total ordering, engine-exact.
+
+    Shape: the kNN edge table is built ONCE (block-tiled GEMM) and
+    persisted; each round is one edge-keyed join against the current
+    label table (vocab-sized, k·N rows) + a per-node vote window. The
+    lazy plan grows linearly in rounds (each round references the
+    previous labels once); at 100 TB swap the exact kNN for the
+    IVF/LSH candidate stage, the propagation is unchanged."""
+    nn = (
+        ann_topk_bruteforce(emb.select("vec_id", "embedding"), k=k, n_blocks=n_blocks)
+        .select("vec_id", "neighbor_id")
+    )
+    labels = emb.select("vec_id", F.col("label").alias("cur"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("votes").desc(), F.col("cur").asc()
+    )
+    for _ in range(n_rounds):
+        votes = (
+            nn.join(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"), "cur"
+                ),
+                "neighbor_id",
+            )
+            .groupBy("vec_id", "cur")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cur")
+        )
+    return (
+        emb.select("vec_id", "label")
+        .join(labels.select("vec_id", F.col("cur").alias("pred_label")), "vec_id")
+    )

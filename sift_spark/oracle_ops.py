@@ -1361,3 +1361,41 @@ SELECT term, c_old, c_new,
 FROM j, tot
 WHERE c_old + c_new >= 5
 """
+
+
+def _label_spread_oracle(n_rounds: int = 2, k: int = 5) -> str:
+    """Unrolled synchronized label-propagation twin: the kNN edge
+    table once, then one vote CTE per round referencing the previous
+    label table ONCE (linear plan growth, the pagerank pattern)."""
+    parts = [f"""nn AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, round({_COS}, 6) AS sim
+          FROM e a JOIN e b ON a.vec_id != b.vec_id))
+  WHERE rank <= {k}
+)""",
+        "l0 AS (SELECT vec_id, label AS cur FROM embeddings)",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(f"""v{i} AS (
+  SELECT nn.vec_id, l.cur, count(*) AS votes
+  FROM nn JOIN l{i - 1} l ON nn.neighbor_id = l.vec_id
+  GROUP BY nn.vec_id, l.cur
+),
+l{i} AS (
+  SELECT vec_id, cur FROM (
+    SELECT vec_id, cur,
+           row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, cur ASC) AS rn
+    FROM v{i})
+  WHERE rn = 1
+)""")
+    joined = ",\n".join(parts)
+    return f"""WITH {EMB},
+{joined}
+SELECT e0.vec_id, e0.label, l.cur AS pred_label
+FROM embeddings e0 JOIN l{n_rounds} l ON e0.vec_id = l.vec_id
+"""
+
+
+ORACLE_OPS["label_spread"] = _label_spread_oracle()

@@ -1077,6 +1077,13 @@ def q_unigram_train(spark, sf_dir):
     return unigram_train(_docs(spark, sf_dir))
 
 
+
+def q_label_spread(spark, sf_dir):
+    from sift_spark.operators.similarity import label_spread
+
+    return label_spread(_emb(spark, sf_dir))
+
+
 def q_quality_classifier(spark, sf_dir):
     from sift_spark.operators.classify import quality_classifier
 
@@ -1109,6 +1116,7 @@ QUERIES: dict[str, QueryFn] = {
     "snapshot_delta": q_snapshot_delta,
     "term_drift": q_term_drift,
     "unigram_train": q_unigram_train,
+    "label_spread": q_label_spread,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,

@@ -521,3 +521,34 @@ def test_cluster_balanced_sample_caps_and_stability(spark):
     assert sorted((r["vec_id"], r["cluster"]) for r in kept) == sorted(
         (r["vec_id"], r["cluster"]) for r in kept2
     )
+
+
+def test_label_spread_diffuses_majority(spark):
+    """Hand graph: a lone mislabeled vector inside a tight cluster
+    flips to the cluster's label after one round and stays flipped."""
+    from sift_spark.operators.similarity import label_spread
+
+    # cluster A around (1,0) labels 0 except vec 3 mislabeled 1;
+    # cluster B around (0,1) labels 1
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.00], 0),
+            (2, [1.0, 0.01], 0),
+            (3, [1.0, 0.02], 1),
+            (4, [1.0, 0.03], 0),
+            (5, [0.0, 1.00], 1),
+            (6, [0.01, 1.0], 1),
+            (7, [0.02, 1.0], 1),
+            (8, [0.03, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r["vec_id"]: r["pred_label"]
+        for r in label_spread(emb, k=3, n_rounds=2, n_blocks=2).collect()
+    }
+    assert got[3] == 0, "mislabeled vector should adopt its cluster's label"
+    for v in (1, 2, 4):
+        assert got[v] == 0
+    for v in (5, 6, 7, 8):
+        assert got[v] == 1
