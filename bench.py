@@ -195,6 +195,7 @@ def main() -> None:
         "snapshot_delta",
         "term_drift",
         "unigram_train",
+        "label_spread",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the
