@@ -29,6 +29,8 @@ BNLJ_OK = {
     # same block-replication layout, with the different-label filter
     # and per-tile top-k inside the GEMM kernel
     "hard_negatives",
+    # composes ann_topk_bruteforce's tiled-GEMM edge table
+    "label_spread",
 }
 
 # ArrowEvalPython = vectorized pandas_udf (the sanctioned Python
