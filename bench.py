@@ -196,6 +196,7 @@ def main() -> None:
         "term_drift",
         "unigram_train",
         "label_spread",
+        "doc_srp_embeddings",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

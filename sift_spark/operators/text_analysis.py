@@ -877,3 +877,47 @@ def ccnet_buckets(docs: DataFrame, approx: bool = False,
             .alias("bucket"),
         )
     )
+
+
+def doc_srp_embeddings(docs: DataFrame, d: int = 16, min_df: int = 2) -> DataFrame:
+    """Deterministic document embeddings: signed random projection
+    (Achlioptas 2003 / SimHash-style) of each doc's tf-idf vector into
+    ``d`` dims — the classical pre-neural doc representation, and the
+    bridge from the text pipeline into the vector one (feeds
+    ann_*/semantic_dedup/kmeans on REAL documents instead of the
+    synthetic embeddings table). Projection signs come from
+    hash31(term:dim), so the "random" matrix is a pure function —
+    no stored model, bit-identical on any engine or cluster layout.
+    Output long-format (doc_id, dim, v) with v rounded 6dp.
+
+    Shape: one token explode -> (doc, term, tf) aggregate, idf join
+    (vocab-sized, broadcastable), a map-side x d dims explode, ONE
+    (doc, dim)-keyed sum. No driver state, no UDF.
+    """
+    from sift_spark.models.text import term_idfs, with_tokens
+
+    tf = (
+        with_tokens(docs)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = term_idfs(docs, min_df=min_df)
+    sign = (
+        F.when(
+            hash31(F.concat(F.col("term"), F.lit(":"), F.col("dim").cast("string")))
+            % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+    )
+    return (
+        tf.join(idf, "term")
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.col("idf")).alias("w"),
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("dim"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.round(F.sum(F.col("w") * sign), 6).alias("v"))
+    )

@@ -1399,3 +1399,25 @@ FROM embeddings e0 JOIN l{n_rounds} l ON e0.vec_id = l.vec_id
 
 
 ORACLE_OPS["label_spread"] = _label_spread_oracle()
+
+
+_srp_h = _h31("concat(term, ':', CAST(dim AS VARCHAR))")
+_srp_sign = f"CASE WHEN {_srp_h} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+
+ORACLE_OPS["doc_srp_embeddings"] = f"""
+WITH {TOKCTE},
+tf AS (SELECT doc_id, anchor AS term, count(*) AS tf FROM tok GROUP BY doc_id, anchor),
+idf AS (
+  SELECT term, round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS idf
+  FROM (SELECT anchor AS term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, anchor FROM tok) GROUP BY anchor
+        HAVING count(*) > 2)
+),
+wd AS (
+  SELECT doc_id, term, tf * idf AS w, unnest(generate_series(0, 15)) AS dim
+  FROM tf JOIN idf USING (term)
+)
+SELECT doc_id, CAST(dim AS INT) AS dim,
+       round(sum(w * ({_srp_sign})), 6) AS v
+FROM wd GROUP BY doc_id, dim
+"""

@@ -1084,6 +1084,13 @@ def q_label_spread(spark, sf_dir):
     return label_spread(_emb(spark, sf_dir))
 
 
+
+def q_doc_srp_embeddings(spark, sf_dir):
+    from sift_spark.operators.text_analysis import doc_srp_embeddings
+
+    return doc_srp_embeddings(_docs(spark, sf_dir))
+
+
 def q_quality_classifier(spark, sf_dir):
     from sift_spark.operators.classify import quality_classifier
 
@@ -1117,6 +1124,7 @@ QUERIES: dict[str, QueryFn] = {
     "term_drift": q_term_drift,
     "unigram_train": q_unigram_train,
     "label_spread": q_label_spread,
+    "doc_srp_embeddings": q_doc_srp_embeddings,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,

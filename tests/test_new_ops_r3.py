@@ -552,3 +552,26 @@ def test_label_spread_diffuses_majority(spark):
         assert got[v] == 0
     for v in (5, 6, 7, 8):
         assert got[v] == 1
+
+
+def test_doc_srp_embeddings_linear_and_shaped(spark):
+    """SRP is a linear map of the tf-idf vector: a doc whose text is
+    another doc's text repeated twice gets exactly 2x its vector
+    (same corpus, so idf and signs are shared). Every surviving doc
+    gets all 16 dims."""
+    from sift_spark.operators.text_analysis import doc_srp_embeddings
+
+    base = "alpha beta gamma delta epsilon"
+    rows = [(i, f"filler{i} junk{i} other{i % 3}") for i in range(1, 9)]
+    rows.append((100, base))
+    rows.append((101, base + " " + base))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = doc_srp_embeddings(docs, min_df=0).collect()
+    from collections import defaultdict
+    v = defaultdict(dict)
+    for r in emb:
+        v[r["doc_id"]][r["dim"]] = r["v"]
+    assert all(len(dims) == 16 for dims in v.values())
+    assert any(v[100][dim] != 0 for dim in range(16)), "base doc must project nonzero"
+    for dim in range(16):
+        assert abs(v[101][dim] - 2 * v[100][dim]) < 1e-5, (dim, v[100][dim], v[101][dim])
