@@ -197,6 +197,7 @@ def main() -> None:
         "unigram_train",
         "label_spread",
         "doc_srp_embeddings",
+        "decayed_counts",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -641,3 +641,41 @@ def user_type_entropy(events: DataFrame) -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+def decayed_counts(events: DataFrame, half_life_hours: float = 24.0) -> DataFrame:
+    """Time-decayed engagement features per (user, event_type) — the
+    standard recency-weighted counter of ranking/feature pipelines:
+    decayed_count = sum over events of 0.5^((T - t) / half_life), with
+    T the corpus max timestamp (one 1-row broadcast), plus the raw
+    count and seconds-since-last-seen. Recent activity dominates; a
+    burst a month ago fades by construction.
+
+    Shape: one scalar max aggregate broadcast via crossJoin, then ONE
+    (user, event_type)-keyed aggregate over a row-wise decay term —
+    map-side combinable, no window. Output (user_id, event_type,
+    n_events, decayed_count, last_seen_secs)."""
+    es = epoch_seconds(events)
+    t_max = events.agg(F.max(es).alias("t_max"))
+    half = half_life_hours * 3600.0
+    return (
+        events.select("user_id", "event_type", es.alias("t"))
+        .crossJoin(F.broadcast(t_max))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.pow(F.lit(0.5), (F.col("t_max") - F.col("t")) / F.lit(half))),
+                6,
+            ).alias("decayed_count"),
+            F.max("t").alias("t_last"),
+        )
+        .crossJoin(F.broadcast(t_max.select(F.col("t_max").alias("tm2"))))
+        .select(
+            "user_id",
+            "event_type",
+            "n_events",
+            "decayed_count",
+            (F.col("tm2") - F.col("t_last")).alias("last_seen_secs"),
+        )
+    )

@@ -1421,3 +1421,15 @@ SELECT doc_id, CAST(dim AS INT) AS dim,
        round(sum(w * ({_srp_sign})), 6) AS v
 FROM wd GROUP BY doc_id, dim
 """
+
+
+ORACLE_OPS["decayed_counts"] = """
+WITH t AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+),
+mx AS (SELECT max(t) AS t_max FROM t)
+SELECT user_id, event_type, count(*) AS n_events,
+       round(sum(power(0.5, (t_max - t) / 86400.0)), 6) AS decayed_count,
+       CAST(t_max - max(t) AS BIGINT) AS last_seen_secs
+FROM t, mx GROUP BY user_id, event_type, t_max
+"""

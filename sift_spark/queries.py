@@ -1091,6 +1091,11 @@ def q_doc_srp_embeddings(spark, sf_dir):
     return doc_srp_embeddings(_docs(spark, sf_dir))
 
 
+
+def q_decayed_counts(spark, sf_dir):
+    return EV.decayed_counts(table(spark, sf_dir, "events"))
+
+
 def q_quality_classifier(spark, sf_dir):
     from sift_spark.operators.classify import quality_classifier
 
@@ -1125,6 +1130,7 @@ QUERIES: dict[str, QueryFn] = {
     "unigram_train": q_unigram_train,
     "label_spread": q_label_spread,
     "doc_srp_embeddings": q_doc_srp_embeddings,
+    "decayed_counts": q_decayed_counts,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,

@@ -575,3 +575,27 @@ def test_doc_srp_embeddings_linear_and_shaped(spark):
     assert any(v[100][dim] != 0 for dim in range(16)), "base doc must project nonzero"
     for dim in range(16):
         assert abs(v[101][dim] - 2 * v[100][dim]) < 1e-5, (dim, v[100][dim], v[101][dim])
+
+
+def test_decayed_counts_recency_weighting(spark):
+    from datetime import datetime
+
+    from sift_spark.operators.events import decayed_counts
+
+    rows = [
+        # user 1: one event NOW, user 2: one event exactly one
+        # half-life ago, user 3: two events two half-lives ago
+        (1, datetime(2024, 1, 2, 0, 0, 0), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 0, 0), 2, "click", 1.0, "{}"),
+        (3, datetime(2023, 12, 31, 0, 0, 0), 3, "click", 1.0, "{}"),
+        (4, datetime(2023, 12, 31, 0, 0, 0), 3, "click", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["user_id"]: r for r in decayed_counts(ev, half_life_hours=24.0).collect()}
+    assert got[1]["decayed_count"] == 1.0 and got[1]["last_seen_secs"] == 0
+    assert got[2]["decayed_count"] == 0.5
+    assert got[3]["decayed_count"] == 0.5  # 2 * 0.25
+    assert got[3]["n_events"] == 2
+    assert got[2]["last_seen_secs"] == 86400
