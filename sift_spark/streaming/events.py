@@ -437,3 +437,63 @@ def stream_changepoint(events: DataFrame, ref_stats: dict,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_decayed_counts(events: DataFrame, half_life_hours: float = 24.0) -> DataFrame:
+    """Streaming twin of ``operators.events.decayed_counts``: the
+    half-life counter maintained incrementally per (user_id,
+    event_type) in ``applyInPandasWithState`` — the form a stream CAN
+    run (the batch twin anchors decay at the corpus max timestamp; a
+    live stream anchors at each key's LAST event and lets the reader
+    decay forward: batch_value = emitted_value · 0.5^((T − last_t)/h),
+    which the test exploits for exact equality).
+
+    State per key is three scalars (decayed value at last_t, last_t,
+    n_events); each micro-batch folds its events in timestamp order
+    and emits ONE row per touched key: (user_id, event_type,
+    n_events, decayed_at_last, last_t)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    half = half_life_hours * 3600.0
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        user_id, etype = key
+        rows = pd.concat(list(pdfs))
+        if len(rows) == 0:
+            return
+        ts = sorted(int(v) for v in rows["es"])
+        if state.exists:
+            val, last_t, n = state.get
+        else:
+            val, last_t, n = 0.0, None, 0
+        for t in ts:
+            if last_t is None:
+                val = 1.0
+            else:
+                val = val * (0.5 ** ((t - last_t) / half)) + 1.0
+            last_t = t
+            n += 1
+        state.update((float(val), int(last_t), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "event_type": [etype],
+                "n_events": [n],
+                "decayed_at_last": [round(val, 6)],
+                "last_t": [last_t],
+            }
+        )
+
+    keyed = events.select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    return keyed.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, event_type string, n_events long, "
+        "decayed_at_last double, last_t long",
+        stateStructType="val double, last_t long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

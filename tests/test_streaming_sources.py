@@ -275,3 +275,62 @@ def test_stream_classifier_route_equals_batch_scoring(spark, tmp_path):
         }
     assert accept == want_accept
     assert accept and reject, "both routes should be exercised"
+
+
+def test_stream_decayed_counts_equals_batch(spark, tmp_path):
+    """The incrementally-maintained half-life counter, decayed
+    forward from each key's last event to the corpus max timestamp,
+    equals the batch decayed_counts values."""
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.events import decayed_counts
+    from sift_spark.streaming.events import stream_decayed_counts
+    from tests.conftest import SF_SMOKE
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    cut = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).collect()[0][0]
+    src = tmp_path / "in"
+    src.mkdir()
+    # time-split files so per-key event order holds across batches
+    ev.where(F.unix_timestamp("ts") <= cut).coalesce(1).write.parquet(
+        str(src / "a.parquet")
+    )
+    ev.where(F.unix_timestamp("ts") > cut).coalesce(1).write.parquet(
+        str(src / "b.parquet")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    out = tmp_path / "out"
+    q = (
+        stream_decayed_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got_rows = spark.read.parquet(str(out)).collect()
+    # keep each key's LAST emission (largest n_events)
+    last = {}
+    for r in got_rows:
+        k = (r.user_id, r.event_type)
+        if k not in last or r.n_events > last[k].n_events:
+            last[k] = r
+    T = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    half = 24 * 3600.0
+    want = {
+        (r.user_id, r.event_type): (r.n_events, r.decayed_count)
+        for r in decayed_counts(ev).collect()
+    }
+    assert set(last) == set(want)
+    for k, r in last.items():
+        n_b, dec_b = want[k]
+        assert r.n_events == n_b, k
+        forward = r.decayed_at_last * 0.5 ** ((T - r.last_t) / half)
+        assert abs(forward - dec_b) < 1e-4, (k, forward, dec_b)
