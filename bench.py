@@ -198,6 +198,7 @@ def main() -> None:
         "label_spread",
         "doc_srp_embeddings",
         "decayed_counts",
+        "corpus_datacard",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

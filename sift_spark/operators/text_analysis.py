@@ -921,3 +921,56 @@ def doc_srp_embeddings(docs: DataFrame, d: int = 16, min_df: int = 2) -> DataFra
         .groupBy("doc_id", "dim")
         .agg(F.round(F.sum(F.col("w") * sign), 6).alias("v"))
     )
+
+
+def corpus_datacard(docs: DataFrame) -> DataFrame:
+    """One-call corpus datacard — the summary block of a dataset card
+    (docs/tokens/vocab, language concentration, exact-dup rate, mean
+    quality) as long-format (metric, value) rows ready to publish.
+
+    Three small aggregates (corpus scalars, language shares, dup
+    groups) unioned; every input is map-side-combinable and the
+    result is a handful of rows."""
+    t = docs.select(
+        "doc_id", "lang", "text", tokens(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    scalars = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n").cast("double").alias("n_tokens"),
+        F.round(F.avg("n"), 6).alias("avg_doc_tokens"),
+    )
+    vocab = (
+        t.select(F.explode("toks").alias("term"))
+        .agg(F.count_distinct("term").cast("double").alias("distinct_terms"))
+    )
+    lang = (
+        t.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_langs"),
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_lang_share"),
+        )
+    )
+    dups = (
+        t.groupBy(F.md5("text").alias("h")).agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.round(
+                (F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6
+            ).alias("exact_dup_rate")
+        )
+    )
+    quality = quality_score(docs).agg(F.round(F.avg("score"), 6).alias("avg_quality"))
+
+    wide = (
+        scalars.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(lang))
+        .crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(quality))
+    )
+    metrics = [
+        "n_docs", "n_tokens", "avg_doc_tokens", "distinct_terms",
+        "n_langs", "top_lang_share", "exact_dup_rate", "avg_quality",
+    ]
+    stacked = ", ".join(f"'{m}', {m}" for m in metrics)
+    return wide.selectExpr(
+        f"stack({len(metrics)}, {stacked}) AS (metric, value)"
+    )

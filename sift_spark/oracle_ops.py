@@ -1433,3 +1433,45 @@ SELECT user_id, event_type, count(*) AS n_events,
        CAST(t_max - max(t) AS BIGINT) AS last_seen_secs
 FROM t, mx GROUP BY user_id, event_type, t_max
 """
+
+
+ORACLE_OPS["corpus_datacard"] = f"""
+WITH {TOKCTE},
+t AS (SELECT d.doc_id, d.lang, d.text, len(string_split(d.text, ' ')) AS n FROM documents d),
+scalars AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(n) AS DOUBLE) AS n_tokens,
+         round(avg(n), 6) AS avg_doc_tokens
+  FROM t
+),
+vocab AS (SELECT CAST(count(DISTINCT anchor) AS DOUBLE) AS distinct_terms FROM tok),
+lang AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_langs,
+         round(max(c) * 1.0 / sum(c), 6) AS top_lang_share
+  FROM (SELECT lang, count(*) AS c FROM t GROUP BY lang)
+),
+dups AS (
+  SELECT round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS exact_dup_rate
+  FROM (SELECT md5(text) AS h, count(*) AS c FROM t GROUP BY md5(text))
+),
+q AS (
+  SELECT round(avg(score), 6) AS avg_quality FROM (
+    SELECT doc_id,
+      round(round(count(DISTINCT anchor) * 1.0 / count(*), 6)
+            - round(avg(CASE WHEN anchor IN ({_stop_in}) THEN 1.0 ELSE 0.0 END), 6)
+            + least(count(*), 200) / 200.0, 6) AS score
+    FROM tok GROUP BY doc_id)
+)
+SELECT m.metric,
+  CASE m.metric
+    WHEN 'n_docs' THEN (SELECT n_docs FROM scalars)
+    WHEN 'n_tokens' THEN (SELECT n_tokens FROM scalars)
+    WHEN 'avg_doc_tokens' THEN (SELECT avg_doc_tokens FROM scalars)
+    WHEN 'distinct_terms' THEN (SELECT distinct_terms FROM vocab)
+    WHEN 'n_langs' THEN (SELECT n_langs FROM lang)
+    WHEN 'top_lang_share' THEN (SELECT top_lang_share FROM lang)
+    WHEN 'exact_dup_rate' THEN (SELECT exact_dup_rate FROM dups)
+    WHEN 'avg_quality' THEN (SELECT avg_quality FROM q)
+  END AS value
+FROM (VALUES ('n_docs'), ('n_tokens'), ('avg_doc_tokens'), ('distinct_terms'),
+             ('n_langs'), ('top_lang_share'), ('exact_dup_rate'), ('avg_quality')) m(metric)
+"""

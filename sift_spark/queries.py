@@ -1096,6 +1096,13 @@ def q_decayed_counts(spark, sf_dir):
     return EV.decayed_counts(table(spark, sf_dir, "events"))
 
 
+
+def q_corpus_datacard(spark, sf_dir):
+    from sift_spark.operators.text_analysis import corpus_datacard
+
+    return corpus_datacard(_docs(spark, sf_dir))
+
+
 def q_quality_classifier(spark, sf_dir):
     from sift_spark.operators.classify import quality_classifier
 
@@ -1131,6 +1138,7 @@ QUERIES: dict[str, QueryFn] = {
     "label_spread": q_label_spread,
     "doc_srp_embeddings": q_doc_srp_embeddings,
     "decayed_counts": q_decayed_counts,
+    "corpus_datacard": q_corpus_datacard,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,

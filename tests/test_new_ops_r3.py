@@ -599,3 +599,18 @@ def test_decayed_counts_recency_weighting(spark):
     assert got[3]["decayed_count"] == 0.5  # 2 * 0.25
     assert got[3]["n_events"] == 2
     assert got[2]["last_seen_secs"] == 86400
+
+
+def test_corpus_datacard_metrics(spark):
+    from sift_spark.operators.text_analysis import corpus_datacard
+
+    docs = _docs(
+        spark,
+        [(1, "a b c"), (2, "a b c"), (3, "x y z w"), (4, "p q")],
+    ).withColumn("lang", __import__("pyspark.sql.functions", fromlist=["F"]).lit("en"))
+    got = {r["metric"]: r["value"] for r in corpus_datacard(docs).collect()}
+    assert got["n_docs"] == 4.0
+    assert got["n_tokens"] == 12.0
+    assert got["distinct_terms"] == 9.0
+    assert got["n_langs"] == 1.0 and got["top_lang_share"] == 1.0
+    assert got["exact_dup_rate"] == 0.25  # one of the two identical docs
