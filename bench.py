@@ -199,6 +199,7 @@ def main() -> None:
         "doc_srp_embeddings",
         "decayed_counts",
         "corpus_datacard",
+        "stratified_kfold",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

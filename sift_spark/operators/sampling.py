@@ -304,3 +304,25 @@ def cluster_balanced_sample(emb: DataFrame, cap: int = 30, n_iter: int = 2,
         .where(F.col("__rk") <= cap)
         .select("vec_id", "cluster")
     )
+
+
+def stratified_kfold(df: DataFrame, key_col: str, strata_col: str,
+                     k: int = 5, salt: str = "fold") -> DataFrame:
+    """Leakage-safe k-fold assignment, stratified: within each
+    stratum, rows are ranked by deterministic hash and dealt
+    round-robin into folds — every fold gets an equal share of every
+    stratum (within one row), and membership never changes across
+    runs or cluster layouts. Output (key, stratum, fold).
+
+    One stratum-keyed window; for a mega-stratum at 100 TB use the
+    plain hash fold (``hash_bucket(key) % k`` — also stable, no
+    window) and accept +-sqrt stratum imbalance."""
+    from pyspark.sql import Window
+
+    h = hash64(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return df.select(
+        key_col,
+        F.col(strata_col).alias("stratum"),
+        ((F.row_number().over(w) - 1) % k).cast("int").alias("fold"),
+    )

@@ -1475,3 +1475,11 @@ SELECT m.metric,
 FROM (VALUES ('n_docs'), ('n_tokens'), ('avg_doc_tokens'), ('distinct_terms'),
              ('n_langs'), ('top_lang_share'), ('exact_dup_rate'), ('avg_quality')) m(metric)
 """
+
+
+ORACLE_OPS["stratified_kfold"] = f"""
+SELECT doc_id, lang AS stratum,
+       CAST((row_number() OVER (PARTITION BY lang
+              ORDER BY {_h64("concat('fold:', cast(doc_id as varchar))")} ASC, doc_id ASC) - 1) % 5 AS INT) AS fold
+FROM documents
+"""

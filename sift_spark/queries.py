@@ -1103,6 +1103,13 @@ def q_corpus_datacard(spark, sf_dir):
     return corpus_datacard(_docs(spark, sf_dir))
 
 
+
+def q_stratified_kfold(spark, sf_dir):
+    from sift_spark.operators.sampling import stratified_kfold
+
+    return stratified_kfold(_docs(spark, sf_dir), "doc_id", "lang")
+
+
 def q_quality_classifier(spark, sf_dir):
     from sift_spark.operators.classify import quality_classifier
 
@@ -1139,6 +1146,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_srp_embeddings": q_doc_srp_embeddings,
     "decayed_counts": q_decayed_counts,
     "corpus_datacard": q_corpus_datacard,
+    "stratified_kfold": q_stratified_kfold,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,

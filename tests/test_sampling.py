@@ -116,3 +116,24 @@ def test_pack_sequences_sharded_equals_per_shard_global_pack(spark):
     for s, m in by_shard.items():
         bins = sorted({b for b, _ in m.values()})
         assert bins == list(range(len(bins)))
+
+
+def test_stratified_kfold_balance_and_stability(spark):
+    from collections import Counter
+
+    from sift_spark.io import table
+    from sift_spark.operators.sampling import stratified_kfold
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents")
+    got = stratified_kfold(docs, "doc_id", "lang", k=5).collect()
+    per = Counter((r["stratum"], r["fold"]) for r in got)
+    strata = {r["stratum"] for r in got}
+    for s in strata:
+        sizes = [per.get((s, f), 0) for f in range(5)]
+        assert max(sizes) - min(sizes) <= 1, (s, sizes)
+    # membership is layout-invariant
+    got2 = stratified_kfold(docs.repartition(7), "doc_id", "lang", k=5).collect()
+    assert sorted((r["doc_id"], r["fold"]) for r in got) == sorted(
+        (r["doc_id"], r["fold"]) for r in got2
+    )
