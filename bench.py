@@ -200,6 +200,7 @@ def main() -> None:
         "decayed_counts",
         "corpus_datacard",
         "stratified_kfold",
+        "doc_embedding_dup_pairs",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

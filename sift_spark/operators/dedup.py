@@ -932,3 +932,36 @@ def duplicate_cluster_stats(pairs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum(F.col("cluster_size") - 1).alias("n_docs_removed"),
     )
+
+
+def doc_embedding_dup_pairs(docs: DataFrame, threshold: float = 0.9,
+                            n_blocks: int = 8) -> DataFrame:
+    """Near-duplicate detection on RAW TEXT through the vector path:
+    deterministic SRP document embeddings
+    (``text_analysis.doc_srp_embeddings``) assembled into dense
+    vectors and fed to the exact cosine pair machinery — the
+    model-free counterpart of ``embedding_dup_pairs`` that needs no
+    embeddings table. Zero-norm documents (every term idf-0) carry no
+    signal and are dropped in BOTH engines (NaN-comparison semantics
+    differ cross-engine, so the filter is explicit). Output
+    (id1, id2, cos >= threshold).
+
+    Shape: the SRP sum, one doc-keyed assembly (collect_list sorted
+    by dim), then block-tiled GEMM with the threshold inside the
+    kernel — only qualifying pairs leave a tile."""
+    from sift_spark.operators.text_analysis import doc_srp_embeddings
+
+    srp = doc_srp_embeddings(docs)
+    vec = (
+        srp.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                lambda s: s["v"],
+            ).alias("embedding"),
+            F.sum(F.col("v") * F.col("v")).alias("_norm2"),
+        )
+        .where(F.col("_norm2") > 0)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+    )
+    return embedding_dup_pairs(vec, threshold=threshold, n_blocks=n_blocks)

@@ -1483,3 +1483,32 @@ SELECT doc_id, lang AS stratum,
               ORDER BY {_h64("concat('fold:', cast(doc_id as varchar))")} ASC, doc_id ASC) - 1) % 5 AS INT) AS fold
 FROM documents
 """
+
+
+ORACLE_OPS["doc_embedding_dup_pairs"] = f"""
+WITH {TOKCTE},
+tf AS (SELECT doc_id, anchor AS term, count(*) AS tf FROM tok GROUP BY doc_id, anchor),
+idf AS (
+  SELECT term, round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS idf
+  FROM (SELECT anchor AS term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, anchor FROM tok) GROUP BY anchor
+        HAVING count(*) > 2)
+),
+wd AS (
+  SELECT doc_id, term, tf * idf AS w, unnest(generate_series(0, 15)) AS dim
+  FROM tf JOIN idf USING (term)
+),
+sv AS (
+  SELECT doc_id, CAST(dim AS INT) AS dim, round(sum(w * ({_srp_sign})), 6) AS v
+  FROM wd GROUP BY doc_id, dim
+),
+vec AS (SELECT doc_id, list(v ORDER BY dim) AS v FROM sv GROUP BY doc_id),
+nz AS (SELECT doc_id, v FROM vec WHERE list_dot_product(v, v) > 0),
+p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+)
+SELECT id1, id2, cos FROM p WHERE cos >= 0.9
+"""

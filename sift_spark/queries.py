@@ -1110,6 +1110,13 @@ def q_stratified_kfold(spark, sf_dir):
     return stratified_kfold(_docs(spark, sf_dir), "doc_id", "lang")
 
 
+
+def q_doc_embedding_dup_pairs(spark, sf_dir):
+    from sift_spark.operators.dedup import doc_embedding_dup_pairs
+
+    return doc_embedding_dup_pairs(_docs(spark, sf_dir))
+
+
 def q_quality_classifier(spark, sf_dir):
     from sift_spark.operators.classify import quality_classifier
 
@@ -1147,6 +1154,7 @@ QUERIES: dict[str, QueryFn] = {
     "decayed_counts": q_decayed_counts,
     "corpus_datacard": q_corpus_datacard,
     "stratified_kfold": q_stratified_kfold,
+    "doc_embedding_dup_pairs": q_doc_embedding_dup_pairs,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,

@@ -614,3 +614,29 @@ def test_corpus_datacard_metrics(spark):
     assert got["distinct_terms"] == 9.0
     assert got["n_langs"] == 1.0 and got["top_lang_share"] == 1.0
     assert got["exact_dup_rate"] == 0.25  # one of the two identical docs
+
+
+def test_doc_embedding_dup_pairs_identical_docs(spark):
+    from sift_spark.operators.dedup import doc_embedding_dup_pairs
+
+    # 1 and 2 identical; the 3/7/8 group shares nothing with them;
+    # every special term appears in >= 3 docs so idf survives min_df=2
+    rows = [(i, f"pad{i} filler{i % 5} junk{i}") for i in range(10, 30)]
+    rows += [
+        (1, "aaa bbb ccc ddd"),
+        (2, "aaa bbb ccc ddd"),
+        (4, "aaa bbb ccc ddd"),
+        (3, "xxx yyy zzz www"),
+        (7, "xxx xxx yyy zzz www www"),
+        (8, "xxx yyy yyy zzz zzz www"),
+    ]
+    docs = _docs(spark, rows)
+    pairs = {
+        (r.id1, r.id2): r.cos
+        for r in doc_embedding_dup_pairs(docs, threshold=0.99, n_blocks=2).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    left, right = {1, 2, 4}, {3, 7, 8}
+    assert not any(
+        (a in left and b in right) or (a in right and b in left) for a, b in pairs
+    )

@@ -31,6 +31,8 @@ BNLJ_OK = {
     "hard_negatives",
     # composes ann_topk_bruteforce's tiled-GEMM edge table
     "label_spread",
+    # SRP doc vectors through the same tiled all-pairs kernel
+    "doc_embedding_dup_pairs",
 }
 
 # ArrowEvalPython = vectorized pandas_udf (the sanctioned Python
