@@ -131,6 +131,10 @@ def logreg_train(docs: DataFrame, n_iter: int = 6) -> list[float]:
     feat = quality_features(docs).persist()
     n_docs = feat.count()
     w = [0.0] * D
+    if n_docs == 0:
+        # an empty corpus (first micro-batch reality) trains nothing
+        feat.unpersist()
+        return w
     xs = [f"x{j}" for j in range(D)]
     try:
         for _ in range(n_iter):

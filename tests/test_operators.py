@@ -628,3 +628,35 @@ def test_ansi_zero_variance_inputs_do_not_crash(spark):
     rows = normalize_embeddings(emb).collect()
     assert all(r.z is None for r in rows if r.dim == 0)      # dead dim
     assert all(r.z is not None for r in rows if r.dim == 1)  # live dim
+
+
+def test_new_r3_operators_tolerate_empty_input(spark):
+    """Edge hygiene for the late-r3 operators: empty corpus/event
+    inputs produce empty results (or all-zero weights), not errors."""
+    from sift_spark.operators.classify import logreg_train
+    from sift_spark.operators.dedup import doc_embedding_dup_pairs
+    from sift_spark.operators.events import decayed_counts
+    from sift_spark.operators.incremental import snapshot_delta, term_drift
+    from sift_spark.operators.sampling import stratified_kfold
+    from sift_spark.operators.text_analysis import (
+        ccnet_buckets,
+        corpus_datacard,
+        doc_srp_embeddings,
+    )
+    from sift_spark.operators.tokenizer import unigram_train
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+    assert ccnet_buckets(docs).count() == 0
+    assert doc_srp_embeddings(docs).count() == 0
+    assert snapshot_delta(docs, docs).count() == 0
+    assert term_drift(docs, docs).count() == 0
+    assert decayed_counts(ev).count() == 0
+    assert stratified_kfold(docs, "doc_id", "lang").count() == 0
+    assert doc_embedding_dup_pairs(docs).count() == 0
+    assert unigram_train(docs).count() == 0
+    # an empty corpus trains nothing: weights stay at init
+    assert logreg_train(docs, n_iter=1) == [0.0, 0.0, 0.0, 0.0]
