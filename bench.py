@@ -201,6 +201,7 @@ def main() -> None:
         "corpus_datacard",
         "stratified_kfold",
         "doc_embedding_dup_pairs",
+        "heldout_backoff_logprob",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -974,3 +974,68 @@ def corpus_datacard(docs: DataFrame) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(metrics)}, {stacked}) AS (metric, value)"
     )
+
+
+def heldout_backoff_logprob(docs: DataFrame, train_mod: int = 2,
+                            alpha: float = 0.4) -> DataFrame:
+    """Held-out LM scoring with Stupid Backoff (Brants et al. 2007):
+    bigram counts come from the TRAIN half (doc_id %% train_mod == 0)
+    and score the HELD-OUT half — the true CCNet shape (a model built
+    on reference text scores the crawl), unlike bigram_logprob which
+    scores the corpus with itself and can never hit the backoff path.
+    score(w2|w1) = c12/c1 when the train corpus saw the bigram, else
+    alpha * c(w2)/total (unseen unigram: alpha / total). Output
+    (doc_id, avg_backoff_logprob) over held-out docs with >= 2 tokens.
+
+    Shape: two count aggregates over the train half (bigram + head),
+    one unigram table, LEFT joins from the held-out pair stream
+    (vocab-sized build sides, broadcastable), 1-row total broadcast.
+    """
+    from sift_spark.models.text import with_tokens
+
+    t = with_tokens(docs).withColumn("is_train", F.col("doc_id") % train_mod == 0)
+    pairs = t.where(F.size("toks") >= 2).select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "is_train", "p.w1", "p.w2")
+    train = pairs.where("is_train")
+    big = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    head = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni = (
+        t.where("is_train")
+        .select(F.explode("toks").alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = t.where("is_train").agg(
+        F.sum(F.size("toks")).cast("double").alias("n_tok")
+    )
+    held = pairs.where(~F.col("is_train"))
+    scored = (
+        held.join(big, ["w1", "w2"], "left")
+        .join(head, "w1", "left")
+        .join(uni, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c12").isNotNull(), F.log(F.col("c12") / F.col("c1"))
+            )
+            .otherwise(
+                F.log(F.lit(alpha) * F.coalesce(F.col("cu"), F.lit(1)) / F.col("n_tok"))
+            )
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("lp"), 6).alias("avg_backoff_logprob")
+    )

@@ -1512,3 +1512,25 @@ p AS (
 )
 SELECT id1, id2, cos FROM p WHERE cos >= 0.9
 """
+
+
+ORACLE_OPS["heldout_backoff_logprob"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, doc_id % 2 = 0 AS is_train
+           FROM documents),
+pr AS (
+  SELECT doc_id, is_train, toks[i] AS w1, toks[i+1] AS w2
+  FROM (SELECT doc_id, is_train, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM d WHERE len(toks) >= 2)
+),
+big AS (SELECT w1, w2, count(*) AS c12 FROM pr WHERE is_train GROUP BY w1, w2),
+hd AS (SELECT w1, count(*) AS c1 FROM pr WHERE is_train GROUP BY w1),
+uni AS (SELECT tok AS w2, count(*) AS cu
+        FROM (SELECT unnest(toks) AS tok FROM d WHERE is_train) GROUP BY tok),
+tot AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS n_tok FROM d WHERE is_train)
+SELECT doc_id,
+       round(avg(CASE WHEN c12 IS NOT NULL THEN ln(c12 * 1.0 / c1)
+                      ELSE ln(0.4 * coalesce(cu, 1) / n_tok) END), 6) AS avg_backoff_logprob
+FROM pr LEFT JOIN big USING (w1, w2) LEFT JOIN hd USING (w1) LEFT JOIN uni USING (w2), tot
+WHERE NOT is_train
+GROUP BY doc_id
+"""

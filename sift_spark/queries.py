@@ -1117,6 +1117,13 @@ def q_doc_embedding_dup_pairs(spark, sf_dir):
     return doc_embedding_dup_pairs(_docs(spark, sf_dir))
 
 
+
+def q_heldout_backoff_logprob(spark, sf_dir):
+    from sift_spark.operators.text_analysis import heldout_backoff_logprob
+
+    return heldout_backoff_logprob(_docs(spark, sf_dir))
+
+
 def q_quality_classifier(spark, sf_dir):
     from sift_spark.operators.classify import quality_classifier
 
@@ -1155,6 +1162,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_datacard": q_corpus_datacard,
     "stratified_kfold": q_stratified_kfold,
     "doc_embedding_dup_pairs": q_doc_embedding_dup_pairs,
+    "heldout_backoff_logprob": q_heldout_backoff_logprob,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,

@@ -640,3 +640,26 @@ def test_doc_embedding_dup_pairs_identical_docs(spark):
     assert not any(
         (a in left and b in right) or (a in right and b in left) for a, b in pairs
     )
+
+
+def test_heldout_backoff_hits_both_paths(spark):
+    import math
+
+    from sift_spark.operators.text_analysis import heldout_backoff_logprob
+
+    # train half (even ids): only "a b" bigrams; held-out doc 1 has a
+    # seen bigram and an unseen one ("b zz")
+    docs = _docs(
+        spark,
+        [
+            (2, "a b a b"),
+            (4, "a b c a"),
+            (1, "a b zz"),
+        ],
+    )
+    got = {r["doc_id"]: r["avg_backoff_logprob"] for r in heldout_backoff_logprob(docs).collect()}
+    assert set(got) == {1}
+    # seen: c12(a,b)=3, c1(a)=3 -> ln(1); unseen (b,zz): zz not in
+    # train vocab -> ln(0.4 * 1 / 8)
+    want = round((math.log(1.0) + math.log(0.4 * 1 / 8)) / 2, 6)
+    assert abs(got[1] - want) < 1e-6
