@@ -75,6 +75,19 @@ def _model_registry():
         ),
         "DsirWeights": lambda s, p: _op("sampling").dsir_importance_weights(docs_of(s, p)),
         "BpeTrain": lambda s, p: _op("text_analysis").bpe_train(docs_of(s, p)),
+        "CcnetBuckets": lambda s, p: _op("text_analysis").ccnet_buckets(docs_of(s, p)),
+        "QualityClassifier": lambda s, p: _op("classify").quality_classifier(docs_of(s, p)),
+        "UnigramTrain": lambda s, p: _op("tokenizer").unigram_train(docs_of(s, p)),
+        "CorpusDatacard": lambda s, p: _op("text_analysis").corpus_datacard(docs_of(s, p)),
+        "DocSrpEmbeddings": lambda s, p: _op("text_analysis").doc_srp_embeddings(docs_of(s, p)),
+        "DocEmbeddingDupPairs": lambda s, p: _op("dedup").doc_embedding_dup_pairs(docs_of(s, p)),
+        "HeldoutBackoffLogprob": lambda s, p: _op("text_analysis").heldout_backoff_logprob(docs_of(s, p)),
+        "HardNegatives": lambda s, p: _op("similarity").hard_negatives(
+            __import__("sift_spark.io", fromlist=["table"]).table(s, p, "embeddings")
+        ),
+        "LabelSpread": lambda s, p: _op("similarity").label_spread(
+            __import__("sift_spark.io", fromlist=["table"]).table(s, p, "embeddings")
+        ),
     }
 
 
