@@ -345,6 +345,60 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, nprobe: int = 2,
     return celled.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _cogroup_topk_masked(q_side: DataFrame, m_side: DataFrame, k: int) -> DataFrame:
+    """Like ``_cogroup_topk`` but cogrouped on a SUPERGROUP key
+    (``skey``) holding many LSH buckets, with the same-bucket
+    constraint enforced inside the kernel via an equality mask — so
+    high-bit LSH tables (thousands of mostly-singleton buckets) don't
+    pay one Python/Arrow invocation per bucket. Candidate semantics
+    are identical to per-bucket cogrouping: masked pairs never score.
+    Per (query, supergroup) top-k is kept (a safe pruning: a query's
+    global top-k candidates each live in some supergroup's top-k)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(_key, l, r):
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []}).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+            )
+        Q = np.stack(l["embedding"].to_numpy()).astype("float64")
+        M = np.stack(r["__memb"].to_numpy()).astype("float64")
+        qids = l["vec_id"].to_numpy()
+        mids = r["neighbor_id"].to_numpy()
+        qb = l["bkey"].to_numpy()
+        mb = r["__mbkey"].to_numpy()
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        mn = np.sqrt((M * M).sum(axis=1))
+        S = round6_half_away((Q @ M.T) / np.outer(qn, mn))
+        S = np.where(np.equal.outer(qb, mb), S, -np.inf)
+        out_q, out_m, out_s = [], [], []
+        kk = min(k, len(mids))
+        for i in range(len(qids)):
+            row = S[i]
+            order = np.lexsort((mids, -row))
+            order = order[(mids[order] != qids[i]) & np.isfinite(row[order])][:kk]
+            out_q.append(np.full(len(order), qids[i]))
+            out_m.append(mids[order])
+            out_s.append(row[order])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_q).astype("int64"),
+                "neighbor_id": np.concatenate(out_m).astype("int64"),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    m2 = m_side.withColumnRenamed("skey", "__mskey").withColumnRenamed(
+        "embedding", "__memb"
+    ).withColumnRenamed("bkey", "__mbkey")
+    return (
+        q_side.groupby("skey")
+        .cogroup(m2.groupby("__mskey"))
+        .applyInPandas(fn, "vec_id long, neighbor_id long, sim double")
+    )
+
+
 def ann_lsh_topk(emb: DataFrame, k: int = 5, n_tables: int | None = None,
                  n_bits: int | None = None) -> DataFrame:
     """Multi-table LSH approximate top-k: candidates are vector pairs
@@ -374,13 +428,29 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5, n_tables: int | None = None,
     bkey = (F.col("t").cast("long") * F.lit(1 << 33) + F.col("bucket")).alias("bkey")
     e = emb.select("vec_id", "embedding")
     keyed = bt.select("vec_id", bkey).join(e, "vec_id")
-    q_side = keyed
-    m_side = keyed.select(
-        F.col("vec_id").alias("neighbor_id"), "bkey", "embedding"
-    )
-    local = _cogroup_topk(q_side, m_side, "bkey", k).dropDuplicates(
-        ["vec_id", "neighbor_id"]
-    )
+    n_buckets = (n_tables or 4) * (1 << (n_bits or 6))
+    if n_buckets > 512:
+        # high-bit tables: thousands of mostly-singleton buckets would
+        # pay one Python/Arrow call each — supergroup them and mask
+        # cross-bucket pairs inside the kernel. 256 supergroups keeps
+        # each GEMM tile ~L·N/256 rows; at larger N raise the divisor
+        # with N to hold the tile near a few thousand rows.
+        keyed = keyed.withColumn("skey", F.col("bkey") % 256)
+        q_side = keyed
+        m_side = keyed.select(
+            F.col("vec_id").alias("neighbor_id"), "bkey", "skey", "embedding"
+        )
+        local = _cogroup_topk_masked(q_side, m_side, k).dropDuplicates(
+            ["vec_id", "neighbor_id"]
+        )
+    else:
+        q_side = keyed
+        m_side = keyed.select(
+            F.col("vec_id").alias("neighbor_id"), "bkey", "embedding"
+        )
+        local = _cogroup_topk(q_side, m_side, "bkey", k).dropDuplicates(
+            ["vec_id", "neighbor_id"]
+        )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
