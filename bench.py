@@ -202,6 +202,7 @@ def main() -> None:
         "stratified_kfold",
         "doc_embedding_dup_pairs",
         "heldout_backoff_logprob",
+        "retrieval_triples",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -1039,3 +1039,65 @@ def heldout_backoff_logprob(docs: DataFrame, train_mod: int = 2,
     return scored.groupBy("doc_id").agg(
         F.round(F.avg("lp"), 6).alias("avg_backoff_logprob")
     )
+
+
+def retrieval_triples(docs: DataFrame, n_query_terms: int = 2, k_neg: int = 2,
+                      min_df: int = 2, max_df: int = 1000) -> DataFrame:
+    """Training-data generation for retrieval models (DPR-style): for
+    every document, a pseudo-query (its top tf-idf terms) plus the
+    ``k_neg`` highest-scoring OTHER documents for that query — the
+    BM25-negative mining step of dual-encoder training. Output
+    (doc_id, query_terms, neg_rank, neg_id, neg_score).
+
+    Shape: the per-doc top-terms window (post-agg rows), then ONE
+    term-keyed join query-terms × posting-lists scored by sqrt(tf)·idf
+    and a per-query top-k window. ``max_df`` caps the posting list a
+    query term may join (the scale lever: a stopword-like query term
+    would otherwise fan out to the whole corpus)."""
+    from pyspark.sql import Window
+
+    from sift_spark.models.text import term_idfs, with_tokens
+
+    tf = (
+        with_tokens(docs)
+        .select("doc_id", F.explode(F.col("toks")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = term_idfs(docs, min_df=min_df)
+    wts = tf.join(idf, "term").select(
+        "doc_id", "term", (F.sqrt(F.col("tf")) * F.col("idf")).alias("wt")
+    )
+    rk = Window.partitionBy("doc_id").orderBy(F.col("wt").desc(), F.col("term").asc())
+    qterms = (
+        wts.withColumn("rn", F.row_number().over(rk))
+        .where(F.col("rn") <= n_query_terms)
+        .select(F.col("doc_id").alias("q_doc"), "term")
+    )
+    df_caps = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    postings = (
+        wts.join(df_caps.where(F.col("df") <= max_df), "term")
+        .select("term", F.col("doc_id").alias("cand"), "wt")
+    )
+    scored = (
+        qterms.join(postings, "term")
+        .where(F.col("cand") != F.col("q_doc"))
+        .groupBy("q_doc", "cand")
+        .agg(F.round(F.sum("wt"), 6).alias("neg_score"))
+    )
+    nk = Window.partitionBy("q_doc").orderBy(
+        F.col("neg_score").desc(), F.col("cand").asc()
+    )
+    negs = scored.withColumn("neg_rank", F.row_number().over(nk).cast("int")).where(
+        F.col("neg_rank") <= k_neg
+    )
+    qcsv = qterms.groupBy("q_doc").agg(
+        F.array_join(F.sort_array(F.collect_list("term")), ",").alias("query_terms")
+    )
+    return negs.join(qcsv, "q_doc").select(
+        F.col("q_doc").alias("doc_id"),
+        "query_terms",
+        "neg_rank",
+        F.col("cand").alias("neg_id"),
+        "neg_score",
+    )

@@ -1534,3 +1534,39 @@ FROM pr LEFT JOIN big USING (w1, w2) LEFT JOIN hd USING (w1) LEFT JOIN uni USING
 WHERE NOT is_train
 GROUP BY doc_id
 """
+
+
+ORACLE_OPS["retrieval_triples"] = f"""
+WITH {TOKCTE},
+tf AS (SELECT doc_id, anchor AS term, count(*) AS tf FROM tok GROUP BY doc_id, anchor),
+idf AS (
+  SELECT term, round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS idf
+  FROM (SELECT anchor AS term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, anchor FROM tok) GROUP BY anchor
+        HAVING count(*) > 2)
+),
+wts AS (SELECT doc_id, term, sqrt(tf) * idf AS wt FROM tf JOIN idf USING (term)),
+qt AS (
+  SELECT doc_id AS q_doc, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, term ASC) AS rn
+    FROM wts)
+  WHERE rn <= 2
+),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+post AS (SELECT w.term, w.doc_id AS cand, w.wt
+         FROM wts w JOIN dfc USING (term) WHERE df <= 1000),
+sc AS (
+  SELECT q_doc, cand, round(sum(wt), 6) AS neg_score
+  FROM qt JOIN post USING (term) WHERE cand != q_doc
+  GROUP BY q_doc, cand
+),
+nk AS (
+  SELECT q_doc, cand, neg_score,
+         CAST(row_number() OVER (PARTITION BY q_doc ORDER BY neg_score DESC, cand ASC) AS INT) AS neg_rank
+  FROM sc
+),
+qc AS (SELECT q_doc, string_agg(term, ',' ORDER BY term) AS query_terms FROM qt GROUP BY q_doc)
+SELECT q_doc AS doc_id, query_terms, neg_rank, cand AS neg_id, neg_score
+FROM nk JOIN qc USING (q_doc) WHERE neg_rank <= 2
+"""

@@ -1124,6 +1124,13 @@ def q_heldout_backoff_logprob(spark, sf_dir):
     return heldout_backoff_logprob(_docs(spark, sf_dir))
 
 
+
+def q_retrieval_triples(spark, sf_dir):
+    from sift_spark.operators.text_analysis import retrieval_triples
+
+    return retrieval_triples(_docs(spark, sf_dir))
+
+
 def q_quality_classifier(spark, sf_dir):
     from sift_spark.operators.classify import quality_classifier
 
@@ -1163,6 +1170,7 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_kfold": q_stratified_kfold,
     "doc_embedding_dup_pairs": q_doc_embedding_dup_pairs,
     "heldout_backoff_logprob": q_heldout_backoff_logprob,
+    "retrieval_triples": q_retrieval_triples,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,

@@ -663,3 +663,25 @@ def test_heldout_backoff_hits_both_paths(spark):
     # train vocab -> ln(0.4 * 1 / 8)
     want = round((math.log(1.0) + math.log(0.4 * 1 / 8)) / 2, 6)
     assert abs(got[1] - want) < 1e-6
+
+
+def test_retrieval_triples_semantics(spark):
+    """Negatives actually contain the query terms, never the positive
+    itself, and ranks are contiguous."""
+    from collections import defaultdict
+
+    from sift_spark.io import table
+    from sift_spark.operators.text_analysis import retrieval_triples
+
+    docs = table(spark, SF_SMOKE, "documents")
+    rows = retrieval_triples(docs).collect()
+    assert rows
+    texts = {r["doc_id"]: set(r["text"].split()) for r in docs.collect()}
+    by_q = defaultdict(list)
+    for r in rows:
+        assert r["neg_id"] != r["doc_id"]
+        qset = set(r["query_terms"].split(","))
+        assert qset & texts[r["neg_id"]], "negative must match the query"
+        by_q[r["doc_id"]].append(r["neg_rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
