@@ -1101,3 +1101,68 @@ def retrieval_triples(docs: DataFrame, n_query_terms: int = 2, k_neg: int = 2,
         F.col("cand").alias("neg_id"),
         "neg_score",
     )
+
+
+def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
+                  min_docs: int = 3) -> DataFrame:
+    """Corpus topic map without iterative clustering: the SIGN PATTERN
+    of the first ``sign_dims`` SRP dimensions is already a SimHash of
+    the document (SRP = signed random projection), so it buckets
+    similar documents together deterministically — one pass, no
+    codebook, no rounds. Each bucket is labeled with its ``k_terms``
+    most DISTINCTIVE terms (tf-lift vs the corpus: share-in-topic /
+    share-in-corpus, min topic tf 2). Output (topic, n_docs,
+    top_terms) for buckets holding >= ``min_docs`` docs — the
+    "what is in my corpus" inspection artifact.
+
+    Shape: SRP sums (one (doc,dim) aggregate), map-side sign packing,
+    a (topic, term) tf aggregate against broadcast corpus totals, one
+    per-topic rank window on post-agg rows."""
+    from pyspark.sql import Window
+
+    from sift_spark.models.text import with_tokens
+
+    srp = doc_srp_embeddings(docs).where(F.col("dim") < sign_dims)
+    topic = (
+        srp.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.shiftleft(F.lit(1), F.col("dim"))).otherwise(0)
+            ).cast("int").alias("topic")
+        )
+    )
+    tok = (
+        with_tokens(docs)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .join(topic, "doc_id")
+    )
+    topic_tf = tok.groupBy("topic", "term").agg(F.count(F.lit(1)).alias("ttf"))
+    topic_tot = topic_tf.groupBy("topic").agg(F.sum("ttf").alias("ttot"))
+    corpus_tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    corpus_tot = corpus_tf.agg(F.sum("ctf").alias("ctot"))
+    lift = (
+        topic_tf.where(F.col("ttf") >= 2)
+        .join(F.broadcast(topic_tot), "topic")
+        .join(F.broadcast(corpus_tf), "term")
+        .crossJoin(F.broadcast(corpus_tot))
+        .select(
+            "topic",
+            "term",
+            F.round(
+                (F.col("ttf") / F.col("ttot")) / (F.col("ctf") / F.col("ctot")), 6
+            ).alias("lift"),
+        )
+    )
+    rk = Window.partitionBy("topic").orderBy(F.col("lift").desc(), F.col("term").asc())
+    tops = (
+        lift.withColumn("rn", F.row_number().over(rk))
+        .where(F.col("rn") <= k_terms)
+        .groupBy("topic")
+        .agg(F.array_join(F.sort_array(F.collect_list("term")), ",").alias("top_terms"))
+    )
+    sizes = topic.groupBy("topic").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sizes.where(F.col("n_docs") >= min_docs)
+        .join(tops, "topic", "left")
+        .select("topic", "n_docs", F.coalesce("top_terms", F.lit("")).alias("top_terms"))
+    )

@@ -1570,3 +1570,51 @@ qc AS (SELECT q_doc, string_agg(term, ',' ORDER BY term) AS query_terms FROM qt 
 SELECT q_doc AS doc_id, query_terms, neg_rank, cand AS neg_id, neg_score
 FROM nk JOIN qc USING (q_doc) WHERE neg_rank <= 2
 """
+
+
+ORACLE_OPS["corpus_topics"] = f"""
+WITH {TOKCTE},
+tf AS (SELECT doc_id, anchor AS term, count(*) AS tf FROM tok GROUP BY doc_id, anchor),
+idf AS (
+  SELECT term, round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS idf
+  FROM (SELECT anchor AS term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, anchor FROM tok) GROUP BY anchor
+        HAVING count(*) > 2)
+),
+wd AS (
+  SELECT doc_id, term, tf * idf AS w, unnest(generate_series(0, 15)) AS dim
+  FROM tf JOIN idf USING (term)
+),
+sv AS (
+  SELECT doc_id, CAST(dim AS INT) AS dim, round(sum(w * ({_srp_sign})), 6) AS v
+  FROM wd WHERE dim < 6 GROUP BY doc_id, dim
+),
+tpc AS (
+  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1 << dim ELSE 0 END) AS INT) AS topic
+  FROM sv GROUP BY doc_id
+),
+tt AS (
+  SELECT t.topic, k.anchor AS term, count(*) AS ttf
+  FROM tok k JOIN tpc t ON k.doc_id = t.doc_id GROUP BY t.topic, k.anchor
+),
+ttot AS (SELECT topic, sum(ttf) AS ttot FROM tt GROUP BY topic),
+ctf AS (SELECT anchor AS term, count(*) AS ctf FROM tok GROUP BY anchor),
+ctot AS (SELECT sum(ctf) AS ctot FROM ctf),
+lift AS (
+  SELECT tt.topic, tt.term,
+         round((tt.ttf * 1.0 / ttot.ttot) / (ctf.ctf * 1.0 / (SELECT ctot FROM ctot)), 6) AS lift
+  FROM tt JOIN ttot USING (topic) JOIN ctf USING (term)
+  WHERE tt.ttf >= 2
+),
+tops AS (
+  SELECT topic, string_agg(term, ',' ORDER BY term) AS top_terms
+  FROM (SELECT topic, term,
+               row_number() OVER (PARTITION BY topic ORDER BY lift DESC, term ASC) AS rn
+        FROM lift)
+  WHERE rn <= 5 GROUP BY topic
+),
+sizes AS (SELECT topic, count(*) AS n_docs FROM tpc GROUP BY topic)
+SELECT s.topic, s.n_docs, coalesce(t.top_terms, '') AS top_terms
+FROM sizes s LEFT JOIN tops t USING (topic)
+WHERE s.n_docs >= 3
+"""
