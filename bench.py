@@ -203,6 +203,7 @@ def main() -> None:
         "doc_embedding_dup_pairs",
         "heldout_backoff_logprob",
         "retrieval_triples",
+        "corpus_topics",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

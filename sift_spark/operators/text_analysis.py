@@ -1127,7 +1127,7 @@ def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
         srp.groupBy("doc_id")
         .agg(
             F.sum(
-                F.when(F.col("v") > 0, F.shiftleft(F.lit(1), F.col("dim"))).otherwise(0)
+                F.when(F.col("v") > 0, F.expr("shiftleft(1, dim)")).otherwise(0)
             ).cast("int").alias("topic")
         )
     )

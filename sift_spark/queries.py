@@ -1131,6 +1131,13 @@ def q_retrieval_triples(spark, sf_dir):
     return retrieval_triples(_docs(spark, sf_dir))
 
 
+
+def q_corpus_topics(spark, sf_dir):
+    from sift_spark.operators.text_analysis import corpus_topics
+
+    return corpus_topics(_docs(spark, sf_dir))
+
+
 def q_quality_classifier(spark, sf_dir):
     from sift_spark.operators.classify import quality_classifier
 
@@ -1171,6 +1178,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_embedding_dup_pairs": q_doc_embedding_dup_pairs,
     "heldout_backoff_logprob": q_heldout_backoff_logprob,
     "retrieval_triples": q_retrieval_triples,
+    "corpus_topics": q_corpus_topics,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,

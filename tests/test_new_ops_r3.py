@@ -685,3 +685,18 @@ def test_retrieval_triples_semantics(spark):
         by_q[r["doc_id"]].append(r["neg_rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_corpus_topics_buckets_similar_docs_together(spark):
+    """Docs with identical tf vectors land in the same topic bucket,
+    and every topic's size floor holds."""
+    from sift_spark.operators.text_analysis import corpus_topics
+
+    rows = [(i, f"u{i} v{i % 7} w{i % 3}") for i in range(20, 60)]
+    # six copies of one text → one bucket with >= 6 docs
+    rows += [(i, "aaa bbb ccc ddd eee") for i in range(1, 7)]
+    docs = _docs(spark, rows)
+    got = corpus_topics(docs, min_docs=3).collect()
+    assert got
+    assert all(r["n_docs"] >= 3 for r in got)
+    assert any(r["n_docs"] >= 6 for r in got)
