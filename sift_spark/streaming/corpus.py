@@ -167,3 +167,58 @@ def stream_classifier_route(docs_stream: DataFrame, weights: list[float],
         .trigger(availableNow=True)
         .start()
     )
+
+
+def expire_from_index(spark: SparkSession, index_path: str, pairs_path: str,
+                      remove_doc_ids: list[int]) -> dict[str, int]:
+    """Right-to-be-forgotten / retention for the standing dedup index:
+    delete every band, shingle, and emitted pair that references the
+    given doc_ids, preserving the per-batch ``batch_id=<id>``
+    directory layout (so replay idempotence and batch-exclusion reads
+    keep working afterwards). Returns per-table removed-row counts.
+
+    Each table is rewritten batch-directory-by-batch-directory with an
+    anti-filter — only directories that actually contain a removed doc
+    are touched (a membership probe per directory; the removal list is
+    a broadcast local list, the normal shape for deletion requests).
+    The swap per directory goes through a tmp write + the checked
+    rename dance of ``compact_parquet`` (never leaves a half-deleted
+    directory on failure)."""
+    from sift_spark.sinks.upsert import _delete, _exists, _rename
+
+    ids = [int(x) for x in remove_doc_ids]
+    removed: dict[str, int] = {}
+    specs = [
+        (f"{index_path}/bands", ("doc_id",)),
+        (f"{index_path}/shingles", ("doc_id",)),
+        (pairs_path, ("doc1", "doc2")),
+    ]
+    for path, cols in specs:
+        if not _exists(spark, path):
+            removed[path.rsplit("/", 1)[-1]] = 0
+            continue
+        df = spark.read.parquet(path)
+        cond = F.col(cols[0]).isin(ids)
+        for c in cols[1:]:
+            cond = cond | F.col(c).isin(ids)
+        hit = df.where(cond)
+        n_hit = hit.count()
+        removed[path.rsplit("/", 1)[-1]] = n_hit
+        if n_hit == 0:
+            continue
+        batches = [r["batch_id"] for r in hit.select("batch_id").distinct().collect()]
+        for b in batches:
+            sub = f"{path}/batch_id={b}"
+            keep = spark.read.parquet(sub)
+            for c in cols:
+                keep = keep.where(~F.col(c).isin(ids))
+            tmp = sub + "__expire_tmp"
+            keep.write.mode("overwrite").parquet(tmp)
+            old = sub + "__expire_old"
+            if not _rename(spark, sub, old):
+                raise IOError(f"rename {sub} -> {old} failed")
+            if not _rename(spark, tmp, sub):
+                _rename(spark, old, sub)
+                raise IOError(f"rename {tmp} -> {sub} failed; original restored")
+            _delete(spark, old)
+    return removed

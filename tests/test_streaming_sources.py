@@ -334,3 +334,49 @@ def test_stream_decayed_counts_equals_batch(spark, tmp_path):
         assert r.n_events == n_b, k
         forward = r.decayed_at_last * 0.5 ** ((T - r.last_t) / half)
         assert abs(forward - dec_b) < 1e-4, (k, forward, dec_b)
+
+
+def test_expire_from_index_forgets_document(spark, tmp_path):
+    """After expiring a doc, the standing index holds no trace of it
+    and a later batch can no longer pair against it; untouched docs
+    still pair."""
+    from pyspark.sql import functions as F
+
+    from sift_spark.streaming.corpus import (
+        expire_from_index,
+        process_corpus_batch,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    index = str(tmp_path / "index")
+    pairs = str(tmp_path / "pairs")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    process_corpus_batch(first, 0, index, pairs, threshold=0.2)
+
+    # pick a doc that pairs across batches: find any odd-batch pair first
+    second = docs.where(F.col("doc_id") % 2 == 1)
+    process_corpus_batch(second, 1, index, pairs, threshold=0.2)
+    all_pairs = spark.read.parquet(pairs)
+    cross = all_pairs.collect()
+    assert cross, "fixture should produce pairs"
+    victim = int(cross[0]["doc1"])
+
+    removed = expire_from_index(spark, index, pairs, [victim])
+    assert removed["bands"] > 0 and removed["shingles"] > 0 and removed["pairs"] > 0
+
+    for sub in ("bands", "shingles"):
+        left = spark.read.parquet(f"{index}/{sub}")
+        assert left.where(F.col("doc_id") == victim).count() == 0
+        assert left.count() > 0  # other docs survive
+    left_pairs = spark.read.parquet(pairs)
+    assert left_pairs.where(
+        (F.col("doc1") == victim) | (F.col("doc2") == victim)
+    ).count() == 0
+
+    # a replayed future batch can no longer pair against the victim
+    process_corpus_batch(second, 2, index, pairs, threshold=0.2)
+    again = spark.read.parquet(pairs)
+    assert again.where(
+        (F.col("doc1") == victim) | (F.col("doc2") == victim)
+    ).count() == 0
