@@ -204,6 +204,7 @@ def main() -> None:
         "heldout_backoff_logprob",
         "retrieval_triples",
         "corpus_topics",
+        "event_transitions",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -679,3 +679,44 @@ def decayed_counts(events: DataFrame, half_life_hours: float = 24.0) -> DataFram
             (F.col("tm2") - F.col("t_last")).alias("last_seen_secs"),
         )
     )
+
+
+def event_transitions(events: DataFrame, min_count: int = 2) -> DataFrame:
+    """Per-user behavioral Markov chain: consecutive event-type
+    transition counts and row-normalized probabilities over the whole
+    population — the behavior model behind next-action prediction and
+    bot screens (self-loops kept; they ARE signal). Output
+    (from_type, to_type, n, p) with p = n / sum_n(from_type),
+    transitions with n < ``min_count`` dropped AFTER normalization
+    (so p still sums to 1 over the full row).
+
+    Shape: one user-keyed ordered lag window (each user's history
+    sorts within its partition), then a (from,to)-keyed count — both
+    map-side-combinable after the window shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_seconds(events).asc(), F.col("event_id").asc()
+    )
+    tr = (
+        events.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tr.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        tr.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
+        )
+        .where(F.col("n") >= min_count)
+    )

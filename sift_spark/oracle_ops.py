@@ -1618,3 +1618,25 @@ SELECT s.topic, s.n_docs, coalesce(t.top_terms, '') AS top_terms
 FROM sizes s LEFT JOIN tops t USING (topic)
 WHERE s.n_docs >= 3
 """
+
+
+ORACLE_OPS["event_transitions"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+tr AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY es, event_id) AS from_type,
+         event_type AS to_type
+  FROM e
+),
+cnt AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM tr WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+),
+tot AS (SELECT from_type, sum(n) AS row_n FROM cnt GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n, round(c.n * 1.0 / t.row_n, 6) AS p
+FROM cnt c JOIN tot t USING (from_type)
+WHERE c.n >= 2
+"""

@@ -1138,6 +1138,11 @@ def q_corpus_topics(spark, sf_dir):
     return corpus_topics(_docs(spark, sf_dir))
 
 
+
+def q_event_transitions(spark, sf_dir):
+    return EV.event_transitions(table(spark, sf_dir, "events"))
+
+
 def q_quality_classifier(spark, sf_dir):
     from sift_spark.operators.classify import quality_classifier
 
@@ -1179,6 +1184,7 @@ QUERIES: dict[str, QueryFn] = {
     "heldout_backoff_logprob": q_heldout_backoff_logprob,
     "retrieval_triples": q_retrieval_triples,
     "corpus_topics": q_corpus_topics,
+    "event_transitions": q_event_transitions,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,

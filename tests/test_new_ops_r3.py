@@ -700,3 +700,23 @@ def test_corpus_topics_buckets_similar_docs_together(spark):
     assert got
     assert all(r["n_docs"] >= 3 for r in got)
     assert any(r["n_docs"] >= 6 for r in got)
+
+
+def test_event_transitions_markov_rows(spark):
+    from datetime import datetime
+
+    from sift_spark.operators.events import event_transitions
+
+    rows = []
+    # user 1: a->b, b->a, a->b ; user 2: a->b
+    seq1 = ["a", "b", "a", "b"]
+    for i, t in enumerate(seq1):
+        rows.append((i, datetime(2024, 1, 1, 0, i), 1, t, 1.0, "{}"))
+    rows.append((10, datetime(2024, 1, 1, 1, 0), 2, "a", 1.0, "{}"))
+    rows.append((11, datetime(2024, 1, 1, 1, 1), 2, "b", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {(r.from_type, r.to_type): (r.n, r.p) for r in event_transitions(ev, min_count=1).collect()}
+    assert got[("a", "b")] == (3, 1.0)   # a always goes to b
+    assert got[("b", "a")] == (1, 1.0)   # the only outgoing b edge
