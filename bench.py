@@ -205,6 +205,7 @@ def main() -> None:
         "retrieval_triples",
         "corpus_topics",
         "event_transitions",
+        "windowed_pmi",
     ]
 
     # warmup: JVM/codegen/parquet-footer costs land here, not on the

@@ -1166,3 +1166,64 @@ def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
         .join(tops, "topic", "left")
         .select("topic", "n_docs", F.coalesce("top_terms", F.lit("")).alias("top_terms"))
     )
+
+
+def windowed_pmi(docs: DataFrame, window: int = 3, min_count: int = 5) -> DataFrame:
+    """Windowed PMI collocations: term pairs co-occurring within
+    ``window`` positions (any order; pair canonicalized a <= b),
+    scored ln(P(ab)/(P(a)P(b))) — the classic collocation/relatedness
+    extractor generalizing the adjacent-only ``term_collocations``.
+    Output (term_a, term_b, n, pmi) with n >= min_count.
+
+    Shape: instead of a per-doc positions self-join (quadratic per
+    doc), each token emits ``window`` shifted copies map-side and the
+    pair join is a LINEAR (doc_id, pos) equi-join; pair counts,
+    unigram counts, and the two totals are all map-side-combinable
+    aggregates with the scalars broadcast."""
+    from sift_spark.models.text import with_tokens
+
+    tok = (
+        with_tokens(docs)
+        .select("doc_id", F.posexplode("toks").alias("pos", "term"))
+    )
+    shifted = tok.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(window)),
+                lambda d: F.col("pos") + d,
+            )
+        ).alias("pos"),
+        F.col("term").alias("term_l"),
+    )
+    pairs = (
+        shifted.join(tok, ["doc_id", "pos"])
+        .select(
+            F.least(F.col("term_l"), F.col("term")).alias("term_a"),
+            F.greatest(F.col("term_l"), F.col("term")).alias("term_b"),
+        )
+    )
+    pc = pairs.groupBy("term_a", "term_b").agg(F.count(F.lit(1)).alias("n"))
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = (
+        pc.agg(F.sum("n").cast("double").alias("np"))
+        .crossJoin(F.broadcast(uni.agg(F.sum("c").cast("double").alias("nt"))))
+    )
+    return (
+        pc.where(F.col("n") >= min_count)
+        .join(F.broadcast(uni.select(F.col("term").alias("term_a"), F.col("c").alias("ca"))), "term_a")
+        .join(F.broadcast(uni.select(F.col("term").alias("term_b"), F.col("c").alias("cb"))), "term_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term_a",
+            "term_b",
+            "n",
+            F.round(
+                F.log(
+                    (F.col("n") / F.col("np"))
+                    / ((F.col("ca") / F.col("nt")) * (F.col("cb") / F.col("nt")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -1640,3 +1640,26 @@ SELECT c.from_type, c.to_type, c.n, round(c.n * 1.0 / t.row_n, 6) AS p
 FROM cnt c JOIN tot t USING (from_type)
 WHERE c.n >= 2
 """
+
+
+ORACLE_OPS["windowed_pmi"] = f"""
+WITH {TOKCTE},
+pr AS (
+  SELECT least(a.anchor, b.anchor) AS term_a, greatest(a.anchor, b.anchor) AS term_b
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+),
+pc AS (SELECT term_a, term_b, count(*) AS n FROM pr GROUP BY term_a, term_b),
+uni AS (SELECT anchor AS term, count(*) AS c FROM tok GROUP BY anchor),
+tots AS (
+  SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM pc) AS np,
+         (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS nt
+)
+SELECT p.term_a, p.term_b, p.n,
+       round(ln((p.n / t.np) / ((ua.c / t.nt) * (ub.c / t.nt))), 6) AS pmi
+FROM pc p
+JOIN uni ua ON ua.term = p.term_a
+JOIN uni ub ON ub.term = p.term_b
+CROSS JOIN tots t
+WHERE p.n >= 5
+"""

@@ -1143,6 +1143,13 @@ def q_event_transitions(spark, sf_dir):
     return EV.event_transitions(table(spark, sf_dir, "events"))
 
 
+
+def q_windowed_pmi(spark, sf_dir):
+    from sift_spark.operators.text_analysis import windowed_pmi
+
+    return windowed_pmi(_docs(spark, sf_dir))
+
+
 def q_quality_classifier(spark, sf_dir):
     from sift_spark.operators.classify import quality_classifier
 
@@ -1185,6 +1192,7 @@ QUERIES: dict[str, QueryFn] = {
     "retrieval_triples": q_retrieval_triples,
     "corpus_topics": q_corpus_topics,
     "event_transitions": q_event_transitions,
+    "windowed_pmi": q_windowed_pmi,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "entity_node2vec": q_entity_node2vec,

@@ -720,3 +720,18 @@ def test_event_transitions_markov_rows(spark):
     got = {(r.from_type, r.to_type): (r.n, r.p) for r in event_transitions(ev, min_count=1).collect()}
     assert got[("a", "b")] == (3, 1.0)   # a always goes to b
     assert got[("b", "a")] == (1, 1.0)   # the only outgoing b edge
+
+
+def test_windowed_pmi_counts_and_sign(spark):
+    import math
+
+    from sift_spark.operators.text_analysis import windowed_pmi
+
+    # "x y" always adjacent (strong attraction); "x z" never within 3
+    rows = [(i, "x y f1 f2 f3 f4 z") for i in range(1, 7)]
+    docs = _docs(spark, rows)
+    got = {(r.term_a, r.term_b): (r.n, r.pmi) for r in windowed_pmi(docs, min_count=5).collect()}
+    assert got[("x", "y")][0] == 6
+    assert ("x", "z") not in got  # distance 6 > window
+    # attraction beyond independence: PMI(x,y) > 0
+    assert got[("x", "y")][1] > 0
