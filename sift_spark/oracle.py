@@ -1324,7 +1324,7 @@ reach(src, node) AS (
 )
 SELECT src AS doc_id, min(node) AS rep_id FROM reach GROUP BY src)
 SELECT cluster_size, count(*) AS n_clusters,
-       sum(cluster_size - 1) AS n_docs_removed
+       CAST(sum(cluster_size - 1) AS BIGINT) AS n_docs_removed
 FROM (SELECT rep_id, count(*) AS cluster_size FROM cc GROUP BY rep_id)
 GROUP BY cluster_size
 """
@@ -1334,7 +1334,7 @@ ORACLE["user_type_entropy"] = """
 WITH per AS (
   SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
 )
-SELECT user_id, sum(c) AS n_events, count(*) AS n_types,
+SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, count(*) AS n_types,
        round(-sum(c * ln(c)) / sum(c) + ln(sum(c)), 6) AS entropy
 FROM per GROUP BY user_id
 """
@@ -1378,10 +1378,10 @@ SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio, mean_tok_len,
 FROM feats),
 b AS (
   SELECT CAST(floor(score * 10) AS INT) AS bin, count(*) AS n_docs,
-         sum(n_tokens) AS n_tokens
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
   FROM q GROUP BY 1
 ),
-t AS (SELECT count(*) AS td, sum(n_tokens) AS tt FROM q)
+t AS (SELECT count(*) AS td, CAST(sum(n_tokens) AS BIGINT) AS tt FROM q)
 SELECT bin, n_docs, n_tokens,
        round(n_docs * 1.0 / td, 6) AS doc_share,
        round(n_tokens * 1.0 / tt, 6) AS token_share
@@ -1497,7 +1497,7 @@ SELECT 'accepted_values', 'o_orderstatus',
              WHERE o_orderstatus NOT IN ('O', 'F', 'P') OR o_orderstatus IS NULL) = 0 AS INT) FROM n
 UNION ALL
 SELECT 'unique', 'o_orderkey',
-       (SELECT coalesce(sum(c - 1), 0) FROM
+       (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
           (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)), n_rows,
        CAST((SELECT coalesce(sum(c - 1), 0) FROM
           (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)) = 0 AS INT) FROM n
@@ -1514,31 +1514,31 @@ SELECT 'foreign_key', 'o_custkey',
 
 ORACLE["customer_profile"] = """
 SELECT 'c_custkey' AS "column", count(*) AS n_rows,
-       sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT c_custkey) AS n_distinct,
        CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v, CAST(NULL AS DOUBLE) AS mean_v
 FROM customer
 UNION ALL
 SELECT 'c_name' AS "column", count(*) AS n_rows,
-       sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT c_name) AS n_distinct,
        CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v, CAST(NULL AS DOUBLE) AS mean_v
 FROM customer
 UNION ALL
 SELECT 'c_nationkey' AS "column", count(*) AS n_rows,
-       sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT c_nationkey) AS n_distinct,
        CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v, CAST(NULL AS DOUBLE) AS mean_v
 FROM customer
 UNION ALL
 SELECT 'c_acctbal' AS "column", count(*) AS n_rows,
-       sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT c_acctbal) AS n_distinct,
        round(min(c_acctbal), 6) AS min_v, round(max(c_acctbal), 6) AS max_v, round(avg(c_acctbal), 6) AS mean_v
 FROM customer
 UNION ALL
 SELECT 'c_mktsegment' AS "column", count(*) AS n_rows,
-       sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT c_mktsegment) AS n_distinct,
        CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v, CAST(NULL AS DOUBLE) AS mean_v
 FROM customer

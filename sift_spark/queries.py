@@ -953,10 +953,18 @@ def q_temperature_sample(spark, sf_dir):
 def q_embedding_pca(spark, sf_dir):
     """[r] rows-only: the d x d eigendecomposition is not
     SQL-expressible; tested against a full-data numpy PCA in
-    tests/test_similarity_extra.py instead."""
+    tests/test_similarity_extra.py instead.
+
+    The driver's canonicalizer cannot hash array columns (r3 ERR), so
+    the projection is serialized to a CSV string at the query boundary
+    — same edge pattern as ``embedding_int8.codes``.  The operator
+    itself keeps the array<double> API for programmatic use."""
     from sift_spark.operators.similarity import embedding_pca
 
-    return embedding_pca(_emb(spark, sf_dir))
+    df = embedding_pca(_emb(spark, sf_dir))
+    return df.select(
+        "vec_id", F.array_join(F.col("pc").cast("array<string>"), ",").alias("pc")
+    )
 
 
 def q_entity_salience(spark, sf_dir):
@@ -1175,56 +1183,15 @@ def q_ccnet_buckets(spark, sf_dir):
 
 
 QUERIES: dict[str, QueryFn] = {
-    "ccnet_buckets": q_ccnet_buckets,
-    "hard_negatives": q_hard_negatives,
-    "cluster_balanced_sample": q_cluster_balanced_sample,
-    "quality_classifier": q_quality_classifier,
-    "snapshot_delta": q_snapshot_delta,
-    "term_drift": q_term_drift,
-    "unigram_train": q_unigram_train,
-    "label_spread": q_label_spread,
-    "doc_srp_embeddings": q_doc_srp_embeddings,
-    "decayed_counts": q_decayed_counts,
-    "corpus_datacard": q_corpus_datacard,
-    "stratified_kfold": q_stratified_kfold,
-    "doc_embedding_dup_pairs": q_doc_embedding_dup_pairs,
-    "heldout_backoff_logprob": q_heldout_backoff_logprob,
-    "retrieval_triples": q_retrieval_triples,
-    "corpus_topics": q_corpus_topics,
-    "event_transitions": q_event_transitions,
-    "windowed_pmi": q_windowed_pmi,
+    # --- driver-sampled front block (first 50): the 6 r3 FAIL/ERR
+    # fixes lead for re-verification, then queries never checked by
+    # any round's driver gate (rotate per round until all have a pass)
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
-    "entity_node2vec": q_entity_node2vec,
     "quality_bins": q_quality_bins,
-    "embedding_int8": q_embedding_int8,
     "user_type_entropy": q_user_type_entropy,
     "dedup_cluster_stats": q_dedup_cluster_stats,
-    "events_forecast": q_events_forecast,
-    "entity_random_walks": q_entity_random_walks,
-    "fuzzy_contamination": q_fuzzy_contamination,
-    "entity_salience": q_entity_salience,
-    "events_changepoint": q_events_changepoint,
-    "temperature_weights": q_temperature_weights,
-    "temperature_sample": q_temperature_sample,
     "embedding_pca": q_embedding_pca,
-    "duplicate_spans": q_duplicate_spans,
-    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-    "events_attribution": q_events_attribution,
-    "events_ewma": q_events_ewma,
-    "url_canonical_groups": q_url_canonical_groups,
-    "session_stats": q_session_stats,
-    "events_window_uniques": q_events_window_uniques,
-    "embedding_normalize": q_embedding_normalize,
-    "entity_hits": q_entity_hits,
-    "ann_ivf_scaled": q_ann_ivf_scaled,
-    "ann_lsh_scaled": q_ann_lsh_scaled,
-    "bpe_encode": q_bpe_encode,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "semantic_dedup": q_semantic_dedup,
-    "dsir_weights": q_dsir_weights,
-    "dedup_clusters_star": q_dedup_clusters_star,
-    "entity_components": q_entity_components,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "dedup_incremental": q_dedup_incremental,
     "similar_docs": q_similar_docs,
@@ -1306,6 +1273,50 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_stats": q_multimodal_frame_stats,
     "bpe_train": q_bpe_train,
+    "ccnet_buckets": q_ccnet_buckets,
+    "hard_negatives": q_hard_negatives,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
+    "quality_classifier": q_quality_classifier,
+    "snapshot_delta": q_snapshot_delta,
+    "term_drift": q_term_drift,
+    "unigram_train": q_unigram_train,
+    "label_spread": q_label_spread,
+    "doc_srp_embeddings": q_doc_srp_embeddings,
+    "decayed_counts": q_decayed_counts,
+    "corpus_datacard": q_corpus_datacard,
+    "stratified_kfold": q_stratified_kfold,
+    "doc_embedding_dup_pairs": q_doc_embedding_dup_pairs,
+    "heldout_backoff_logprob": q_heldout_backoff_logprob,
+    "retrieval_triples": q_retrieval_triples,
+    "corpus_topics": q_corpus_topics,
+    "event_transitions": q_event_transitions,
+    "windowed_pmi": q_windowed_pmi,
+    "entity_node2vec": q_entity_node2vec,
+    "embedding_int8": q_embedding_int8,
+    "events_forecast": q_events_forecast,
+    "entity_random_walks": q_entity_random_walks,
+    "fuzzy_contamination": q_fuzzy_contamination,
+    "entity_salience": q_entity_salience,
+    "events_changepoint": q_events_changepoint,
+    "temperature_weights": q_temperature_weights,
+    "temperature_sample": q_temperature_sample,
+    "duplicate_spans": q_duplicate_spans,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+    "events_attribution": q_events_attribution,
+    "events_ewma": q_events_ewma,
+    "url_canonical_groups": q_url_canonical_groups,
+    "session_stats": q_session_stats,
+    "events_window_uniques": q_events_window_uniques,
+    "embedding_normalize": q_embedding_normalize,
+    "entity_hits": q_entity_hits,
+    "ann_ivf_scaled": q_ann_ivf_scaled,
+    "ann_lsh_scaled": q_ann_lsh_scaled,
+    "bpe_encode": q_bpe_encode,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "semantic_dedup": q_semantic_dedup,
+    "dsir_weights": q_dsir_weights,
+    "dedup_clusters_star": q_dedup_clusters_star,
+    "entity_components": q_entity_components,
     "wikify": q_wikify,
     "entity_counts": q_entity_counts,
     "entity_name_counts": q_entity_name_counts,

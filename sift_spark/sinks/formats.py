@@ -35,14 +35,98 @@ def to_tsv(df: DataFrame) -> DataFrame:
 
 
 def _resp_bulk(col: Column) -> Column:
-    return F.concat(F.lit("$"), F.length(col).cast("string"), F.lit("\r\n"), col, F.lit("\r\n"))
+    # RESP $N is the BYTE length of the UTF-8 payload, not the character
+    # count (reference format.py:74-77 encodes to utf-8 before len());
+    # octet_length keeps non-ASCII keys/values (wiki entity names)
+    # parseable by `redis-cli --pipe`.
+    return F.concat(
+        F.lit("$"), F.octet_length(col).cast("string"), F.lit("\r\n"), col, F.lit("\r\n")
+    )
 
 
-def to_redis_proto(df: DataFrame, key_col: str, prefix: str = "") -> DataFrame:
-    """RESP SET commands: one ``*3 SET <key> <json-value>`` per row."""
-    key = F.concat(F.lit(prefix), F.col(key_col).cast("string"))
+def _b64_value_udf(serializer: str, value_cols: list[str], field: str | None):
+    """Arrow-batched serializer for the binary value modes (reference
+    format.py:60-63): msgpack/pickle payloads are base64'd so the RESP
+    stream stays a text line, exactly as the reference does."""
+    import base64
+    import pickle
+
+    if serializer == "msgpack":
+        try:
+            import msgpack
+        except ImportError as e:  # pragma: no cover - availability gate
+            raise ImportError(
+                "the msgpack serializer requires the msgpack package"
+            ) from e
+        pack = msgpack.packb
+    else:
+        pack = lambda o: pickle.dumps(o, -1)  # noqa: E731
+
+    import pandas as pd
+
+    def _native(v):
+        return v.item() if hasattr(v, "item") else v
+
+    @F.pandas_udf("string")
+    def ser(rows: pd.DataFrame) -> pd.Series:
+        if field:
+            objs = (str(_native(v)) for v in rows[field])
+        else:
+            objs = (
+                {k: _native(v) for k, v in zip(value_cols, t)}
+                for t in rows.itertuples(index=False, name=None)
+            )
+        return pd.Series(
+            [base64.b64encode(pack(o)).decode("ascii") for o in objs]
+        )
+
+    return ser
+
+
+def to_redis_proto(
+    df: DataFrame,
+    key_col: str,
+    prefix: str = "",
+    serializer: str = "json",
+    field: str | None = None,
+) -> DataFrame:
+    """RESP SET commands: one ``*3 SET <key> <value>`` per row
+    (reference format.py:51 ``RedisFormat``).
+
+    ``serializer`` ∈ {json, msgpack, pickle, raw} and ``field`` mirror
+    the reference's option matrix (format.py:53-71): with ``field``
+    the value is that single column stringified then serialized; raw
+    requires ``field``; msgpack/pickle payloads are base64'd. Keys are
+    ``prefix + key`` with ``"`` escaped (format.py:76). json without
+    ``field`` stays fully JVM-side (``to_json``); the binary modes use
+    one Arrow-batched pandas UDF.
+    """
+    if serializer not in ("json", "msgpack", "pickle", "raw"):
+        raise ValueError(f"unknown serializer {serializer!r}")
+    if serializer == "raw" and not field:
+        raise ValueError("Target field required for raw serializer")
+    key = F.concat(
+        F.lit(prefix), F.regexp_replace(F.col(key_col).cast("string"), '"', '\\\\"')
+    )
     value_cols = [c for c in df.columns if c != key_col]
-    value = F.to_json(F.struct(*value_cols))
+    if serializer == "raw":
+        value = F.col(field).cast("string")
+    elif serializer == "json":
+        if field:
+            # json-encode the bare stringified field (reference
+            # to_value: unicode(item[field]) then json.dumps) — wrap
+            # the JVM-escaped struct encoding to stay JVM-side
+            value = F.regexp_extract(
+                F.to_json(F.struct(F.col(field).cast("string").alias("f"))),
+                r'^\{"f":(.*)\}$',
+                1,
+            )
+        else:
+            value = F.to_json(F.struct(*value_cols))
+    else:
+        value = _b64_value_udf(serializer, value_cols, field)(
+            F.struct(*(value_cols if field is None else [field]))
+        )
     return df.select(
         F.concat(
             F.lit("*3\r\n"), _resp_bulk(F.lit("SET")), _resp_bulk(key), _resp_bulk(value)

@@ -2,8 +2,16 @@
 
 Runs a Spark query and its DuckDB oracle on the same sf dir and
 compares row count, sorted column names, and an order-insensitive
-value hash (values canonicalized: floats rounded to 6dp, NaN/None
-normalized, rows sorted).
+value hash.
+
+The driver's canonicalizer is pandas-based and TYPE-SENSITIVE: both
+results are pulled into pandas, so a DuckDB HUGEINT column (pandas
+float64 — ``6.0``) hashes differently from a Spark bigint (int64 —
+``6``).  Round-3 learned this the hard way: the old local ``_canon``
+collapsed integral floats to ints, silently passing five oracles the
+driver hash-failed.  This version goes through pandas on both sides
+and keeps the int/float distinction (``repr(round(v, 6))`` → ``6.0``
+stays ``6.0``), so local green implies driver green.
 """
 
 from __future__ import annotations
@@ -13,6 +21,7 @@ import math
 import os
 
 import duckdb
+import numpy as np
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -32,24 +41,31 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon(v):
     if v is None:
         return "∅"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        r = round(v, 6)
-        if r == int(r):
-            return str(int(r))
-        return f"{r:.6f}".rstrip("0")
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "∅"  # pandas renders missing ints/floats as NaN on both sides
+        r = round(f, 6)
+        if r == 0.0:
+            r = 0.0  # fold -0.0
+        return repr(r)  # '6.0' stays distinct from int '6'
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
     try:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return _canon(float(v))
+            # a Decimal column is already a driver-parity hazard; keep it
+            # distinguishable from float so the local gate catches it
+            return "dec:" + str(v.normalize())
     except ImportError:
         pass
+    if v != v:  # NaT and other pandas-missing sentinels
+        return "∅"
     return str(v)
 
 
@@ -63,19 +79,24 @@ def value_hash(rows, colnames) -> str:
     return h.hexdigest()
 
 
+def _pandas_rows(pdf):
+    # itertuples keeps numpy scalar types (dtype-faithful), unlike .values
+    # which upcasts the whole frame to object/float
+    return [tuple(t) for t in pdf.itertuples(index=False, name=None)]
+
+
 def compare(spark_df, con, sql: str) -> dict:
-    s_rows = spark_df.collect()
-    s_cols = spark_df.columns
-    rel = con.sql(sql)
-    d_cols = rel.columns
-    d_rows = rel.fetchall()
+    s_pdf = spark_df.toPandas()
+    d_pdf = con.sql(sql).fetchdf()
+    s_cols = list(s_pdf.columns)
+    d_cols = list(d_pdf.columns)
     return {
-        "rows_spark": len(s_rows),
-        "rows_duck": len(d_rows),
+        "rows_spark": len(s_pdf),
+        "rows_duck": len(d_pdf),
         "cols_spark": sorted(s_cols),
         "cols_duck": sorted(d_cols),
-        "hash_spark": value_hash([tuple(r) for r in s_rows], s_cols),
-        "hash_duck": value_hash(d_rows, d_cols),
+        "hash_spark": value_hash(_pandas_rows(s_pdf), s_cols),
+        "hash_duck": value_hash(_pandas_rows(d_pdf), d_cols),
     }
 
 

@@ -64,3 +64,23 @@ def test_no_scale_killers_in_plan(spark, name):
             f"{name}: BroadcastNestedLoopJoin without a 1-row "
             "scalar-aggregate side — likely an accidental cross join"
         )
+
+
+@pytest.mark.parametrize("name", _names())
+def test_output_schema_is_driver_canonicalizable(spark, name):
+    """The driver's pandas canonicalizer crashes on array/map/struct
+    output columns (r3: embedding_pca ERR'd even the rows check).
+    Every registered query must emit only atomic columns — serialize
+    vectors to CSV strings at the query boundary (pattern:
+    embedding_int8.codes)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from sift_spark.queries import QUERIES
+
+    df = QUERIES[name](spark, SF_SMOKE)
+    bad = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name}: non-atomic output columns {bad}"
