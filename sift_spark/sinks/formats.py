@@ -10,6 +10,7 @@ formatter emits RESP protocol lines consumable by ``redis-cli
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves postponed hints in module globals
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -62,9 +63,11 @@ def _b64_value_udf(serializer: str, value_cols: list[str], field: str | None):
     else:
         pack = lambda o: pickle.dumps(o, -1)  # noqa: E731
 
-    import pandas as pd
-
     def _native(v):
+        # NULLs serialize as the reference does: str(None) → "None" in
+        # field mode, dict value None in object mode (format.py:60-66).
+        if v is None or (isinstance(v, float) and v != v):
+            return None
         return v.item() if hasattr(v, "item") else v
 
     @F.pandas_udf("string")
@@ -106,23 +109,37 @@ def to_redis_proto(
     if serializer == "raw" and not field:
         raise ValueError("Target field required for raw serializer")
     key = F.concat(
-        F.lit(prefix), F.regexp_replace(F.col(key_col).cast("string"), '"', '\\\\"')
+        F.lit(prefix),
+        F.regexp_replace(
+            F.coalesce(F.col(key_col).cast("string"), F.lit("None")), '"', '\\\\"'
+        ),
     )
     value_cols = [c for c in df.columns if c != key_col]
     if serializer == "raw":
-        value = F.col(field).cast("string")
+        # reference to_value is str(item[field]) — a NULL field becomes
+        # the string "None", never a NULL RESP row (format.py:66)
+        value = F.coalesce(F.col(field).cast("string"), F.lit("None"))
     elif serializer == "json":
         if field:
             # json-encode the bare stringified field (reference
             # to_value: unicode(item[field]) then json.dumps) — wrap
-            # the JVM-escaped struct encoding to stay JVM-side
+            # the JVM-escaped struct encoding to stay JVM-side; NULL
+            # stringifies to "None" first, as str() would
             value = F.regexp_extract(
-                F.to_json(F.struct(F.col(field).cast("string").alias("f"))),
+                F.to_json(
+                    F.struct(
+                        F.coalesce(F.col(field).cast("string"), F.lit("None")).alias("f")
+                    )
+                ),
                 r'^\{"f":(.*)\}$',
                 1,
             )
         else:
-            value = F.to_json(F.struct(*value_cols))
+            # keep NULL fields as JSON null (reference json.dumps keeps
+            # them; Spark's to_json drops them by default)
+            value = F.to_json(
+                F.struct(*value_cols), {"ignoreNullFields": "false"}
+            )
     else:
         value = _b64_value_udf(serializer, value_cols, field)(
             F.struct(*(value_cols if field is None else [field]))

@@ -21,9 +21,15 @@ import pytest
 from tests.conftest import SF_SMOKE
 from tests.parity import duck_con
 
-# types whose pandas conversion is bit-identical to the Spark twin's
+# types whose pandas conversion is bit-identical to the Spark twin's.
+# DATE is deliberately EXCLUDED: DuckDB DATE renders via pandas as
+# Timestamp('YYYY-MM-DD 00:00:00') while Spark toPandas yields
+# datetime.date('YYYY-MM-DD') — _canon's str() fallback would
+# hash-mismatch. Oracles must strftime DATE results to VARCHAR.
+# TIMESTAMP stays: the parquet inputs store temporal columns as
+# timestamp[us], so both engines hand pandas the same Timestamp.
 SAFE = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UTINYINT", "USMALLINT",
-        "UINTEGER", "VARCHAR", "DOUBLE", "FLOAT", "BOOLEAN", "DATE",
+        "UINTEGER", "VARCHAR", "DOUBLE", "FLOAT", "BOOLEAN",
         "TIMESTAMP", "TIMESTAMP_NS"}
 
 

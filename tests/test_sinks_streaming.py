@@ -36,6 +36,71 @@ def test_redis_proto_sink(spark):
     assert r.value == '*3\r\n$3\r\nSET\r\n$5\r\nec:k1\r\n$11\r\n{"count":3}\r\n'
 
 
+def _resp_value(line: str) -> str:
+    """Extract the value bulk-string payload from a *3 SET RESP line."""
+    parts = line.split("\r\n")
+    # *3, $3, SET, $klen, key, $vlen, value, ''
+    assert parts[0] == "*3" and parts[2] == "SET"
+    assert int(parts[5].lstrip("$")) == len(parts[6].encode("utf-8"))
+    return parts[6]
+
+
+def test_redis_proto_pickle_serializer(spark):
+    """Binary serializer modes run (reference format.py:60-63) — they
+    were unexercised and broke under postponed annotations."""
+    import base64
+    import pickle
+
+    from sift_spark.sinks.formats import to_redis_proto
+
+    df = spark.createDataFrame([Row(_id="k1", count=3, name="x")])
+    [r] = to_redis_proto(df, key_col="_id", serializer="pickle").collect()
+    obj = pickle.loads(base64.b64decode(_resp_value(r.value)))
+    assert obj == {"count": 3, "name": "x"}
+    # field mode: value is str(field) then pickled
+    [r] = to_redis_proto(
+        df, key_col="_id", serializer="pickle", field="count"
+    ).collect()
+    assert pickle.loads(base64.b64decode(_resp_value(r.value))) == "3"
+
+
+def test_redis_proto_msgpack_serializer(spark):
+    from sift_spark.sinks.formats import to_redis_proto
+
+    msgpack = pytest.importorskip("msgpack")
+    import base64
+
+    df = spark.createDataFrame([Row(_id="k1", count=3)])
+    [r] = to_redis_proto(df, key_col="_id", serializer="msgpack").collect()
+    assert msgpack.unpackb(base64.b64decode(_resp_value(r.value))) == {"count": 3}
+
+
+def test_redis_proto_null_handling(spark):
+    """NULL fields match reference str()/json.dumps semantics: raw and
+    json+field emit "None"; json object mode keeps JSON null; no mode
+    ever emits a NULL RESP row (reference format.py:60-66)."""
+    from sift_spark.sinks.formats import to_redis_proto
+
+    df = spark.createDataFrame(
+        [Row(_id="k1", count=None, name="x")],
+        "_id string, count bigint, name string",
+    )
+    [r] = to_redis_proto(df, key_col="_id", serializer="raw", field="count").collect()
+    assert _resp_value(r.value) == "None"
+    [r] = to_redis_proto(df, key_col="_id", serializer="json", field="count").collect()
+    assert _resp_value(r.value) == '"None"'
+    [r] = to_redis_proto(df, key_col="_id", serializer="json").collect()
+    assert json.loads(_resp_value(r.value)) == {"count": None, "name": "x"}
+    import base64
+    import pickle
+
+    [r] = to_redis_proto(df, key_col="_id", serializer="pickle").collect()
+    assert pickle.loads(base64.b64decode(_resp_value(r.value))) == {
+        "count": None,
+        "name": "x",
+    }
+
+
 @pytest.fixture(scope="module")
 def events_dir(tmp_path_factory):
     # file stream sources require a directory, not a single file
