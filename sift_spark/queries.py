@@ -1183,59 +1183,11 @@ def q_ccnet_buckets(spark, sf_dir):
 
 
 QUERIES: dict[str, QueryFn] = {
-    # --- driver-sampled front block (first 50): the 6 r3 FAIL/ERR
-    # fixes lead for re-verification, then queries never checked by
-    # any round's driver gate (rotate per round until all have a pass)
-    "customer_profile": q_customer_profile,
-    "orders_checks": q_orders_checks,
-    "quality_bins": q_quality_bins,
-    "user_type_entropy": q_user_type_entropy,
-    "dedup_cluster_stats": q_dedup_cluster_stats,
-    "embedding_pca": q_embedding_pca,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "dedup_incremental": q_dedup_incremental,
-    "similar_docs": q_similar_docs,
-    "user_status_history": q_user_status_history,
-    "dedup_exact": q_dedup_exact,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_apply": q_dedup_apply,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_embedding": q_dedup_embedding,
-    "block_dedup": q_block_dedup,
-    "containment_pairs": q_containment_pairs,
-    "doc_novelty": q_doc_novelty,
-    "ann_topk_bruteforce": q_ann_topk_bruteforce,
-    "ann_lsh_bucketed": q_ann_lsh_bucketed,
-    "ann_ivf_bucketed": q_ann_ivf_bucketed,
-    "knn_label_propagation": q_knn_label_propagation,
-    "pq_codes": q_pq_codes,
-    "kmeans_clusters": q_kmeans_clusters,
-    "embedding_dim_stats": q_embedding_dim_stats,
-    "lang_id": q_lang_id,
-    "quality_score": q_quality_score,
-    "token_stats": q_token_stats,
-    "doc_fingerprint": q_doc_fingerprint,
-    "contamination_check": q_contamination_check,
-    "repetition_stats": q_repetition_stats,
-    "source_quota_sample": q_source_quota_sample,
-    "unigram_logprob": q_unigram_logprob,
-    "bigram_logprob": q_bigram_logprob,
-    "doc_entropy": q_doc_entropy,
-    "bpe_pair_counts": q_bpe_pair_counts,
-    "filtered_corpus": q_filtered_corpus,
-    "text_normalize": q_text_normalize,
-    "doc_chunks": q_doc_chunks,
-    "term_collocations": q_term_collocations,
-    "tfidf_search": q_tfidf_search,
-    "bm25_search": q_bm25_search,
-    "doc_top_terms": q_doc_top_terms,
-    "lang_confusion": q_lang_confusion,
-    "corpus_mix_report": q_corpus_mix_report,
-    "stratified_sample": q_stratified_sample,
-    "train_test_split": q_train_test_split,
-    "weighted_sample": q_weighted_sample,
-    "pack_sequences": q_pack_sequences,
+    # --- driver-sampled front block (first 50), round 5 rotation:
+    # the 33 oracle-paired queries with no driver-green record yet
+    # (VERDICT r4), then the 7 rows-only queries so each gets a
+    # driver rows+schema row, then canaries (queries changed this
+    # round + stable r4 greens)
     "pack_sequences_sharded": q_pack_sequences_sharded,
     "entity_pmi": q_entity_pmi,
     "q20_dominant_suppliers": q_q20_dominant_suppliers,
@@ -1262,7 +1214,6 @@ QUERIES: dict[str, QueryFn] = {
     "retention_cohorts": q_retention_cohorts,
     "rfm_segments": q_rfm_segments,
     "comention_triangles": q_comention_triangles,
-    "skipgram_embeddings": q_skipgram_embeddings,
     "events_mad": q_events_mad,
     "events_interarrival": q_events_interarrival,
     "basket_pairs": q_basket_pairs,
@@ -1270,16 +1221,70 @@ QUERIES: dict[str, QueryFn] = {
     "user_streaks": q_user_streaks,
     "price_band_join": q_price_band_join,
     "anchor_ambiguity": q_anchor_ambiguity,
+    "skipgram_embeddings": q_skipgram_embeddings,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_stats": q_multimodal_frame_stats,
     "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
+    "unigram_train": q_unigram_train,
+    "embedding_pca": q_embedding_pca,
+    "quality_classifier": q_quality_classifier,
+    "filtered_corpus": q_filtered_corpus,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "dedup_exact": q_dedup_exact,
+    "lang_id": q_lang_id,
+    "token_stats": q_token_stats,
+    "pack_sequences": q_pack_sequences,
+    "quality_bins": q_quality_bins,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    # --- previously driver-verified (r1-r4 green) ---
+    "customer_profile": q_customer_profile,
+    "orders_checks": q_orders_checks,
+    "user_type_entropy": q_user_type_entropy,
+    "dedup_cluster_stats": q_dedup_cluster_stats,
+    "dedup_incremental": q_dedup_incremental,
+    "similar_docs": q_similar_docs,
+    "user_status_history": q_user_status_history,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_apply": q_dedup_apply,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding": q_dedup_embedding,
+    "block_dedup": q_block_dedup,
+    "containment_pairs": q_containment_pairs,
+    "doc_novelty": q_doc_novelty,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "ann_ivf_bucketed": q_ann_ivf_bucketed,
+    "knn_label_propagation": q_knn_label_propagation,
+    "pq_codes": q_pq_codes,
+    "kmeans_clusters": q_kmeans_clusters,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "contamination_check": q_contamination_check,
+    "repetition_stats": q_repetition_stats,
+    "source_quota_sample": q_source_quota_sample,
+    "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
+    "doc_entropy": q_doc_entropy,
+    "text_normalize": q_text_normalize,
+    "doc_chunks": q_doc_chunks,
+    "term_collocations": q_term_collocations,
+    "tfidf_search": q_tfidf_search,
+    "bm25_search": q_bm25_search,
+    "doc_top_terms": q_doc_top_terms,
+    "lang_confusion": q_lang_confusion,
+    "corpus_mix_report": q_corpus_mix_report,
+    "stratified_sample": q_stratified_sample,
+    "train_test_split": q_train_test_split,
+    "weighted_sample": q_weighted_sample,
     "ccnet_buckets": q_ccnet_buckets,
     "hard_negatives": q_hard_negatives,
     "cluster_balanced_sample": q_cluster_balanced_sample,
-    "quality_classifier": q_quality_classifier,
     "snapshot_delta": q_snapshot_delta,
     "term_drift": q_term_drift,
-    "unigram_train": q_unigram_train,
     "label_spread": q_label_spread,
     "doc_srp_embeddings": q_doc_srp_embeddings,
     "decayed_counts": q_decayed_counts,
@@ -1311,8 +1316,6 @@ QUERIES: dict[str, QueryFn] = {
     "entity_hits": q_entity_hits,
     "ann_ivf_scaled": q_ann_ivf_scaled,
     "ann_lsh_scaled": q_ann_lsh_scaled,
-    "bpe_encode": q_bpe_encode,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "semantic_dedup": q_semantic_dedup,
     "dsir_weights": q_dsir_weights,
     "dedup_clusters_star": q_dedup_clusters_star,
