@@ -487,7 +487,7 @@ def stream_decayed_counts(events: DataFrame, half_life_hours: float = 24.0) -> D
         )
 
     keyed = events.select(
-        "user_id", "event_type", F.unix_timestamp("ts").alias("es")
+        "user_id", "event_type", F.unix_timestamp("ts_ts").alias("es")
     )
     return keyed.groupBy("user_id", "event_type").applyInPandasWithState(
         fn,

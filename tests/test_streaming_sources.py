@@ -302,6 +302,7 @@ def test_stream_decayed_counts_equals_batch(spark, tmp_path):
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*.parquet")
+        .withColumn("ts_ts", F.col("ts"))  # the streaming-surface contract column
     )
     out = tmp_path / "out"
     q = (
@@ -334,6 +335,38 @@ def test_stream_decayed_counts_equals_batch(spark, tmp_path):
         assert r.n_events == n_b, k
         forward = r.decayed_at_last * 0.5 ** ((T - r.last_t) / half)
         assert abs(forward - dec_b) < 1e-4, (k, forward, dec_b)
+
+
+def test_stream_decayed_counts_on_rate_source(spark):
+    """stream_decayed_counts keys on the streaming-surface ts_ts
+    contract column, so it runs unbounded on rate_event_stream like
+    every sibling stateful operator (regression: it used to reference
+    the batch-only ts column and threw unresolved-column here)."""
+    from sift_spark.streaming.events import stream_decayed_counts
+    from sift_spark.streaming.sources import rate_event_stream
+
+    events = rate_event_stream(spark, rows_per_second=200)
+    q = (
+        stream_decayed_counts(events)
+        .writeStream.format("memory")
+        .queryName("t_rate_decayed")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.table("t_rate_decayed").count()
+            if n > 0:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert n > 0, "rate-fed decayed counter produced no output within 30s"
+    row = spark.table("t_rate_decayed").collect()[0]
+    assert row.n_events >= 1 and row.decayed_at_last >= 1.0
 
 
 def test_expire_from_index_forgets_document(spark, tmp_path):
