@@ -620,8 +620,15 @@ def bpe_train(docs: DataFrame, n_merges: int = 10, min_count: int = 2,
     # distributed loop (same reference-equality test covers both);
     # pass collect_vocab_max=0 to force the distributed path for
     # unbounded vocabularies.
-    if collect_vocab_max and tf.count() <= collect_vocab_max:
-        vocab = {r["tok"]: r["tf"] for r in tf.collect()}
+    # ONE corpus aggregate: limit(max+1) both gates the fast path and
+    # fetches the vocab — exactly collect_vocab_max+1 rows cross the
+    # driver boundary in the worst case (a separate count() gate would
+    # run the corpus-sized tf aggregate twice)
+    rows = (
+        tf.limit(collect_vocab_max + 1).collect() if collect_vocab_max else []
+    )
+    if collect_vocab_max and len(rows) <= collect_vocab_max:
+        vocab = {r["tok"]: r["tf"] for r in rows}
         words = {w: (list(w), c) for w, c in vocab.items()}
         merges = []
         for rank in range(n_merges):
