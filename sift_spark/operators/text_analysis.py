@@ -404,9 +404,13 @@ def filtered_corpus(
     keyed on the text hash."""
     from sift_spark.operators.dedup import dedup_exact
 
-    # the dedup output feeds BOTH feature branches — without a persist
-    # the text-hash dedup shuffle and the corpus scan run twice
+    # the dedup output feeds BOTH feature branches; persist AND
+    # materialize it — the join's two input stages are scheduled
+    # concurrently, so a lazy persist races (both stages compute the
+    # dedup on cache misses, paying the cache writes on top: measured
+    # 1.50s lazy / 1.23s no-persist / 0.95s materialized at sf0.1)
     kept = dedup_exact(docs).persist()
+    kept.count()
     q = quality_score(kept).where(
         (F.col("n_tokens") >= min_tokens) & (F.col("score") >= min_score)
     )
