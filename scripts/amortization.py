@@ -75,6 +75,64 @@ QSET = [
     "temperature_sample",
     "entity_random_walks",
     "entity_node2vec",
+    # r4 additions (heavy never-measured ops)
+    "retrieval_triples",
+    "label_spread",
+    "corpus_topics",
+    "windowed_pmi",
+    "hard_negatives",
+    "heldout_backoff_logprob",
+    "doc_embedding_dup_pairs",
+    "doc_srp_embeddings",
+    "ccnet_buckets",
+    "cluster_balanced_sample",
+    "quality_classifier",
+    "snapshot_delta",
+    "term_drift",
+    "unigram_train",
+    "corpus_datacard",
+    "stratified_kfold",
+    "decayed_counts",
+    "event_transitions",
+    # r5 additions: broaden to >=80 shared queries — TPC-H joins,
+    # events tail, link models, text/quality, sampling, similarity
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "events_tumbling",
+    "events_sliding",
+    "events_funnel",
+    "retention_cohorts",
+    "user_streaks",
+    "session_stats",
+    "events_attribution",
+    "events_forecast",
+    "entity_comentions",
+    "mapped_comentions",
+    "entity_relatedness",
+    "name_disambig_baseline",
+    "anchor_ambiguity",
+    "quality_score",
+    "repetition_stats",
+    "bigram_logprob",
+    "bpe_pair_counts",
+    "contamination_check",
+    "doc_chunks",
+    "bm25_search",
+    "text_normalize",
+    "filtered_corpus",
+    "pack_sequences",
+    "dsir_weights",
+    "stratified_sample",
+    "kmeans_clusters",
+    "pq_codes",
+    "embedding_int8",
+    "knn_label_propagation",
+    "semantic_dedup",
 ]
 
 

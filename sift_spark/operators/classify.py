@@ -164,6 +164,11 @@ def logreg_train(docs: DataFrame, n_iter: int = 6) -> list[float]:
         )
         .groupBy("x1", "x2", "x3", "score")
         .agg(F.count(F.lit(1)).alias("m"))
+        # the grouped table is tiny (4.6k rows at sf1); one cached
+        # partition makes each IRLS round a single task instead of
+        # spark.sql.shuffle.partitions tasks (values are partitioning-
+        # independent by the decimal-exact construction)
+        .coalesce(1)
         .persist()
     )
     w = [0.0] * D
@@ -186,6 +191,40 @@ def logreg_train(docs: DataFrame, n_iter: int = 6) -> list[float]:
         m_dec = F.col("m").cast("decimal(14,0)")
         spark = docs.sparkSession
         w_schema = ", ".join(f"w{j} double" for j in range(D))
+
+        # the per-round expressions reference only COLUMNS (weights
+        # arrive through the broadcast relation below), so the whole
+        # expression forest is built ONCE — the nested decimal trees
+        # cost ~0.5s/round in py4j chatter if rebuilt inside the loop
+        margin = sum(F.col(x) * F.col(f"w{j}") for j, x in enumerate(xs))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+
+        def dsum(e):
+            # EXACT weighted sum: the group's per-row contribution
+            # quantized to a 15dp decimal, multiplied exactly by
+            # its multiplicity, summed with decimal arithmetic —
+            # identical on any partitioning/grouping and in the
+            # per-row DuckDB twin
+            return F.sum(m_dec * F.round(e, 15).cast("decimal(20,15)")).cast("double")
+
+        raw = [
+            dsum(F.col(x) * (F.col("p") - F.col("y"))).alias(f"g{j}")
+            for j, x in enumerate(xs)
+        ]
+        names = [f"g{j}" for j in range(D)]
+        for r in range(D):
+            for c in range(r, D):
+                raw.append(
+                    dsum(
+                        F.col(xs[r]) * F.col(xs[c]) * F.col("p") * (1 - F.col("p"))
+                    ).alias(f"h{r}{c}")
+                )
+                names.append(f"h{r}{c}")
+        # normalize by the fused count inside the same single-job
+        # plan: round(sum/n, 9) is the identical JVM double op
+        # whether n arrives as a literal or the count column
+        outs = [F.round(F.col(k) / F.col("n"), 9).alias(k) for k in names]
+
         for _ in range(n_iter):
             # weights ride in a 1-row broadcast LocalRelation, NOT as
             # literals: every round's plan then generates IDENTICAL
@@ -193,41 +232,10 @@ def logreg_train(docs: DataFrame, n_iter: int = 6) -> list[float]:
             # recompiling the 14 decimal aggregates per round
             # (measured ~1.0s → ~0.3s per round at sf1)
             wdf = spark.createDataFrame([tuple(w)], w_schema)
-            margin = sum(F.col(x) * F.col(f"w{j}") for j, x in enumerate(xs))
-            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
             pr = feat.crossJoin(F.broadcast(wdf)).withColumn("p", p)
-
-            def dsum(e):
-                # EXACT weighted sum: the group's per-row contribution
-                # quantized to a 15dp decimal, multiplied exactly by
-                # its multiplicity, summed with decimal arithmetic —
-                # identical on any partitioning/grouping and in the
-                # per-row DuckDB twin
-                return F.sum(m_dec * F.round(e, 15).cast("decimal(20,15)")).cast(
-                    "double"
-                )
-
-            raw = [
-                dsum(F.col(x) * (F.col("p") - F.col("y"))).alias(f"g{j}")
-                for j, x in enumerate(xs)
-            ]
-            names = [f"g{j}" for j in range(D)]
-            for r in range(D):
-                for c in range(r, D):
-                    raw.append(
-                        dsum(
-                            F.col(xs[r]) * F.col(xs[c]) * F.col("p") * (1 - F.col("p"))
-                        ).alias(f"h{r}{c}")
-                    )
-                    names.append(f"h{r}{c}")
-            # normalize by the fused count inside the same single-job
-            # plan: round(sum/n, 9) is the identical JVM double op
-            # whether n arrives as a literal or the count column
             row = (
                 pr.agg(*raw, F.sum("m").alias("n"))
-                .select(
-                    *[F.round(F.col(k) / F.col("n"), 9).alias(k) for k in names], "n"
-                )
+                .select(*outs, "n")
                 .collect()[0]
             )
             env = {k: float(row[k]) for k in names}
