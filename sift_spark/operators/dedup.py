@@ -174,9 +174,15 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> Da
     verify (tokenize + ngram + md5 is the dominant linear cost — the
     sf1 study measured the whole operator scaling ~linearly at ~12×
     per 10× data, so not recomputing the shingle pass matters); the
-    band table persists because it self-joins."""
+    band table persists because it self-joins. Both caches are
+    MATERIALIZED eagerly: the self-join's two input stages (and the
+    verify's three shingle scans) schedule concurrently, so a lazy
+    persist races — every branch recomputes the shingle pass on cache
+    misses and pays the cache writes on top (the filtered_corpus
+    lesson, measured there at 1.6×)."""
     sh = shingles(docs, n).persist()
     bt = _bands_from_signatures(_minhash_from_shingles(sh)).persist()
+    bt.count()  # materializes bt AND sh's cache underneath it
     cand = (
         bt.alias("l")
         .join(bt.alias("r"), (F.col("l.band") == F.col("r.band")) & (F.col("l.sig") == F.col("r.sig")))
@@ -325,6 +331,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     # persist: one long per doc, but both sides of the band self-join
     # would otherwise recompute the full tokenize+hash+aggregate chain
     st = simhash_table(docs).persist()
+    st.count()  # materialize: the self-join's input stages race a lazy cache
 
     def byte(col: Column, i) -> Column:
         return F.shiftright(col, 8 * i).bitwiseAND(F.lit(255))
@@ -376,10 +383,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     # persist: the (possibly df-capped) shingle table feeds both sides
     # of the self-join plus the per-doc size aggregate
     sh = shingles(docs, n).persist()
+    sh.count()  # materialize: self-join + size-agg stages race a lazy cache
     join_sh = sh
     if max_df is not None:
         rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
         join_sh = sh.join(rare.select("shingle"), "shingle").persist()
+        join_sh.count()
     # intersection sizes come straight off the shared-shingle join
     # (shingles are distinct per doc), skipping the candidate-distinct
     # + re-join passes — one shuffle join + one aggregate
@@ -447,6 +456,7 @@ def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> Da
     the same persisted shingle table); ``max_df`` capping applies
     identically at scale."""
     sh = shingles(docs, n).persist()
+    sh.count()  # materialize: self-join + size-agg stages race a lazy cache
     inter = (
         sh.alias("l")
         .join(sh.alias("r"), F.col("l.shingle") == F.col("r.shingle"))
@@ -479,6 +489,7 @@ def doc_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
     (no second corpus-wide shuffle shape beyond it), then a doc_id
     aggregate. No window over the corpus, no sort."""
     sh = shingles(docs, n).select("doc_id", "shingle").persist()
+    sh.count()  # materialize: the first-doc agg and the join race a lazy cache
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(first, "shingle")
@@ -806,6 +817,7 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
     exact jaccard with array intersection; equality with the unfiltered
     operator is property-tested."""
     sh = shingles(docs, n).persist()
+    sh.count()  # materialize: df-agg, prefix join and verify race a lazy cache
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(df_counts, "shingle")
     from pyspark.sql import Window

@@ -321,6 +321,7 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, nprobe: int = 2,
     ranked = emb.select("vec_id", "embedding").mapInPandas(
         rank_cells, "vec_id long, cid int, rn int"
     ).persist()
+    ranked.count()  # materialize: assign + probes race the Arrow chain otherwise
     assign = ranked.where(F.col("rn") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cid"
     )
