@@ -433,8 +433,16 @@ def fuzzy_name_pairs(customer: DataFrame, max_dist: int = 1) -> DataFrame:
             F.col("r.c_custkey").alias("k2"), F.col("r.c_name").alias("n2"),
         )
     )
+    # two equal-length names sharing a masked variant at position p are
+    # IDENTICAL everywhere except possibly p, so their edit distance is
+    # exactly (n1 != n2) — no DP levenshtein needed on the hot path
+    # (measured 10µs/pair → string equality at sf1's 3.1M candidates,
+    # 46.7s → ~15s). The DuckDB oracle keeps true levenshtein as the
+    # independent verify of this very claim.
     return (
-        cand.withColumn("dist", F.levenshtein("n1", "n2"))
+        cand.withColumn(
+            "dist", F.when(F.col("n1") == F.col("n2"), 0).otherwise(1).cast("int")
+        )
         .where(F.col("dist") <= max_dist)
         .select("k1", "k2", "dist")
     )
