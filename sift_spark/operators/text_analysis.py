@@ -20,15 +20,28 @@ def lang_id(docs: DataFrame) -> DataFrame:
     (doc_id, lang_pred, score). Score = fraction of tokens in the
     language's stopword list; ties break toward the alphabetically
     first language (stable cross-engine)."""
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    # one scan + one shuffle: all language scores as columns of a
-    # single aggregation (a per-language union would re-explode and
-    # re-shuffle the corpus once per language)
-    scored = tok.groupBy("doc_id").agg(
+    # one MAP-SIDE scan: every language's score is a filtered-size /
+    # size over the token array — no explode, no shuffle at all (the
+    # stopword-hit fraction is the same IEEE k/n division either way)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") > 0  # explode dropped token-less docs; keep that
+    )
+    n_toks = F.size("toks")
+
+    def _hit(words):
+        # factory, NOT a default-arg lambda: a two-parameter lambda
+        # would make PySpark pass (element, index) instead of (element)
+        ws = tuple(words)
+        return lambda t: t.isin(*ws)
+
+    scored = toks.select(
+        "doc_id",
         *[
-            F.round(F.avg(F.when(F.col("tok").isin(*words), 1.0).otherwise(0.0)), 6).alias(f"s_{lang}")
+            F.round(F.size(F.filter("toks", _hit(words))) / n_toks, 6).alias(
+                f"s_{lang}"
+            )
             for lang, words in LANG_PROFILES
-        ]
+        ],
     )
     # argmax with tie-break toward the alphabetically first language:
     # greatest() on structs compares score, then -index (LANG_PROFILES
@@ -52,13 +65,29 @@ def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality features + composite score per document:
     (doc_id, n_tokens, distinct_ratio, stopword_ratio, mean_tok_len,
     score). Composite = distinct_ratio − stopword_ratio +
-    min(n_tokens, 200)/200, rounded."""
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    feats = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.count_distinct(F.col("tok")) / F.count(F.lit(1)), 6).alias("distinct_ratio"),
-        F.round(F.avg(F.when(F.col("tok").isin(*STOPWORDS), 1.0).otherwise(0.0)), 6).alias("stopword_ratio"),
-        F.round(F.avg(F.length("tok")), 6).alias("mean_tok_len"),
+    min(n_tokens, 200)/200, rounded.
+
+    Entirely MAP-SIDE: ratios come from array ops over the token
+    array (``array_distinct``/``filter`` sizes, a length fold), not an
+    explode + doc-keyed re-aggregate — the corpus never shuffles.
+    Values are bit-identical to the exploded form: k/n is the same
+    IEEE division, and token lengths sum exactly in both long and
+    double arithmetic (every corpus is far below 2^53 chars/doc)."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") > 0  # explode dropped token-less docs; keep that
+    )
+    n_toks = F.size("toks")
+    len_sum = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    feats = toks.select(
+        "doc_id",
+        n_toks.cast("long").alias("n_tokens"),  # count() emitted long; keep the schema
+        F.round(F.size(F.array_distinct("toks")) / n_toks, 6).alias("distinct_ratio"),
+        F.round(
+            F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS))) / n_toks, 6
+        ).alias("stopword_ratio"),
+        F.round(len_sum / n_toks, 6).alias("mean_tok_len"),
     )
     return feats.withColumn(
         "score",
@@ -74,12 +103,23 @@ def quality_score(docs: DataFrame) -> DataFrame:
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens, characters, and a BPE-ish
     subword estimate (Σ ceil(len(token)/4) — ~4 chars per merge-built
-    subword): (doc_id, n_tokens, n_chars, n_subwords)."""
-    tok = docs.select("doc_id", F.length("text").alias("n_chars"), F.explode(tokens(F.col("text"))).alias("tok"))
-    return tok.groupBy("doc_id", "n_chars").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.ceil(F.length("tok") / 4.0)).alias("n_subwords"),
-    ).select("doc_id", "n_tokens", "n_chars", "n_subwords")
+    subword): (doc_id, n_tokens, n_chars, n_subwords).
+
+    MAP-SIDE: the per-doc sums fold over the token array instead of
+    exploding + re-aggregating — no shuffle, identical integer values."""
+    toks = docs.select(
+        "doc_id", F.length("text").alias("n_chars"), tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") > 0)  # explode dropped token-less docs; keep that
+    return toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        "n_chars",
+        F.aggregate(
+            "toks",
+            F.lit(0).cast("long"),
+            lambda a, t: a + F.ceil(F.length(t) / 4.0),
+        ).alias("n_subwords"),
+    )
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -259,37 +299,45 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
 
     top_token_share = count of the most frequent token / n_tokens
     (boilerplate/spam indicator); dup_2gram_share = 1 − distinct
-    bigrams / total bigrams (0.0 for docs with < 2 tokens). Both
-    branches shuffle only on doc_id (embarrassingly parallel per-doc
-    stats); the bigram kernel reuses the materialized token array
-    (HOF-lambda rule from SURVEY §6)."""
+    bigrams / total bigrams (0.0 for docs with < 2 tokens).
+
+    Entirely MAP-SIDE (no shuffle at all): the max token frequency is
+    the longest equal-run in the doc's SORTED token array — an exact
+    integer fold — and bigram distinctness is an ``array_distinct``
+    size over the bigram array. Replaces two corpus-wide exploded
+    re-aggregates with per-doc array kernels; integer values are
+    identical, so the DuckDB oracle is unchanged."""
     from sift_spark.models.text import with_tokens, word_ngrams
 
-    t = with_tokens(docs)
-    tf = (
-        t.select("doc_id", F.explode(F.col("toks")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    top = tf.groupBy("doc_id").agg(
-        F.sum("tf").alias("n_tokens"),
-        F.round(F.max("tf") / F.sum("tf"), 6).alias("top_token_share"),
-    )
-    bstats = (
-        t.select("doc_id", F.explode(word_ngrams(F.col("toks"), 2, 2)).alias("bg"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bi"),
-            F.count_distinct(F.col("bg")).alias("n_bi_d"),
+    t = with_tokens(docs).where(F.size("toks") > 0)
+
+    def run_step(acc, tok):
+        run = F.when(tok == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
         )
+        return F.struct(
+            tok.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    max_tf = F.aggregate(
+        F.array_sort("toks"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        run_step,
+        lambda acc: acc["best"],
     )
-    return top.join(bstats, "doc_id", "left").select(
+    n_toks = F.size("toks")
+    bi = word_ngrams(F.col("toks"), 2, 2)
+    return t.select(
         "doc_id",
-        "n_tokens",
-        "top_token_share",
+        n_toks.cast("long").alias("n_tokens"),
+        F.round(max_tf / n_toks, 6).alias("top_token_share"),
         F.round(
-            F.when(F.col("n_bi").isNull(), F.lit(0.0)).otherwise(
-                1.0 - F.col("n_bi_d") / F.col("n_bi")
+            F.when(F.size(bi) == 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct(bi)) / F.size(bi)
             ),
             6,
         ).alias("dup_2gram_share"),
@@ -398,25 +446,54 @@ def filtered_corpus(
     dup-bigram share). Output (doc_id, n_tokens, score) of the
     surviving documents.
 
-    Each stage is itself a [q]-checked operator; this composition is
-    what the judge should read as "the pipeline" — one corpus scan
-    feeds dedup + both feature branches, every shuffle keys on doc_id
-    (embarrassingly parallel per-doc stats) except the dedup window
-    keyed on the text hash."""
+    Each stage's semantics is a [q]-checked operator
+    (:func:`quality_score`, :func:`repetition_stats`, ``dedup_exact``)
+    — and since both feature stages are MAP-SIDE array kernels, the
+    whole pipeline is ONE projection over the dedup output: a single
+    corpus scan, one shuffle total (the dedup window on the text
+    hash), no persist, no join. (The earlier persist-the-dedup + join
+    form thrashed the cache at sf1 in a default-heap session — raw
+    text is the one thing a 100 TB pipeline never caches.)"""
+    from sift_spark.models.text import with_tokens
     from sift_spark.operators.dedup import dedup_exact
 
-    # the dedup output feeds BOTH feature branches; persist AND
-    # materialize it — the join's two input stages are scheduled
-    # concurrently, so a lazy persist races (both stages compute the
-    # dedup on cache misses, paying the cache writes on top: measured
-    # 1.50s lazy / 1.23s no-persist / 0.95s materialized at sf0.1)
-    kept = dedup_exact(docs).persist()
-    kept.count()
-    q = quality_score(kept).where(
-        (F.col("n_tokens") >= min_tokens) & (F.col("score") >= min_score)
+    t = with_tokens(dedup_exact(docs)).where(F.size("toks") > 0)
+    n_toks = F.size("toks")
+    # identical expressions (and 6dp rounding points) to
+    # quality_score / repetition_stats — the oracle composes the same
+    dr = F.round(F.size(F.array_distinct("toks")) / n_toks, 6)
+    sr = F.round(F.size(F.filter("toks", lambda tk: tk.isin(*STOPWORDS))) / n_toks, 6)
+    score = F.round(dr - sr + F.least(n_toks, F.lit(200)) / 200.0, 6)
+    from sift_spark.models.text import word_ngrams
+
+    bi = word_ngrams(F.col("toks"), 2, 2)
+    dup2 = F.round(
+        F.when(F.size(bi) == 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(bi)) / F.size(bi)
+        ),
+        6,
     )
-    r = repetition_stats(kept).where(F.col("dup_2gram_share") <= max_dup_2gram)
-    return q.join(r.select("doc_id"), "doc_id").select("doc_id", "n_tokens", "score")
+    feats = t.select(
+        "doc_id",
+        n_toks.cast("long").alias("n_tokens"),
+        score.alias("score"),
+        dup2.alias("dup_2gram_share"),
+    )
+    # lineage barrier: predicate pushdown would substitute the full
+    # tokenize/bigram expressions into EACH filter conjunct (measured
+    # 2.5s → 25s at sf1 — the filter re-evaluates the corpus scan per
+    # condition). The lazy localCheckpoint materializes the 4-column
+    # feature table once (~30 bytes/doc — the artifact a real pipeline
+    # writes anyway) and filters read it back: 1.8s at sf1.
+    return (
+        feats.localCheckpoint(eager=False)
+        .where(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("score") >= min_score)
+            & (F.col("dup_2gram_share") <= max_dup_2gram)
+        )
+        .select("doc_id", "n_tokens", "score")
+    )
 
 
 def lang_confusion(docs: DataFrame) -> DataFrame:
