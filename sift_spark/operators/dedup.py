@@ -382,7 +382,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     precision at high thresholds."""
     # persist: the (possibly df-capped) shingle table feeds both sides
     # of the self-join plus the per-doc size aggregate
-    sh = shingles(docs, n).persist()
+    sh = shingles(docs, n).select("doc_id", "shingle").persist()
     sh.count()  # materialize: self-join + size-agg stages race a lazy cache
     join_sh = sh
     if max_df is not None:
@@ -455,7 +455,7 @@ def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> Da
     ``ngram_jaccard_pairs`` (intersections off the join, sizes from
     the same persisted shingle table); ``max_df`` capping applies
     identically at scale."""
-    sh = shingles(docs, n).persist()
+    sh = shingles(docs, n).select("doc_id", "shingle").persist()
     sh.count()  # materialize: self-join + size-agg stages race a lazy cache
     inter = (
         sh.alias("l")
@@ -816,7 +816,7 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
     arrays (collect_list per doc — bounded by doc length) and computes
     exact jaccard with array intersection; equality with the unfiltered
     operator is property-tested."""
-    sh = shingles(docs, n).persist()
+    sh = shingles(docs, n).select("doc_id", "shingle").persist()
     sh.count()  # materialize: df-agg, prefix join and verify race a lazy cache
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(df_counts, "shingle")

@@ -231,7 +231,7 @@ def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 3) -> Da
     """
     from sift_spark.operators.dedup import shingles
 
-    doc_sh = shingles(docs, n).persist()
+    doc_sh = shingles(docs, n).select("doc_id", "shingle").persist()
     doc_sh.count()  # materialize: the size-agg and hit-join stages race a lazy cache
     bench_sh = shingles(benchmark, n).select("shingle").distinct()
     n_doc = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
