@@ -128,6 +128,7 @@ def main() -> None:
         "stratified_sample",
         "train_test_split",
         "repetition_stats",
+        "gopher_rules",
         "source_quota_sample",
         "unigram_logprob",
         "kmeans_clusters",

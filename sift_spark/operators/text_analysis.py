@@ -875,6 +875,71 @@ def bpe_encode(docs: DataFrame, merges: DataFrame) -> DataFrame:
     )
 
 
+# the Gopher paper's repetition-independent quality-rule stopword set
+# (Rae et al. 2021, §A1.1: a document must contain >=2 of these)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, min_words: int = 50, max_words: int = 100_000,
+                 min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                 max_symbol_frac: float = 0.1, min_alpha_frac: float = 0.8,
+                 min_stop_distinct: int = 1) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1, the
+    pre-training data quality rules most corpora start from):
+    per-document rule features plus the pass verdict.
+
+    Output (doc_id, n_words, mean_word_len, symbol_word_frac,
+    alpha_word_frac, n_stop_distinct, passes):
+
+    - ``mean_word_len`` ∈ [min_mean_len, max_mean_len]
+    - word count ∈ [min_words, max_words]
+    - ``symbol_word_frac`` (words containing '#' or '...')
+      ≤ max_symbol_frac
+    - ``alpha_word_frac`` (words with an alphabetic char)
+      ≥ min_alpha_frac
+    - ≥ ``min_stop_distinct`` distinct Gopher stopwords present
+      (the paper uses 2; the synthetic corpus carries at most 1)
+
+    Entirely MAP-SIDE array kernels over the token array (the §6.5
+    pattern): no explode, no shuffle — a pure projection the scan
+    fuses with, which is exactly what a 100 TB rule-filter pass must
+    be. All ratios are k/n integer divisions rounded at 6dp, so the
+    DuckDB oracle agrees bit-for-bit."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    mean_len = F.round(
+        F.aggregate("toks", F.lit(0).cast("long"), lambda a, t: a + F.length(t)) / n,
+        6,
+    )
+    symbol_frac = F.round(
+        F.size(F.filter("toks", lambda t: t.contains("#") | t.contains("..."))) / n, 6
+    )
+    alpha_frac = F.round(
+        F.size(F.filter("toks", lambda t: t.rlike("[a-z]"))) / n, 6
+    )
+    n_stop = F.size(
+        F.filter(F.array_distinct("toks"), lambda t: t.isin(*GOPHER_STOPWORDS))
+    ).cast("long")
+    out = toks.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_frac.alias("symbol_word_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stop_distinct"),
+    )
+    return out.withColumn(
+        "passes",
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_len, max_mean_len)
+        & (F.col("symbol_word_frac") <= max_symbol_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+        & (F.col("n_stop_distinct") >= min_stop_distinct),
+    )
+
+
 def quality_bins(docs: DataFrame) -> DataFrame:
     """Corpus quality histogram — the report used to pick the
     ``filtered_corpus`` score threshold: documents and token mass per

@@ -1543,3 +1543,30 @@ SELECT 'c_mktsegment' AS "column", count(*) AS n_rows,
        CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v, CAST(NULL AS DOUBLE) AS mean_v
 FROM customer
 """
+
+ORACLE["gopher_rules"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+),
+r AS (
+  SELECT doc_id,
+    CAST(n AS BIGINT) AS n_words,
+    round(list_sum(list_transform(toks, w -> length(w))) * 1.0 / n, 6) AS mean_word_len,
+    round(len(list_filter(toks, w -> contains(w, '#') OR contains(w, '...'))) * 1.0 / n, 6) AS symbol_word_frac,
+    round(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) * 1.0 / n, 6) AS alpha_word_frac,
+    CAST(len(list_filter(list_distinct(toks),
+         w -> w IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop_distinct
+  FROM f
+)
+SELECT *,
+  (n_words BETWEEN 50 AND 100000)
+  AND (mean_word_len BETWEEN 3.0 AND 10.0)
+  AND (symbol_word_frac <= 0.1)
+  AND (alpha_word_frac >= 0.8)
+  AND (n_stop_distinct >= 1) AS passes
+FROM r
+"""

@@ -557,6 +557,12 @@ def q_block_dedup(spark, sf_dir):
     return block_dedup(_docs(spark, sf_dir))
 
 
+def q_gopher_rules(spark, sf_dir):
+    from sift_spark.operators.text_analysis import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
 def q_repetition_stats(spark, sf_dir):
     from sift_spark.operators.text_analysis import repetition_stats
 
@@ -1188,6 +1194,7 @@ QUERIES: dict[str, QueryFn] = {
     # (VERDICT r4), then the 7 rows-only queries so each gets a
     # driver rows+schema row, then canaries (queries changed this
     # round + stable r4 greens)
+    "gopher_rules": q_gopher_rules,
     "pack_sequences_sharded": q_pack_sequences_sharded,
     "entity_pmi": q_entity_pmi,
     "q20_dominant_suppliers": q_q20_dominant_suppliers,

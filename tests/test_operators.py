@@ -660,3 +660,29 @@ def test_new_r3_operators_tolerate_empty_input(spark):
     assert unigram_train(docs).count() == 0
     # an empty corpus trains nothing: weights stay at init
     assert logreg_train(docs, n_iter=1) == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_gopher_rules_verdicts(spark):
+    """Rule semantics on handcrafted docs: a clean stopword-bearing
+    doc passes; too-short, symbol-heavy, and stopword-free docs fail
+    on exactly the expected rule."""
+    from pyspark.sql import Row
+
+    from sift_spark.operators.text_analysis import gopher_rules
+
+    good = " ".join(["the"] + ["word"] * 60)          # 61 words, has 'the'
+    short = "the tiny doc"                             # < min_words
+    hashy = " ".join(["the"] + ["#tag"] * 60)          # symbol frac ~1
+    nostop = " ".join(["word"] * 60)                   # no gopher stopword
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=good), Row(doc_id=2, text=short),
+         Row(doc_id=3, text=hashy), Row(doc_id=4, text=nostop)]
+    )
+    rows = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert rows[1].passes
+    assert not rows[2].passes and rows[2].n_words == 3
+    assert not rows[3].passes and rows[3].symbol_word_frac > 0.1
+    assert not rows[4].passes and rows[4].n_stop_distinct == 0
+    assert rows[1].n_stop_distinct == 1
+    # mean_word_len: (3 + 60*4) / 61 rounded
+    assert abs(rows[1].mean_word_len - round((3 + 60 * 4) / 61, 6)) < 1e-9
