@@ -129,6 +129,7 @@ def main() -> None:
         "train_test_split",
         "repetition_stats",
         "gopher_rules",
+        "gopher_repetition",
         "source_quota_sample",
         "unigram_logprob",
         "kmeans_clusters",

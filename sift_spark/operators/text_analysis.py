@@ -940,6 +940,76 @@ def gopher_rules(docs: DataFrame, min_words: int = 50, max_words: int = 100_000,
     )
 
 
+def gopher_repetition(docs: DataFrame, max_top2: float = 0.20,
+                      max_top3: float = 0.18, max_top4: float = 0.16,
+                      max_dup5: float = 0.15) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1, the
+    n-gram-repetition half of the filter; :func:`gopher_rules` is the
+    other half): per document, the token-mass fraction of the most
+    frequent {2,3,4}-gram and of duplicated 5-grams, plus the pass
+    verdict.
+
+    top_{n}gram_frac = (count of the most frequent n-gram) · n /
+    n_tokens; dup_5gram_frac = (n_5grams − distinct) · 5 / n_tokens,
+    capped at 1. (The paper measures character mass; token mass is the
+    deterministic rational-arithmetic analog — same monotonicity,
+    exact cross-engine equality.)
+
+    Entirely MAP-SIDE: each max-count is the longest equal-run in the
+    doc's SORTED n-gram array (the §6.5 exact integer fold), the dup
+    mass an ``array_distinct`` size — no explode, no shuffle.
+
+    Output (doc_id, n_tokens, top_2gram_frac, top_3gram_frac,
+    top_4gram_frac, dup_5gram_frac, passes)."""
+    from sift_spark.models.text import with_tokens, word_ngrams
+
+    t = with_tokens(docs).where(F.size("toks") > 0)
+    n = F.size("toks")
+
+    def run_step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            g.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    def max_count(k):
+        return F.aggregate(
+            F.array_sort(word_ngrams(F.col("toks"), k, k)),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            run_step,
+            lambda acc: acc["best"],
+        )
+
+    def top_frac(k):
+        return F.round(F.least(max_count(k) * k / n, F.lit(1.0)), 6)
+
+    g5 = word_ngrams(F.col("toks"), 5, 5)
+    dup5 = F.round(
+        F.least((F.size(g5) - F.size(F.array_distinct(g5))) * 5 / n, F.lit(1.0)), 6
+    )
+    out = t.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        top_frac(2).alias("top_2gram_frac"),
+        top_frac(3).alias("top_3gram_frac"),
+        top_frac(4).alias("top_4gram_frac"),
+        dup5.alias("dup_5gram_frac"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("top_2gram_frac") <= max_top2)
+        & (F.col("top_3gram_frac") <= max_top3)
+        & (F.col("top_4gram_frac") <= max_top4)
+        & (F.col("dup_5gram_frac") <= max_dup5),
+    )
+
+
 def quality_bins(docs: DataFrame) -> DataFrame:
     """Corpus quality histogram — the report used to pick the
     ``filtered_corpus`` score threshold: documents and token mass per

@@ -1570,3 +1570,47 @@ SELECT *,
   AND (n_stop_distinct >= 1) AS passes
 FROM r
 """
+
+ORACLE["gopher_repetition"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+g AS (
+  SELECT doc_id, n, k,
+         list_transform(generate_series(1, len(toks) - k + 1),
+                        i -> array_to_string(toks[i:i+k-1], ' ')) AS grams
+  FROM f, unnest([2, 3, 4, 5]) AS u(k)
+  WHERE len(toks) >= k
+),
+cnt AS (
+  SELECT doc_id, n, k, gram, count(*) AS c
+  FROM g, unnest(g.grams) AS gg(gram)
+  GROUP BY doc_id, n, k, gram
+),
+agg AS (
+  SELECT doc_id, n, k, max(c) AS maxc, sum(c) AS total, count(*) AS dis
+  FROM cnt GROUP BY doc_id, n, k
+),
+wide AS (
+  SELECT doc_id,
+         max(CASE WHEN k = 2 THEN maxc END) AS m2,
+         max(CASE WHEN k = 3 THEN maxc END) AS m3,
+         max(CASE WHEN k = 4 THEN maxc END) AS m4,
+         max(CASE WHEN k = 5 THEN total - dis END) AS d5
+  FROM agg GROUP BY doc_id
+),
+r AS (
+  SELECT f.doc_id, CAST(f.n AS BIGINT) AS n_tokens,
+         round(least(coalesce(w.m2, 0) * 2.0 / f.n, 1.0), 6) AS top_2gram_frac,
+         round(least(coalesce(w.m3, 0) * 3.0 / f.n, 1.0), 6) AS top_3gram_frac,
+         round(least(coalesce(w.m4, 0) * 4.0 / f.n, 1.0), 6) AS top_4gram_frac,
+         round(least(coalesce(w.d5, 0) * 5.0 / f.n, 1.0), 6) AS dup_5gram_frac
+  FROM f LEFT JOIN wide w USING (doc_id)
+)
+SELECT *,
+  (top_2gram_frac <= 0.20) AND (top_3gram_frac <= 0.18)
+  AND (top_4gram_frac <= 0.16) AND (dup_5gram_frac <= 0.15) AS passes
+FROM r
+"""

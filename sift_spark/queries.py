@@ -557,6 +557,12 @@ def q_block_dedup(spark, sf_dir):
     return block_dedup(_docs(spark, sf_dir))
 
 
+def q_gopher_repetition(spark, sf_dir):
+    from sift_spark.operators.text_analysis import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf_dir))
+
+
 def q_gopher_rules(spark, sf_dir):
     from sift_spark.operators.text_analysis import gopher_rules
 
@@ -1195,6 +1201,7 @@ QUERIES: dict[str, QueryFn] = {
     # driver rows+schema row, then canaries (queries changed this
     # round + stable r4 greens)
     "gopher_rules": q_gopher_rules,
+    "gopher_repetition": q_gopher_repetition,
     "pack_sequences_sharded": q_pack_sequences_sharded,
     "entity_pmi": q_entity_pmi,
     "q20_dominant_suppliers": q_q20_dominant_suppliers,

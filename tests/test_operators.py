@@ -686,3 +686,26 @@ def test_gopher_rules_verdicts(spark):
     assert rows[1].n_stop_distinct == 1
     # mean_word_len: (3 + 60*4) / 61 rounded
     assert abs(rows[1].mean_word_len - round((3 + 60 * 4) / 61, 6)) < 1e-9
+
+
+def test_gopher_repetition_verdicts(spark):
+    """Repetition-rule semantics: a repeated-phrase doc fails on the
+    top-2gram mass; a diverse doc passes; fractions match hand
+    counts."""
+    from pyspark.sql import Row
+
+    from sift_spark.operators.text_analysis import gopher_repetition
+
+    spam = " ".join(["buy now"] * 30)                      # 60 tokens
+    clean = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=spam), Row(doc_id=2, text=clean)]
+    )
+    rows = {r.doc_id: r for r in gopher_repetition(docs).collect()}
+    assert not rows[1].passes and rows[1].top_2gram_frac == 1.0
+    # 59 5-grams, only 2 distinct ("buy now buy now buy" / "now buy ...")
+    assert rows[1].dup_5gram_frac == 1.0
+    assert rows[2].passes
+    # clean doc: every 2-gram unique -> max count 1 -> 2/60
+    assert abs(rows[2].top_2gram_frac - round(2 / 60, 6)) < 1e-9
+    assert rows[2].dup_5gram_frac == 0.0
