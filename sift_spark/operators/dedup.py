@@ -657,12 +657,20 @@ def minhash_lsh_pairs_incremental(new_docs: DataFrame, index_bands: DataFrame,
     :func:`minhash_lsh_pairs` on old ∪ new and keeping pairs that
     touch a new doc (property-tested).
 
-    Deliberately NOT persisted: each frame is referenced at most twice
-    in the plan and recomputes map-side from the batch; a persist here
-    leaks one cached frame per micro-batch for the life of a streaming
-    session (the caller never gets a handle to unpersist)."""
-    new_bands = minhash_band_table(new_docs, n)
-    new_sh = shingles(new_docs, n).select("doc_id", "shingle")
+    The batch's band/shingle tables are localCheckpoint'ed, not
+    persist()'ed: the candidate union's two branches (and the verify)
+    schedule concurrently, so an unpersisted frame recomputes the
+    batch tokenize per branch (the §6.4 race), while a persist would
+    leak one cached frame per micro-batch for the life of a streaming
+    session (the caller never gets an unpersist handle). Checkpointed
+    RDDs are reference-counted by the ContextCleaner and reclaimed
+    when the returned frame is garbage-collected — batch-sized
+    materialization, no leak."""
+    new_sh_base = shingles(new_docs, n).localCheckpoint(eager=False)
+    new_bands = _bands_from_signatures(
+        _minhash_from_shingles(new_sh_base)
+    ).localCheckpoint(eager=False)
+    new_sh = new_sh_base.select("doc_id", "shingle")
 
     cross = (
         new_bands.alias("l")
