@@ -423,6 +423,8 @@ def test_per_doc_text_stats_have_no_shuffle(spark):
     (the corpus never shuffles for per-document statistics)."""
     from sift_spark.io import table
     from sift_spark.operators.text_analysis import (
+        gopher_repetition,
+        gopher_rules,
         lang_id,
         quality_score,
         repetition_stats,
@@ -430,7 +432,8 @@ def test_per_doc_text_stats_have_no_shuffle(spark):
     )
 
     docs = table(spark, SF_SMOKE, "documents")
-    for op in (quality_score, token_stats, lang_id, repetition_stats):
+    for op in (quality_score, token_stats, lang_id, repetition_stats,
+               gopher_rules, gopher_repetition):
         plan = _plan(op(docs))
         assert "Exchange" not in plan, f"{op.__name__}: unexpected shuffle"
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
