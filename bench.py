@@ -130,6 +130,7 @@ def main() -> None:
         "repetition_stats",
         "gopher_rules",
         "gopher_repetition",
+        "embedding_outliers",
         "source_quota_sample",
         "unigram_logprob",
         "kmeans_clusters",

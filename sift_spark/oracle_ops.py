@@ -1663,3 +1663,38 @@ JOIN uni ub ON ub.term = p.term_b
 CROSS JOIN tots t
 WHERE p.n >= 5
 """
+
+
+def _embedding_outliers_oracle(z_max: float = 2.0) -> str:
+    from sift_spark.functions.core import IVF_CENTROIDS
+
+    cell_values = ", ".join(
+        f"({c}, {_plane_sql(v)})" for c, v in enumerate(IVF_CENTROIDS)
+    )
+    return f"""
+WITH {EMB},
+cells(cid, cv) AS (VALUES {cell_values}),
+d AS (
+  SELECT e.vec_id, c.cid,
+         (list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+          + list_dot_product(c.cv, c.cv)) AS draw
+  FROM e, cells c
+),
+a AS (
+  SELECT vec_id, cid AS cluster, round(draw, 6) AS d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY draw, cid) AS rn FROM d)
+  WHERE rn = 1
+),
+s AS (
+  SELECT cluster, round(avg(d2), 6) AS m, round(stddev_pop(d2), 6) AS sd
+  FROM a GROUP BY cluster
+)
+SELECT a.vec_id, a.cluster, a.d2,
+       CASE WHEN s.sd > 0 THEN round((a.d2 - s.m) / s.sd, 6) END AS z,
+       coalesce(CASE WHEN s.sd > 0 THEN round((a.d2 - s.m) / s.sd, 6) END > {z_max},
+                false) AS is_outlier
+FROM a JOIN s USING (cluster)
+"""
+
+
+ORACLE_OPS["embedding_outliers"] = _embedding_outliers_oracle()

@@ -557,6 +557,12 @@ def q_block_dedup(spark, sf_dir):
     return block_dedup(_docs(spark, sf_dir))
 
 
+def q_embedding_outliers(spark, sf_dir):
+    from sift_spark.operators.similarity import embedding_outliers
+
+    return embedding_outliers(_emb(spark, sf_dir))
+
+
 def q_gopher_repetition(spark, sf_dir):
     from sift_spark.operators.text_analysis import gopher_repetition
 
@@ -1202,6 +1208,7 @@ QUERIES: dict[str, QueryFn] = {
     # round + stable r4 greens)
     "gopher_rules": q_gopher_rules,
     "gopher_repetition": q_gopher_repetition,
+    "embedding_outliers": q_embedding_outliers,
     "pack_sequences_sharded": q_pack_sequences_sharded,
     "entity_pmi": q_entity_pmi,
     "q20_dominant_suppliers": q_q20_dominant_suppliers,

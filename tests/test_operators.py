@@ -709,3 +709,28 @@ def test_gopher_repetition_verdicts(spark):
     # clean doc: every 2-gram unique -> max count 1 -> 2/60
     assert abs(rows[2].top_2gram_frac - round(2 / 60, 6)) < 1e-9
     assert rows[2].dup_5gram_frac == 0.0
+
+
+def test_embedding_outliers_flags_injected_outlier(spark):
+    """A vector pushed far from every centroid is flagged; the z
+    threshold behaves (members near their centroid are not)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from sift_spark.functions.core import IVF_CENTROIDS
+    from sift_spark.operators.similarity import embedding_outliers
+
+    rng = np.random.default_rng(7)
+    base = np.array(IVF_CENTROIDS[0])
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in base + rng.normal(0, 0.01, 64)])
+        for i in range(20)
+    ]
+    # scale ALONG the centroid direction: still nearest to centroid 0,
+    # but far out in its cluster's distance distribution
+    rows.append(Row(vec_id=99, embedding=[float(x) for x in base * 3.0]))
+    out = {r.vec_id: r for r in embedding_outliers(spark.createDataFrame(rows)).collect()}
+    assert out[99].is_outlier and out[99].z > 2.0
+    flagged = [v for v, r in out.items() if r.is_outlier]
+    assert flagged == [99]
+    assert all(r.d2 >= 0 for r in out.values())
