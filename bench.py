@@ -262,6 +262,17 @@ def main() -> None:
                 if base["queries"][q] > 0
             }
 
+    # The driver records only a (truncatable) stdout tail, so persist the
+    # complete per-query JSON to a stable artifact as well — per-query
+    # round-over-round grading needs all ~180 timings, not a regex-
+    # recoverable subset (round-5 verdict item #1).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+
     print(json.dumps(out))
 
 
