@@ -414,7 +414,20 @@ def fuzzy_name_pairs(customer: DataFrame, max_dist: int = 1) -> DataFrame:
     half-key collapsed to a single corpus-wide bucket (quadratic
     candidates — the classic low-entropy-block skew trap). Exact
     levenshtein verifies. For general insert/delete edits extend the
-    key set with deletion variants. Output (k1, k2, dist)."""
+    key set with deletion variants. Output (k1, k2, dist).
+
+    ``max_dist`` is capped at 1: single-position masking only
+    generates Hamming≤1 candidates, and the distance column is
+    derived from that blocking invariant (dist = n1 != n2), so a
+    larger radius would need more masked positions per variant, not
+    just a looser filter — requesting one raises rather than
+    silently returning the radius-1 pairs."""
+    if not 0 <= max_dist <= 1:
+        raise ValueError(
+            "fuzzy_name_pairs masks one position per variant, which "
+            f"generates Hamming<=1 candidates only; max_dist={max_dist} "
+            "requires k-position masking (extend the variant set)"
+        )
     c = customer.select("c_custkey", "c_name")
     masked = F.expr(
         "transform(sequence(1, length(c_name)), "

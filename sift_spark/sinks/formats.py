@@ -45,7 +45,12 @@ def _resp_bulk(col: Column) -> Column:
     )
 
 
-def _b64_value_udf(serializer: str, value_cols: list[str], field: str | None):
+def _b64_value_udf(
+    serializer: str,
+    value_cols: list[str],
+    field: str | None,
+    integral_cols: tuple[str, ...] = (),
+):
     """Arrow-batched serializer for the binary value modes (reference
     format.py:60-63): msgpack/pickle payloads are base64'd so the RESP
     stream stays a text line, exactly as the reference does."""
@@ -66,12 +71,21 @@ def _b64_value_udf(serializer: str, value_cols: list[str], field: str | None):
     def _native(v):
         # NULLs serialize as the reference does: str(None) → "None" in
         # field mode, dict value None in object mode (format.py:60-66).
-        if v is None or (isinstance(v, float) and v != v):
+        # pd.NA appears once integral columns are restored to Int64.
+        if v is None or v is pd.NA or (isinstance(v, float) and v != v):
             return None
         return v.item() if hasattr(v, "item") else v
 
     @F.pandas_udf("string")
     def ser(rows: pd.DataFrame) -> pd.Series:
+        # pandas widens a nullable integral column to float64 when the
+        # Arrow batch contains any NULL, so sibling non-null values
+        # would stringify as "3.0" where the reference's
+        # str(item[field]) sees an int. Restore pandas' nullable Int64
+        # dtype (3.0 → 3, NaN → pd.NA) before serializing.
+        for c in integral_cols:
+            if c in rows.columns and rows[c].dtype.kind == "f":
+                rows[c] = rows[c].astype("Int64")
         if field:
             objs = (str(_native(v)) for v in rows[field])
         else:
@@ -141,8 +155,19 @@ def to_redis_proto(
                 F.struct(*value_cols), {"ignoreNullFields": "false"}
             )
     else:
-        value = _b64_value_udf(serializer, value_cols, field)(
-            F.struct(*(value_cols if field is None else [field]))
+        from pyspark.sql import types as T
+
+        sel = value_cols if field is None else [field]
+        integral = tuple(
+            c
+            for c in sel
+            if isinstance(
+                df.schema[c].dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+            )
+        )
+        value = _b64_value_udf(serializer, value_cols, field, integral)(
+            F.struct(*sel)
         )
     return df.select(
         F.concat(
