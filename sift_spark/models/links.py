@@ -435,44 +435,59 @@ def entity_hits(links: DataFrame, n_iter: int = 5) -> DataFrame:
     weight every linking doc equally; HITS weights links by how well
     the linking doc's other links point at strong entities.
 
-    Scale shape mirrors entity_pagerank: the distinct edge list
-    persists once; each half-round is one keyed shuffle (join on the
-    score key + groupBy the other side). The iterations run
-    UNNORMALIZED: per-round L1 normalization is only a numerical-
-    stability device, and skipping it makes each round reference the
-    previous score table exactly once — the plan grows linearly like
-    PageRank's and the whole run stays ONE lazy plan with a single
-    final normalization crossJoin. (A per-round-normalized draft
-    referenced each raw-score table twice — score + its norm — so the
-    lazy unroll quadrupled the plan per round: a measured driver-heap
-    OOM at n_iter=5 in a default-heap session, and the identical
-    blowup hangs DuckDB's CTE inlining. The DuckDB oracle runs the
-    same unnormalized unroll.) Magnitudes grow ~(Σdeg)^n_iter per
-    round but stay far inside double range for any physical graph
-    (1e10 nodes × 5 rounds ≈ 1e50 ≪ 1e308); only the final
-    normalized values are emitted, rounded at the edge."""
+    Scale shape: bipartite HITS is power iteration on AᵀA, and AᵀA is
+    the entity COMENTION matrix M[e,e'] = #docs linking both (diagonal
+    = inlink counts): a_{t+1}(e) = Σ_{d∋e} Σ_{e'∈d} a_t(e') =
+    Σ_{e'} M[e,e']·a_t(e'). So the CORPUS is touched exactly twice —
+    once for M (the per-doc self-join fans out deg², bounded by
+    per-doc link counts) and once for a₁ = inlink counts — and every
+    iteration is a join+aggregate on the ENTITY comention graph, which
+    is corpus-independent in size (entities ≪ docs, always). The
+    unrolled edge-space form re-shuffled the corpus-sized edge list
+    2×n_iter times (~20 sequential stages at sf1 = the measured 9.9s
+    floor). Hub scores never materialize; project them post-hoc as
+    Σ_{e∈d} a(e) if needed.
+
+    Exactness across engines: every intermediate is an INTEGER carried
+    in doubles (counts, then integer-weighted integer sums), so both
+    the M-form and the edge-space unroll produce bit-identical values
+    regardless of summation order while magnitudes stay < 2^53 —
+    (Σdeg)^n_iter growth means ~10 effective digits per round; the
+    DuckDB oracle runs the same M-form iteration. The iterations run
+    UNNORMALIZED (per-round L1 norms would make each round reference
+    its predecessor twice — the 4^n lazy-unroll trap measured as a
+    driver-heap OOM); one final normalization crossJoin emits
+    round(a/Σa, 6)."""
     edges = links.select("doc_id", "target").distinct().persist()
-    hubs = edges.select("doc_id").distinct().select(
-        "doc_id", F.lit(1.0).alias("h")
+    # comention matrix, diagonal included; persisted because every
+    # iteration joins it (lazy, it would recompute the corpus
+    # self-join per round). Eager count per the shingle-family rule:
+    # the self-join's two input stages race a lazy cache, and it
+    # fills edges' cache for the a1 aggregate underneath.
+    M = (
+        edges.alias("l")
+        .join(edges.alias("r"), "doc_id")
+        .groupBy(F.col("l.target").alias("e"), F.col("r.target").alias("e2"))
+        .agg(F.count(F.lit(1)).cast("double").alias("m"))
+        .persist()
     )
-    a_raw = None
-    for _ in range(n_iter):
-        a_raw = (
-            edges.join(hubs, "doc_id")
-            .groupBy("target")
-            .agg(F.sum("h").alias("a_raw"))
-        )
-        hubs = (
-            edges.join(a_raw.select(F.col("target"), F.col("a_raw").alias("a")), "target")
-            .groupBy("doc_id")
-            .agg(F.sum("a").alias("h"))
+    M.count()
+    a = edges.groupBy("target").agg(
+        F.count(F.lit(1)).cast("double").alias("a_raw")
+    )
+    for _ in range(n_iter - 1):
+        a = (
+            M.join(a.select(F.col("target").alias("e2"), "a_raw"), "e2")
+            .groupBy("e")
+            .agg(F.sum(F.col("m") * F.col("a_raw")).alias("a_raw"))
+            .select(F.col("e").alias("target"), "a_raw")
         )
     # the final table is referenced twice (values + norm) — persist the
     # entity-sized result so the norm branch doesn't re-execute the
-    # whole iteration chain
-    a_raw = a_raw.persist()
-    a_norm = a_raw.agg(F.sum("a_raw").alias("a_tot"))
-    return a_raw.crossJoin(F.broadcast(a_norm)).select(
+    # iteration chain
+    a = a.persist()
+    a_norm = a.agg(F.sum("a_raw").alias("a_tot"))
+    return a.crossJoin(F.broadcast(a_norm)).select(
         F.col("target").alias("entity"),
         F.round(F.col("a_raw") / F.col("a_tot"), 6).alias("authority"),
     )

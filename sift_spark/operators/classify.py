@@ -224,26 +224,66 @@ def logreg_train(docs: DataFrame, n_iter: int = 6) -> list[float]:
         # plan: round(sum/n, 9) is the identical JVM double op
         # whether n arrives as a literal or the count column
         outs = [F.round(F.col(k) / F.col("n"), 9).alias(k) for k in names]
+        w_cols = [f"w{j}" for j in range(D)]
+        # the producing weights ride through the aggregate (they are
+        # constant over the 1-row crossJoin) so a fused second
+        # half-step — and the driver's final solve — can read them
+        w_rides = [F.min(f"w{j}").alias(f"w{j}") for j in range(D)]
 
-        for _ in range(n_iter):
-            # weights ride in a 1-row broadcast LocalRelation, NOT as
+        def _partials(wdf):
+            # weights ride in a 1-row broadcast frame, NOT as
             # literals: every round's plan then generates IDENTICAL
             # code, so Janino's codegen cache hits instead of
             # recompiling the 14 decimal aggregates per round
             # (measured ~1.0s → ~0.3s per round at sf1)
-            wdf = spark.createDataFrame([tuple(w)], w_schema)
             pr = feat.crossJoin(F.broadcast(wdf)).withColumn("p", p)
-            row = (
-                pr.agg(*raw, F.sum("m").alias("n"))
-                .select(*outs, "n")
-                .collect()[0]
+            return pr.agg(*raw, F.sum("m").alias("n"), *w_rides).select(
+                *outs, *w_cols
             )
+
+        def _sql_step(partials):
+            # the identical Newton solve the driver performs, as
+            # generated SQL over the 1-row partials frame: ridge the
+            # diagonal, evaluate the SAME Cramer formula strings
+            # (same IEEE ops in the same order), 9dp-round the deltas.
+            # Fusing two half-steps per action halves the sequential
+            # driver round-trips — the floor the sf1 study measured.
+            ridged = partials.select(
+                *[F.col(f"g{j}") for j in range(D)],
+                *[
+                    (F.col(f"h{r}{c}") + F.lit(RIDGE)).alias(f"h{r}{c}")
+                    if r == c
+                    else F.col(f"h{r}{c}")
+                    for r in range(D)
+                    for c in range(r, D)
+                ],
+                *w_cols,
+            )
+            return ridged.select(
+                *[
+                    (F.col(f"w{j}") - F.round(F.expr(_DELTAS[j]), 9)).alias(f"w{j}")
+                    for j in range(D)
+                ]
+            )
+
+        it = 0
+        while it < n_iter:
+            wdf = spark.createDataFrame([tuple(w)], w_schema)
+            if n_iter - it >= 2:
+                # two IRLS half-steps share one action: round k's
+                # partials stay a 1-row frame solved in-plan, only
+                # round k+1's partials return to the driver
+                row = _partials(_sql_step(_partials(wdf))).collect()[0]
+                it += 2
+            else:
+                row = _partials(wdf).collect()[0]
+                it += 1
             env = {k: float(row[k]) for k in names}
             for j in range(D):
                 env[f"h{j}{j}"] += RIDGE
             for j in range(D):
                 d = eval(_DELTAS[j], {"__builtins__": {}}, env)  # noqa: S307 — generated arithmetic, shared verbatim with the SQL oracle
-                w[j] -= round(d, 9)
+                w[j] = float(row[f"w{j}"]) - round(d, 9)
     finally:
         g.unpersist()
     return w

@@ -164,7 +164,9 @@ def minhash_band_table(docs: DataFrame, n: int = 3) -> DataFrame:
     return _bands_from_signatures(minhash_signatures(docs, n))
 
 
-def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8, sh: DataFrame | None = None
+) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact-jaccard verify:
     (doc1, doc2, jaccard). Candidates come from band-bucket equi-joins
     (never a cross join); jaccard is computed exactly on the candidate
@@ -179,10 +181,24 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> Da
     verify's three shingle scans) schedule concurrently, so a lazy
     persist races — every branch recomputes the shingle pass on cache
     misses and pays the cache writes on top (the filtered_corpus
-    lesson, measured there at 1.6×)."""
-    sh = shingles(docs, n).persist()
+    lesson, measured there at 1.6×).
+
+    EAGER-EXECUTION CONTRACT (applies to every shingle-family
+    operator that persists an intermediate it consumes from multiple
+    branches — minhash/simhash/ngram/prefix/containment/novelty):
+    construction launches the materializing job immediately rather
+    than returning a fully lazy plan; that is the price of the race
+    above. The caches are owned by the returned plan: they are
+    reclaimed by Spark's ContextCleaner when the result DataFrame is
+    garbage-collected, so repeated calls in one session do not grow
+    unboundedly, but callers holding many results concurrently hold
+    their caches too. Passing a pre-built ``sh`` (see parameter)
+    skips both the persist and the eager job — the caller owns that
+    table's lifecycle."""
+    if sh is None:
+        sh = shingles(docs, n).persist()
     bt = _bands_from_signatures(_minhash_from_shingles(sh)).persist()
-    bt.count()  # materializes bt AND sh's cache underneath it
+    bt.count()  # materializes bt AND (when owned) sh's cache underneath it
     cand = (
         bt.alias("l")
         .join(bt.alias("r"), (F.col("l.band") == F.col("r.band")) & (F.col("l.sig") == F.col("r.sig")))
@@ -372,18 +388,23 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        sh: DataFrame | None = None) -> DataFrame:
     """Exact jaccard over token n-gram shingle sets for pairs sharing
     ≥1 shingle: (doc1, doc2, jaccard ≥ threshold).
 
     ``max_df`` (scale path): drop shingles appearing in more than
     max_df docs before pairing — ubiquitous shingles dominate the
     candidate join while contributing almost nothing to jaccard
-    precision at high thresholds."""
-    # persist: the (possibly df-capped) shingle table feeds both sides
-    # of the self-join plus the per-doc size aggregate
-    sh = shingles(docs, n).select("doc_id", "shingle").persist()
-    sh.count()  # materialize: self-join + size-agg stages race a lazy cache
+    precision at high thresholds. ``sh``: optional pre-materialized
+    ``shingles(docs, n)`` table (see minhash_lsh_pairs docstring)."""
+    if sh is None:
+        # persist: the (possibly df-capped) shingle table feeds both
+        # sides of the self-join plus the per-doc size aggregate
+        sh = shingles(docs, n).select("doc_id", "shingle").persist()
+        sh.count()  # materialize: self-join + size-agg stages race a lazy cache
+    else:
+        sh = sh.select("doc_id", "shingle")
     join_sh = sh
     if max_df is not None:
         rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
@@ -444,7 +465,8 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4, n_blocks: int = 
     )
 
 
-def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                      sh: DataFrame | None = None) -> DataFrame:
     """Shingle containment |A∩B| / min(|A|,|B|) for pairs sharing ≥1
     shingle: (doc1, doc2, containment ≥ threshold). Containment
     catches subset duplication (a doc quoted or embedded inside a
@@ -455,8 +477,11 @@ def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> Da
     ``ngram_jaccard_pairs`` (intersections off the join, sizes from
     the same persisted shingle table); ``max_df`` capping applies
     identically at scale."""
-    sh = shingles(docs, n).select("doc_id", "shingle").persist()
-    sh.count()  # materialize: self-join + size-agg stages race a lazy cache
+    if sh is None:
+        sh = shingles(docs, n).select("doc_id", "shingle").persist()
+        sh.count()  # materialize: self-join + size-agg stages race a lazy cache
+    else:
+        sh = sh.select("doc_id", "shingle")
     inter = (
         sh.alias("l")
         .join(sh.alias("r"), F.col("l.shingle") == F.col("r.shingle"))
@@ -477,7 +502,8 @@ def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> Da
     )
 
 
-def doc_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+def doc_novelty(docs: DataFrame, n: int = 3,
+                sh: DataFrame | None = None) -> DataFrame:
     """Per-document novelty: the fraction of its distinct shingles
     never seen in any EARLIER document (doc_id order — ingestion
     order at scale): (doc_id, n_shingles, n_novel, novelty). The
@@ -488,8 +514,11 @@ def doc_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
     on the shingle (one corpus shuffle), joined back on the same key
     (no second corpus-wide shuffle shape beyond it), then a doc_id
     aggregate. No window over the corpus, no sort."""
-    sh = shingles(docs, n).select("doc_id", "shingle").persist()
-    sh.count()  # materialize: the first-doc agg and the join race a lazy cache
+    if sh is None:
+        sh = shingles(docs, n).select("doc_id", "shingle").persist()
+        sh.count()  # materialize: the first-doc agg and the join race a lazy cache
+    else:
+        sh = sh.select("doc_id", "shingle")
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(first, "shingle")
@@ -699,7 +728,7 @@ def minhash_lsh_pairs_incremental(new_docs: DataFrame, index_bands: DataFrame,
 
 
 def similar_docs(docs: DataFrame, query_doc_id: int, k: int = 10,
-                 n: int = 3) -> DataFrame:
+                 n: int = 3, sh: DataFrame | None = None) -> DataFrame:
     """One-vs-corpus similarity lookup: the ``k`` documents most
     similar to ``query_doc_id`` by exact shingle jaccard —
     (doc_id, jaccard, rank).
@@ -711,7 +740,7 @@ def similar_docs(docs: DataFrame, query_doc_id: int, k: int = 10,
     TakeOrderedAndProject."""
     from pyspark.sql import Window
 
-    sh = shingles(docs, n).select("doc_id", "shingle")
+    sh = (shingles(docs, n) if sh is None else sh).select("doc_id", "shingle")
     q_sh = sh.where(F.col("doc_id") == query_doc_id).select("shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     q_size = sizes.where(F.col("doc_id") == query_doc_id).select(
@@ -804,7 +833,8 @@ def duplicate_spans(docs: DataFrame, l: int = 5) -> DataFrame:
 
 
 def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
-                               threshold: float = 0.8) -> DataFrame:
+                               threshold: float = 0.8,
+                               sh: DataFrame | None = None) -> DataFrame:
     """Prefix-filtered exact jaccard pairs — same output contract as
     ``ngram_jaccard_pairs`` (doc1, doc2, jaccard ≥ threshold), built
     with the positional prefix filter of PPJoin (Xiao et al. 2011).
@@ -824,8 +854,11 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
     arrays (collect_list per doc — bounded by doc length) and computes
     exact jaccard with array intersection; equality with the unfiltered
     operator is property-tested."""
-    sh = shingles(docs, n).select("doc_id", "shingle").persist()
-    sh.count()  # materialize: df-agg, prefix join and verify race a lazy cache
+    if sh is None:
+        sh = shingles(docs, n).select("doc_id", "shingle").persist()
+        sh.count()  # materialize: df-agg, prefix join and verify race a lazy cache
+    else:
+        sh = sh.select("doc_id", "shingle")
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(df_counts, "shingle")
     from pyspark.sql import Window
@@ -863,7 +896,8 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
 
 
 def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        sh: DataFrame | None = None) -> DataFrame:
     """Fuzzy (MinHash-LSH) benchmark decontamination: corpus documents
     NEAR-duplicating an eval-set document — the screen that catches
     paraphrased/partially-edited leakage `contamination_check`'s exact
@@ -896,7 +930,8 @@ def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
         ).alias(f"mh_{i}")
         for i in range(MINHASH_K)
     ] + [F.count(F.lit(1)).alias("n_sh")]
-    sig = shingles(docs, n).groupBy("doc_id").agg(*sig_aggs).persist()
+    corpus_sh = shingles(docs, n) if sh is None else sh
+    sig = corpus_sh.groupBy("doc_id").agg(*sig_aggs).persist()
     bsh = shingles(benchmark, n).persist()
     bt = _bands_from_signatures(sig)
     bbt = _bands_from_signatures(_minhash_from_shingles(bsh))
@@ -911,7 +946,13 @@ def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
         .persist()
     )
     cand_docs = cand.select(F.col("doc1").alias("doc_id")).distinct()
-    csh = shingles(docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"), n)
+    # exact-jaccard verify touches only candidate documents: with a
+    # shared pre-materialized shingle table, prune it by doc_id;
+    # otherwise re-tokenize just the candidate slice of the corpus
+    if sh is None:
+        csh = shingles(docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"), n)
+    else:
+        csh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     n2 = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n2"))
     inter = (
         cand.join(csh.select(F.col("doc_id").alias("doc1"), "shingle"), "doc1")

@@ -692,7 +692,12 @@ def event_transitions(events: DataFrame, min_count: int = 2) -> DataFrame:
 
     Shape: one user-keyed ordered lag window (each user's history
     sorts within its partition), then a (from,to)-keyed count — both
-    map-side-combinable after the window shuffle."""
+    map-side-combinable after the window shuffle. Row normalization is
+    a partition window over the k²-row transition matrix, NOT a
+    re-aggregate + join back: referencing the counted frame twice made
+    the whole lag-window pipeline compute twice (no exchange reuse —
+    the two consumers aggregate differently; measured 0.67→1.47s at
+    sf0.1 when a broadcast join was introduced here in round 5)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(
@@ -709,14 +714,14 @@ def event_transitions(events: DataFrame, min_count: int = 2) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = tr.groupBy("from_type").agg(F.sum("n").alias("row_n"))
     return (
-        tr.join(F.broadcast(tot), "from_type")
-        .select(
+        tr.select(
             "from_type",
             "to_type",
             "n",
-            F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
+            F.round(
+                F.col("n") / F.sum("n").over(Window.partitionBy("from_type")), 6
+            ).alias("p"),
         )
         .where(F.col("n") >= min_count)
     )

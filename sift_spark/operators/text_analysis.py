@@ -216,7 +216,12 @@ def bm25_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
     return _ranked_topk(scored, k)
 
 
-def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 3) -> DataFrame:
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """Benchmark-contamination screen for training corpora: per doc,
     the fraction of its distinct token n-gram shingles that appear
     anywhere in the benchmark (eval) set.
@@ -225,24 +230,27 @@ def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 3) -> Da
 
     Scale shape: eval sets are tiny relative to the corpus, so the
     benchmark shingle set is broadcast and the hit-test is a
-    broadcast left-semi join — the 100 TB side never shuffles; the
-    only keyed shuffle is the per-doc count aggregate. The doc
-    shingle table is persisted (feeds both the size and hit counts).
+    broadcast LEFT join carrying a hit marker — the 100 TB side never
+    shuffles, and BOTH counts (total and contaminated) come out of
+    ONE conditional aggregate on doc_id, so the corpus shingle table
+    is scanned once, with no persist and no doc⋈doc join. (The
+    earlier size-agg + semi-join + join shape cost two aggregates
+    plus a join and a cache build — measured 9.1s vs DuckDB's 1.2s at
+    sf1.) ``sh``: optional pre-materialized ``shingles(docs, n)``.
     """
     from sift_spark.operators.dedup import shingles
 
-    doc_sh = shingles(docs, n).select("doc_id", "shingle").persist()
-    doc_sh.count()  # materialize: the size-agg and hit-join stages race a lazy cache
-    bench_sh = shingles(benchmark, n).select("shingle").distinct()
-    n_doc = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    n_hit = (
-        doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    doc_sh = (shingles(docs, n) if sh is None else sh).select("doc_id", "shingle")
+    bench_sh = (
+        shingles(benchmark, n).select("shingle").distinct().withColumn("hit", F.lit(1))
     )
     return (
-        n_doc.join(n_hit, "doc_id", "left")
-        .fillna(0, subset=["n_contaminated"])
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
         .withColumn(
             "contamination", F.round(F.col("n_contaminated") / F.col("n_shingles"), 6)
         )
@@ -371,11 +379,15 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     Docs with < 2 tokens have no bigrams and drop out (same rows as
     the SQL twin).
 
-    Shape: one map-side pair explode feeds both corpus counts and the
-    per-doc stream; counts shuffle on (w1, w2) / (w1); the score join
-    hashes on the pair key. The conditional-probability table is
-    bounded by corpus bigram diversity (Zipf-bounded far below N²) —
-    AQE splits the skewed head keys."""
+    Shape: ONE map-side pair explode (persisted — it previously
+    recomputed the tokenize+explode pass three times: corpus counts,
+    head counts, and the score join; measured 6.2s vs DuckDB 1.3s at
+    sf1) feeds the bigram counts and the per-doc stream; the head
+    counts are derived from the bigram table itself (c1 = Σ_w2 c12 —
+    exact integer arithmetic, never a second corpus aggregate); the
+    score join hashes on the pair key. The conditional-probability
+    table is bounded by corpus bigram diversity (Zipf-bounded far
+    below N²) — AQE splits the skewed head keys."""
     from sift_spark.models.text import with_tokens
 
     t = with_tokens(docs).where(F.size("toks") >= 2)
@@ -390,9 +402,11 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
                 ),
             )
         ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    head = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    ).select("doc_id", "p.w1", "p.w2").persist()
+    pairs.count()  # materialize: count-agg and score-join stages race a lazy cache
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
+    big.count()  # two consumers (lp join + head agg) race a lazy cache
+    head = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     lp = big.join(head, "w1").select(
         "w1", "w2", F.log(F.col("c12") / F.col("c1")).alias("lp")
     )
@@ -453,7 +467,19 @@ def filtered_corpus(
     corpus scan, one shuffle total (the dedup window on the text
     hash), no persist, no join. (The earlier persist-the-dedup + join
     form thrashed the cache at sf1 in a default-heap session — raw
-    text is the one thing a 100 TB pipeline never caches.)"""
+    text is the one thing a 100 TB pipeline never caches.)
+
+    BATCH-ONLY / fault-tolerance tradeoff: the pushdown barrier is a
+    lazy ``localCheckpoint``, which truncates lineage and stores
+    unreplicated blocks — on a multi-executor cluster an executor
+    loss mid-job fails the job (resubmit rather than recompute), and
+    a streaming DataFrame is rejected outright. That is deliberate:
+    the feature table is the ~30-byte/doc artifact a production
+    pipeline writes to durable storage anyway (then filters read the
+    parquet back, giving both the barrier and fault tolerance); the
+    in-session checkpoint is the test/interactive form. A plain
+    persist() would keep lineage but re-derives the corpus scan per
+    lost partition and pins the cache for the session."""
     from sift_spark.models.text import with_tokens
     from sift_spark.operators.dedup import dedup_exact
 
@@ -1064,9 +1090,13 @@ def ccnet_buckets(docs: DataFrame, approx: bool = False,
     """
     from pyspark.sql import Window
 
+    # doc-sized (doc_id, lang, score) — persisted because both the
+    # per-lang counts and the rank consume it, and recomputing it
+    # replays the whole corpus-bigram LM pipeline
     scored = bigram_logprob(docs).join(
         docs.select("doc_id", "lang"), "doc_id"
-    )
+    ).persist()
+    scored.count()  # materialize: the two consumers race a lazy cache
     if approx:
         cuts = scored.groupBy("lang").agg(
             F.percentile_approx("avg_bigram_logprob", 2.0 / 3.0, accuracy).alias("c_head"),
@@ -1273,34 +1303,50 @@ def retrieval_triples(docs: DataFrame, n_query_terms: int = 2, k_neg: int = 2,
     BM25-negative mining step of dual-encoder training. Output
     (doc_id, query_terms, neg_rank, neg_id, neg_score).
 
-    Shape: the per-doc top-terms window (post-agg rows), then ONE
-    term-keyed join query-terms × posting-lists scored by sqrt(tf)·idf
-    and a per-query top-k window. ``max_df`` caps the posting list a
-    query term may join (the scale lever: a stopword-like query term
-    would otherwise fan out to the whole corpus)."""
+    Shape: ONE corpus tokenize pass — the (doc, term) tf table is
+    persisted and every derived table (document frequencies, idf, the
+    tf-idf weights) is an aggregate or join OVER it: df = per-term
+    row count of tf (exact — tf is one row per (doc, term)), idf =
+    ln(N/df), bit-identical to the term_idfs operator it previously
+    recomputed the corpus for (the lazy DAG re-tokenized the corpus
+    ~4× across the wts/df_caps/idf branches; measured 8.3s vs DuckDB
+    3.3s at sf1). Then the per-doc top-terms window (post-agg rows),
+    ONE term-keyed join query-terms × posting-lists scored by
+    sqrt(tf)·idf and a per-query top-k window. ``max_df`` caps the
+    posting list a query term may join (the scale lever: a
+    stopword-like query term would otherwise fan out to the whole
+    corpus)."""
     from pyspark.sql import Window
 
-    from sift_spark.models.text import term_idfs, with_tokens
+    from sift_spark.models.text import with_tokens
 
     tf = (
         with_tokens(docs)
         .select("doc_id", F.explode(F.col("toks")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
-    idf = term_idfs(docs, min_df=min_df)
+    tf.count()  # materialize: wts / df branches race a lazy cache
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = (
+        dfs.where(F.col("df") > min_df)
+        .crossJoin(n)
+        .select("term", F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"))
+    )
     wts = tf.join(idf, "term").select(
         "doc_id", "term", (F.sqrt(F.col("tf")) * F.col("idf")).alias("wt")
-    )
+    ).persist()
+    wts.count()  # materialize: qterms + postings race a lazy cache
     rk = Window.partitionBy("doc_id").orderBy(F.col("wt").desc(), F.col("term").asc())
     qterms = (
         wts.withColumn("rn", F.row_number().over(rk))
         .where(F.col("rn") <= n_query_terms)
         .select(F.col("doc_id").alias("q_doc"), "term")
     )
-    df_caps = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     postings = (
-        wts.join(df_caps.where(F.col("df") <= max_df), "term")
+        wts.join(dfs.where(F.col("df") <= max_df).select("term"), "term")
         .select("term", F.col("doc_id").alias("cand"), "wt")
     )
     scored = (
@@ -1339,9 +1385,13 @@ def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
     top_terms) for buckets holding >= ``min_docs`` docs — the
     "what is in my corpus" inspection artifact.
 
-    Shape: SRP sums (one (doc,dim) aggregate), map-side sign packing,
-    a (topic, term) tf aggregate against broadcast corpus totals, one
-    per-topic rank window on post-agg rows."""
+    Shape: SRP sums (one (doc,dim) aggregate, persisted doc-sized),
+    map-side sign packing, ONE (topic, term) tf aggregate — the
+    corpus-wide term counts and totals are integer re-aggregates OF
+    the topic_tf table (ctf = Σ_topics ttf, exact), not a second
+    corpus explode+join pass (the lazy DAG ran the tokenize+join
+    twice; measured 7.2s vs DuckDB 2.0s at sf1) — then one per-topic
+    rank window on post-agg rows."""
     from pyspark.sql import Window
 
     from sift_spark.models.text import with_tokens
@@ -1354,15 +1404,20 @@ def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
                 F.when(F.col("v") > 0, F.expr("shiftleft(1, dim)")).otherwise(0)
             ).cast("int").alias("topic")
         )
+        .persist()
     )
+    topic.count()  # materialize: the token join + sizes agg race a lazy cache
     tok = (
         with_tokens(docs)
         .select("doc_id", F.explode("toks").alias("term"))
         .join(topic, "doc_id")
     )
-    topic_tf = tok.groupBy("topic", "term").agg(F.count(F.lit(1)).alias("ttf"))
+    topic_tf = (
+        tok.groupBy("topic", "term").agg(F.count(F.lit(1)).alias("ttf")).persist()
+    )
+    topic_tf.count()  # three consumers (lift, totals, corpus counts) race
     topic_tot = topic_tf.groupBy("topic").agg(F.sum("ttf").alias("ttot"))
-    corpus_tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    corpus_tf = topic_tf.groupBy("term").agg(F.sum("ttf").alias("ctf"))
     corpus_tot = corpus_tf.agg(F.sum("ctf").alias("ctot"))
     lift = (
         topic_tf.where(F.col("ttf") >= 2)

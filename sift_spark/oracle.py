@@ -1041,28 +1041,36 @@ FROM a
 """
 
 
-# Unnormalized HITS iterations (the Spark twin runs the same scheme):
-# per-round L1 norms would make every round reference its raw-score
-# CTE twice, and DuckDB inlines plain CTEs — a lazy unroll quadruples
-# the plan per round (measured hang at 5 rounds). Without the norms
-# each CTE is referenced once, the unroll is linear, and one final
-# normalization produces the identical L1-normalized authorities.
-# MATERIALIZED keeps evaluation single even where a5 feeds both the
-# values and the final norm.
+# Bipartite HITS as power iteration on the entity comention matrix
+# M = AᵀA (see models/links.py entity_hits): the corpus is scanned
+# twice (M + the a1 inlink counts), each further round is a k-sized
+# join on M. All intermediates are integers in doubles, so this is
+# bit-identical to the edge-space unroll. Iterations run UNNORMALIZED
+# (per-round L1 norms would reference each CTE twice and DuckDB
+# inlines plain CTEs — the 4^n unroll measured as a hang); one final
+# normalization emits round(a/Σa, 6). MATERIALIZED keeps evaluation
+# single where a CTE feeds two consumers (m → every round; a5 →
+# values + norm).
 _hits_iters = ",\n".join(
-    f"""a{i} AS MATERIALIZED (
-  SELECT target, sum(h) AS a_raw FROM il JOIN h{i - 1} USING (doc_id) GROUP BY target
-),
-h{i} AS MATERIALIZED (
-  SELECT doc_id, sum(a_raw) AS h FROM il JOIN a{i} USING (target) GROUP BY doc_id
+    f"""a{i} AS (
+  SELECT e AS target, sum(m * a_raw) AS a_raw
+  FROM m JOIN a{i - 1} ON a{i - 1}.target = m.e2 GROUP BY e
 )"""
-    for i in range(1, 6)
-)
+    for i in range(2, 5)
+) + f""",
+a5 AS MATERIALIZED (
+  SELECT e AS target, sum(m * a_raw) AS a_raw
+  FROM m JOIN a4 ON a4.target = m.e2 GROUP BY e
+)"""
 
 ORACLE["entity_hits"] = f"""
 WITH {TOK}, {LINKS},
 il AS (SELECT DISTINCT doc_id, target FROM links),
-h0 AS (SELECT DISTINCT doc_id, 1.0 AS h FROM il),
+m AS MATERIALIZED (
+  SELECT l.target AS e, r.target AS e2, CAST(count(*) AS DOUBLE) AS m
+  FROM il l JOIN il r USING (doc_id) GROUP BY 1, 2
+),
+a1 AS (SELECT target, CAST(count(*) AS DOUBLE) AS a_raw FROM il GROUP BY target),
 {_hits_iters}
 SELECT target AS entity,
        round(a_raw / (SELECT sum(a_raw) FROM a5), 6) AS authority

@@ -734,3 +734,78 @@ def test_embedding_outliers_flags_injected_outlier(spark):
     flagged = [v for v, r in out.items() if r.is_outlier]
     assert flagged == [99]
     assert all(r.d2 >= 0 for r in out.values())
+
+
+def test_fuzzy_name_pairs_rejects_unsupported_radius(spark):
+    """Single-position masking only generates Hamming<=1 candidates;
+    asking for a larger radius must raise instead of silently
+    returning the radius-1 pairs."""
+    import pytest
+
+    from sift_spark.operators.relational import fuzzy_name_pairs
+
+    df = spark.createDataFrame([(1, "Customer#000000001")], "c_custkey int, c_name string")
+    with pytest.raises(ValueError, match="Hamming"):
+        fuzzy_name_pairs(df, max_dist=2)
+    # the supported radii still work
+    assert fuzzy_name_pairs(df, max_dist=1).columns == ["k1", "k2", "dist"]
+
+
+def test_shingle_family_accepts_shared_artifact(spark):
+    """Every shingle-family operator produces identical results when
+    handed a pre-materialized shingles(docs, n) table (the shared
+    corpus artifact the registered queries use) as when tokenizing
+    internally."""
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.dedup import (
+        containment_pairs,
+        doc_novelty,
+        fuzzy_contamination,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+        shingles,
+        similar_docs,
+    )
+    from sift_spark.operators.text_analysis import contamination_check
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sh = shingles(docs, 3).persist()
+    sh.count()
+    try:
+        cases = [
+            (minhash_lsh_pairs(docs, 3, 0.8), minhash_lsh_pairs(docs, 3, 0.8, sh=sh)),
+            (ngram_jaccard_pairs(docs, 3, 0.8), ngram_jaccard_pairs(docs, 3, 0.8, sh=sh)),
+            (
+                ngram_jaccard_pairs_prefix(docs, 3, 0.8),
+                ngram_jaccard_pairs_prefix(docs, 3, 0.8, sh=sh),
+            ),
+            (containment_pairs(docs, 3, 0.5), containment_pairs(docs, 3, 0.5, sh=sh)),
+            (doc_novelty(docs, 3), doc_novelty(docs, 3, sh=sh)),
+            (
+                similar_docs(docs, query_doc_id=7, k=10),
+                similar_docs(docs, query_doc_id=7, k=10, sh=sh),
+            ),
+        ]
+        corpus = docs.where(F.col("doc_id") % 20 != 0)
+        bench = docs.where(F.col("doc_id") % 20 == 0)
+        sub = sh.where(F.col("doc_id") % 20 != 0)
+        cases.append(
+            (
+                contamination_check(corpus, bench),
+                contamination_check(corpus, bench, sh=sub),
+            )
+        )
+        cases.append(
+            (
+                fuzzy_contamination(corpus, bench, threshold=0.5),
+                fuzzy_contamination(corpus, bench, threshold=0.5, sh=sub),
+            )
+        )
+        for own, shared in cases:
+            a = sorted(map(tuple, own.collect()))
+            b = sorted(map(tuple, shared.collect()))
+            assert a == b and len(a) > 0
+    finally:
+        sh.unpersist()
