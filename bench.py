@@ -91,6 +91,7 @@ def main() -> None:
         "pack_sequences",
         "pack_sequences_sharded",
         "events_sessionize",
+        "corpus_shingles",
         "dedup_exact",
         "block_dedup",
         "doc_chunks",

@@ -187,6 +187,9 @@ def main() -> None:
         print(f"# duck {name}: {duck[name]}", file=sys.stderr)
 
     # --- Spark side: one session, job-group cancel on timeout ---
+    # sf1's session-shared corpus artifacts need ~16g to stay resident
+    # (see session.py note); the small-SF default stays 8g
+    os.environ.setdefault("SIFT_SPARK_DRIVER_MEM", "16g")
     from sift_spark.queries import QUERIES
     from sift_spark.session import get_spark
 

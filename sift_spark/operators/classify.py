@@ -117,9 +117,13 @@ def _feature_base(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, dr, sr, score) — the map-only feature pass
     shared by :func:`quality_features` (per-doc) and
     :func:`logreg_train` (grouped)."""
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
-        F.size("toks") > 0  # explode dropped token-less docs; keep that
-    )
+    # reuse the session's tokenized-corpus artifact when handed one
+    # (see models/text.with_tokens — identical arrays, no re-split)
+    toks = (
+        docs.select("doc_id", "toks")
+        if "toks" in docs.columns
+        else docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    ).where(F.size("toks") > 0)  # explode dropped token-less docs; keep that
     n_toks = F.size("toks")
     return toks.select(
         "doc_id",

@@ -379,15 +379,15 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     Docs with < 2 tokens have no bigrams and drop out (same rows as
     the SQL twin).
 
-    Shape: ONE map-side pair explode (persisted — it previously
-    recomputed the tokenize+explode pass three times: corpus counts,
-    head counts, and the score join; measured 6.2s vs DuckDB 1.3s at
-    sf1) feeds the bigram counts and the per-doc stream; the head
-    counts are derived from the bigram table itself (c1 = Σ_w2 c12 —
-    exact integer arithmetic, never a second corpus aggregate); the
-    score join hashes on the pair key. The conditional-probability
-    table is bounded by corpus bigram diversity (Zipf-bounded far
-    below N²) — AQE splits the skewed head keys."""
+    Shape: TWO corpus passes — the bigram-count aggregate and the
+    per-doc score join (it previously ran the tokenize+explode three
+    times, with head counts as their own corpus aggregate; measured
+    6.2s vs DuckDB 1.3s at sf1). Head counts are derived from the
+    bigram table itself (c1 = Σ_w2 c12 — exact integer arithmetic);
+    the score join hashes on the pair key. The
+    conditional-probability table is bounded by corpus bigram
+    diversity (Zipf-bounded far below N²) — AQE splits the skewed
+    head keys."""
     from sift_spark.models.text import with_tokens
 
     t = with_tokens(docs).where(F.size("toks") >= 2)
@@ -402,8 +402,13 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
                 ),
             )
         ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2").persist()
-    pairs.count()  # materialize: count-agg and score-join stages race a lazy cache
+    ).select("doc_id", "p.w1", "p.w2")
+    # the PAIR STREAM is deliberately NOT persisted: caching the
+    # token-count-sized explode was measured SLOWER than one extra
+    # tokenize pass at sf1 (the cache write costs more than the regex
+    # split it saves) and it crowds executor storage for the rest of
+    # the session. Two corpus passes total: the bigram counts and the
+    # score join; head counts are derived, never a third pass.
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
     big.count()  # two consumers (lp join + head agg) race a lazy cache
     head = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
@@ -1144,37 +1149,74 @@ def doc_srp_embeddings(docs: DataFrame, d: int = 16, min_df: int = 2) -> DataFra
     no stored model, bit-identical on any engine or cluster layout.
     Output long-format (doc_id, dim, v) with v rounded 6dp.
 
-    Shape: one token explode -> (doc, term, tf) aggregate, idf join
-    (vocab-sized, broadcastable), a map-side x d dims explode, ONE
-    (doc, dim)-keyed sum. No driver state, no UDF.
+    Shape: ONE corpus pass — the (doc, term, tf) aggregate — with
+    everything vocab-sized derived FROM it: df = per-term row count
+    of tf (exact — tf is one row per (doc, term), the same integers
+    term_idfs computes from its own corpus scan), idf = ln(N/df),
+    and the per-(term, dim) md5 signs computed once on the vocab
+    table as an array column, NOT per posting row (the earlier
+    per-row explode evaluated hash31 on (doc, term) × d instances —
+    240M md5 calls at sf1, measured ~6s of the pass). The d per-dim
+    sums run as one wide (doc)-keyed aggregate (map-side combinable)
+    and unpivot to long format map-side. No driver state, no UDF.
     """
-    from sift_spark.models.text import term_idfs, with_tokens
+    from sift_spark.models.text import with_tokens
 
     tf = (
         with_tokens(docs)
         .select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # lazy: vocab's eager count below fills it in the same job
     )
-    idf = term_idfs(docs, min_df=min_df)
-    sign = (
+    # signs as d PRIMITIVE double columns, not an array: an array
+    # column on the probe side of the join boxes d doubles per
+    # posting row through the aggregate (GenericArrayData), measured
+    # several times slower than d flat columns in codegen
+    signs = [
         F.when(
-            hash31(F.concat(F.col("term"), F.lit(":"), F.col("dim").cast("string")))
-            % 2 == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
-    )
-    return (
-        tf.join(idf, "term")
-        .select(
-            "doc_id",
-            "term",
-            (F.col("tf") * F.col("idf")).alias("w"),
-            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("dim"),
+            hash31(F.concat(F.col("term"), F.lit(f":{i}"))) % 2 == 0, F.lit(1.0)
         )
-        .groupBy("doc_id", "dim")
-        .agg(F.round(F.sum(F.col("w") * sign), 6).alias("v"))
+        .otherwise(F.lit(-1.0))
+        .alias(f"s{i}")
+        for i in range(d)
+    ]
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # persisted: the cache boundary stops the optimizer from inlining
+    # the d md5 sign expressions into the join/aggregate, where they
+    # would re-evaluate per POSTING row instead of per vocab row
+    # (measured 23s vs 5s at sf1); the table is vocab-sized. ONE eager
+    # job: counting vocab also fills tf's cache underneath it (tf →
+    # vocab is the only consumer until then), so the posting join
+    # reads both caches warm without a second scheduled job.
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > min_df)
+        .crossJoin(n)
+        .select(
+            "term",
+            F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"),
+            *signs,
+        )
+        .persist()
     )
+    vocab.count()
+    joined = tf.join(vocab, "term").select(
+        "doc_id",
+        (F.col("tf") * F.col("idf")).alias("w"),
+        *[f"s{i}" for i in range(d)],
+    )
+    wide = joined.groupBy("doc_id").agg(
+        *[
+            F.round(F.sum(F.col("w") * F.col(f"s{i}")), 6).alias(f"v{i}")
+            for i in range(d)
+        ]
+    )
+    stack = ", ".join(f"{i}, v{i}" for i in range(d))
+    return wide.select(
+        "doc_id", F.expr(f"stack({d}, {stack}) AS (dim, v)")
+    ).select("doc_id", "dim", "v")
 
 
 def corpus_datacard(docs: DataFrame) -> DataFrame:
@@ -1396,7 +1438,9 @@ def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
 
     from sift_spark.models.text import with_tokens
 
-    srp = doc_srp_embeddings(docs).where(F.col("dim") < sign_dims)
+    # only the first sign_dims projections are consumed — compute just
+    # those (per-dim values are independent, so this is exact)
+    srp = doc_srp_embeddings(docs, d=sign_dims).where(F.col("dim") < sign_dims)
     topic = (
         srp.groupBy("doc_id")
         .agg(
@@ -1404,9 +1448,8 @@ def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
                 F.when(F.col("v") > 0, F.expr("shiftleft(1, dim)")).otherwise(0)
             ).cast("int").alias("topic")
         )
-        .persist()
+        .persist()  # lazy: topic_tf's eager count below fills it in the same job
     )
-    topic.count()  # materialize: the token join + sizes agg race a lazy cache
     tok = (
         with_tokens(docs)
         .select("doc_id", F.explode("toks").alias("term"))
@@ -1415,7 +1458,10 @@ def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
     topic_tf = (
         tok.groupBy("topic", "term").agg(F.count(F.lit(1)).alias("ttf")).persist()
     )
-    topic_tf.count()  # three consumers (lift, totals, corpus counts) race
+    # ONE eager job: materializing topic_tf fills topic's cache
+    # through the join underneath it, and its three consumers (lift,
+    # totals, corpus counts) plus the sizes agg then read warm caches
+    topic_tf.count()
     topic_tot = topic_tf.groupBy("topic").agg(F.sum("ttf").alias("ttot"))
     corpus_tf = topic_tf.groupBy("term").agg(F.sum("ttf").alias("ctf"))
     corpus_tot = corpus_tf.agg(F.sum("ctf").alias("ctot"))

@@ -79,6 +79,17 @@ jac AS (
 
 ORACLE_OPS: dict[str, str] = {}
 
+# The tokenized-corpus artifact itself (sift_spark.queries
+# _docs_shingles): the (doc_id, shingle, h) table every shingle-family
+# operator branches from. Registering it as a query makes the
+# artifact's build cost a FIRST-CLASS line in bench/amortization
+# accounting (instead of landing on whichever family member runs
+# first) and hash-checks the shared table end to end.
+ORACLE_OPS["corpus_shingles"] = f"""
+WITH {SHINGLES}
+SELECT doc_id, shingle, h FROM shh
+"""
+
 ORACLE_OPS["dedup_exact"] = """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_docs
 FROM documents GROUP BY md5(text)

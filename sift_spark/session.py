@@ -27,9 +27,25 @@ def get_spark(app_name: str = "sift_spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 8g default: right for the sf<=0.1 bench/test sessions (a
+        # bigger heap measurably slows the floor-bound sweep via GC
+        # on the session-shared caches). sf1 sessions need 16g so the
+        # corpus artifacts (token arrays + shingle table, ~3GB
+        # columnar) don't evict each other — scripts/amortization.py
+        # sets SIFT_SPARK_DRIVER_MEM=16g when unset. A real 32-core
+        # executor ships far more than either.
         .config("spark.driver.memory", os.environ.get("SIFT_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # size scan splits so a map-heavy first stage (tokenize,
+        # explode, md5) uses the full core count even on ~GB inputs:
+        # the 128MB default gives a 1GB table only 8 tasks on 32
+        # cores (measured 3-4x slowdown on every scan-rooted map
+        # stage at sf1). 32MB, not smaller: 16MB quadrupled the task
+        # count of every floor-bound small-SF query and cost ~+0.1s
+        # each across a 180-query sweep. On a real cluster this is
+        # sized to cores*executors vs input bytes the same way.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         # no-op for the driver testdata (events.parquet is
         # timestamp[us] → plain TimestampType); kept so true
         # TIMESTAMP(NANOS) inputs read as int64 nanos instead of
