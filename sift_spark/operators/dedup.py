@@ -675,18 +675,27 @@ def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return out.select(F.col("node").alias("doc_id"), "rep_id")
 
 
-def lsh_index(docs: DataFrame, n: int = 3) -> tuple[DataFrame, DataFrame]:
+def lsh_index(docs: DataFrame, n: int = 3,
+              sh: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
     """Build the standing near-dup index for a corpus: (band table,
     shingle table). At scale both are written once as bucketed tables
     (bands on (band, sig), shingles on doc_id/shingle) so incremental
     batches join them shuffle-free; the corpus text is never touched
-    again."""
-    return minhash_band_table(docs, n), shingles(docs, n).select("doc_id", "shingle")
+    again. ``sh``: optional pre-materialized ``shingles(docs, n)``
+    (the session's shared artifact) — the index then derives from the
+    cache instead of re-tokenizing."""
+    if sh is None:
+        sh = shingles(docs, n)
+    return (
+        _bands_from_signatures(_minhash_from_shingles(sh)),
+        sh.select("doc_id", "shingle"),
+    )
 
 
 def minhash_lsh_pairs_incremental(new_docs: DataFrame, index_bands: DataFrame,
                                   index_shingles: DataFrame, n: int = 3,
-                                  threshold: float = 0.8) -> DataFrame:
+                                  threshold: float = 0.8,
+                                  new_sh: DataFrame | None = None) -> DataFrame:
     """Incremental MinHash-LSH: near-dup pairs INVOLVING a new batch —
     (doc1, doc2, jaccard) where at least one side is new.
 
@@ -711,8 +720,15 @@ def minhash_lsh_pairs_incremental(new_docs: DataFrame, index_bands: DataFrame,
     session (the caller never gets an unpersist handle). Checkpointed
     RDDs are reference-counted by the ContextCleaner and reclaimed
     when the returned frame is garbage-collected — batch-sized
-    materialization, no leak."""
-    new_sh_base = shingles(new_docs, n).localCheckpoint(eager=False)
+    materialization, no leak. ``new_sh``: optional pre-materialized
+    ``shingles(new_docs, n)`` (e.g. a doc-filtered slice of the
+    session's shared artifact) — already cached, so the checkpoint is
+    skipped."""
+    new_sh_base = (
+        shingles(new_docs, n).localCheckpoint(eager=False)
+        if new_sh is None
+        else new_sh
+    )
     new_bands = _bands_from_signatures(
         _minhash_from_shingles(new_sh_base)
     ).localCheckpoint(eager=False)

@@ -568,8 +568,13 @@ def q_dedup_incremental(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     old = docs.where(F.col("doc_id") % 5 != 0)
     new = docs.where(F.col("doc_id") % 5 == 0)
-    bands, sh = lsh_index(old)
-    return minhash_lsh_pairs_incremental(new, bands, sh, threshold=0.8)
+    # shingles are per-doc, so the corpus split applies directly to
+    # the shared artifact — neither side re-tokenizes
+    art = _docs_shingles(spark, sf_dir)
+    bands, sh = lsh_index(old, sh=art.where(F.col("doc_id") % 5 != 0))
+    return minhash_lsh_pairs_incremental(
+        new, bands, sh, threshold=0.8, new_sh=art.where(F.col("doc_id") % 5 == 0)
+    )
 
 
 def q_bpe_train(spark, sf_dir):
