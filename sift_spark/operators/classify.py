@@ -273,15 +273,20 @@ def logreg_train(docs: DataFrame, n_iter: int = 6) -> list[float]:
         it = 0
         while it < n_iter:
             wdf = spark.createDataFrame([tuple(w)], w_schema)
-            if n_iter - it >= 2:
-                # two IRLS half-steps share one action: round k's
-                # partials stay a 1-row frame solved in-plan, only
-                # round k+1's partials return to the driver
-                row = _partials(_sql_step(_partials(wdf))).collect()[0]
-                it += 2
-            else:
-                row = _partials(wdf).collect()[0]
-                it += 1
+            # up to three IRLS half-steps share one action: the
+            # intermediate rounds' partials stay 1-row frames solved
+            # in-plan (the chain is linear — each aggregate is a
+            # barrier referenced once — so the plan grows linearly,
+            # not 4^n), and only the last round's partials return to
+            # the driver. 3 is the measured sweet spot: deeper chains
+            # pay more per-action analysis than they save in
+            # round-trips.
+            steps = min(3, n_iter - it)
+            frame = _partials(wdf)
+            for _ in range(steps - 1):
+                frame = _partials(_sql_step(frame))
+            row = frame.collect()[0]
+            it += steps
             env = {k: float(row[k]) for k in names}
             for j in range(D):
                 env[f"h{j}{j}"] += RIDGE
