@@ -124,7 +124,7 @@ def entity_mentions(docs: DataFrame, links: DataFrame, window: int = 2) -> DataF
 
     Output: (target, source, pos, mention, span_start, span_stop).
     """
-    toks = docs.select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
+    toks = with_tokens(docs)  # shortcuts on a pre-tokenized artifact column
     m = links.select("doc_id", "pos", "target").join(toks, "doc_id")
     lo = F.greatest(F.lit(0), F.col("pos") - window)
     hi = F.least(F.size("toks") - 1, F.col("pos") + window)

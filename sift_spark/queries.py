@@ -164,7 +164,9 @@ def q_entity_mentions(spark, sf_dir):
 
 
 def q_entity_mention_tf(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+    # the composition's three corpus passes (mention contexts, link
+    # extraction, idf) all tokenize — share the token artifact
+    docs = _docs_tokenized(spark, sf_dir)
     mentions = TX.entity_mentions(docs, wikify_links(docs), window=2)
     return TX.entity_mention_term_frequency(mentions, TX.term_idfs(docs, min_df=2))
 
