@@ -28,8 +28,12 @@ def main() -> None:
 
     spark = get_spark("sift_spark_bench")
 
-    # headline set: one per operator family, heaviest variants
+    # headline set: one per operator family, heaviest variants.
+    # corpus_tokens runs FIRST so the session token artifact's build
+    # cost is its own line (not the first text query's); corpus_tf /
+    # corpus_shingles likewise precede their consumer families.
     headline = [
+        "corpus_tokens",
         "wikify",
         "entity_counts",
         "entity_name_counts",
@@ -91,6 +95,7 @@ def main() -> None:
         "pack_sequences",
         "pack_sequences_sharded",
         "events_sessionize",
+        "corpus_tf",
         "corpus_shingles",
         "dedup_exact",
         "block_dedup",
@@ -218,18 +223,26 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(10).count()
 
     times: dict[str, float] = {}
+    n_jobs: dict[str, int] = {}
     total = 0.0
+    sc = spark.sparkContext
     for name in headline:
         fn = QUERIES.get(name)
         if fn is None:
             continue
+        # per-query job group: the scheduled-job count decomposes the
+        # small-SF eagerness floor (each scheduled job costs ~0.3-0.5s
+        # at 60 MB regardless of data) from real data work — the
+        # mechanical split behind the sf0.1 aggregate-ratio creep
+        sc.setJobGroup(f"bench:{name}", name)
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()
         dt = round(time.time() - t0, 3)
         times[name] = dt
+        n_jobs[name] = len(sc.statusTracker().getJobIdsForGroup(f"bench:{name}"))
         total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {dt:.2f}s ({n} rows, {n_jobs[name]} jobs)", file=sys.stderr)
 
     out = {
         "metric": "headline_suite_wall",
@@ -267,12 +280,37 @@ def main() -> None:
     # complete per-query JSON to a stable artifact as well — per-query
     # round-over-round grading needs all ~180 timings, not a regex-
     # recoverable subset (round-5 verdict item #1).
+    # BENCH_FULL additionally carries the per-query scheduled-job
+    # counts and the artifact accounting split: queries consuming a
+    # session artifact report MARGINAL cost over it (the artifact
+    # build is its own corpus_* line), so their per-query vs_duckdb
+    # ratios are marginal-cost numbers, not standalone-run numbers —
+    # derived mechanically from each query builder's source.
+    import inspect
+
+    art_helpers = ("_docs_tokenized", "_docs_shingles", "_docs_tf")
+    art_lines = [q for q in times if q.startswith("corpus_")
+                 and q in ("corpus_tokens", "corpus_tf", "corpus_shingles")]
+    full = dict(out)
+    full["query_jobs"] = n_jobs
+    full["artifact_lines"] = art_lines
+    full["artifact_marginal"] = sorted(
+        q for q in times
+        if q not in art_lines
+        and any(h in inspect.getsource(QUERIES[q]) for h in art_helpers)
+    )
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
     with open(full_path, "w") as fh:
-        json.dump(out, fh, indent=1)
+        json.dump(full, fh, indent=1)
         fh.write("\n")
+
+    # sanctioned artifact teardown (lifecycle API): a bench run must
+    # not leave the session holding the dataset's persisted artifacts
+    from sift_spark.queries import corpus_artifacts
+
+    corpus_artifacts(spark, sf_dir).release()
 
     print(json.dumps(out))
 

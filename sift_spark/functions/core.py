@@ -154,6 +154,34 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
 
 
+# Provenance marker for the shared tokenized-corpus artifact: the
+# with_tokens / classify shortcut must only trust a ``toks`` column
+# that THIS library computed as ``tokens(text)`` — keying on the bare
+# column name would silently accept a caller's differently-computed
+# (pre-lowercased, user-supplied) token column and produce wrong
+# results with no error. Column metadata survives select/filter/
+# persist, so the tag rides with the artifact wherever it flows.
+TOKENS_PROVENANCE_KEY = "sift_spark.provenance"
+TOKENS_PROVENANCE = "tokens(text)"
+
+
+def tagged_tokens(col: Column) -> Column:
+    """``tokens(col)`` aliased to ``toks`` with the provenance tag —
+    the only sanctioned way to mint the shared token artifact."""
+    return tokens(col).alias(
+        "toks", metadata={TOKENS_PROVENANCE_KEY: TOKENS_PROVENANCE}
+    )
+
+
+def is_token_artifact(df) -> bool:
+    """True iff ``df`` carries a ``toks`` column this library minted
+    via :func:`tagged_tokens` (checked by metadata, not name)."""
+    if "toks" not in df.columns:
+        return False
+    meta = df.schema["toks"].metadata or {}
+    return meta.get(TOKENS_PROVENANCE_KEY) == TOKENS_PROVENANCE
+
+
 def hash64(col: Column) -> Column:
     """Deterministic 60-bit positive int64 hash of a string column."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

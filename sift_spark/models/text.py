@@ -48,13 +48,18 @@ def word_ngrams(toks: Column, min_n: int = 1, max_n: int = 1) -> Column:
 def with_tokens(docs: DataFrame, lowercase: bool = False) -> DataFrame:
     """(doc_id, toks) with the token array materialized once.
 
-    If the input already carries a ``toks`` column (the session's
-    shared tokenized-corpus artifact — see queries._docs_tokenized),
-    it is used as-is instead of re-splitting: the regex split is the
-    single most repeated pass of the text family (~1.6s/pass at sf1
-    vs 0.2s reading the cached arrays). Only the default-case path
-    may shortcut — lowercase tokenization is always computed."""
-    if not lowercase and "toks" in docs.columns:
+    If the input already carries the session's shared tokenized-corpus
+    artifact (a ``toks`` column MINTED by this library — checked via
+    column-metadata provenance, see functions.core.tagged_tokens, not
+    by column name: a caller frame that happens to carry a
+    differently-computed ``toks`` must NOT be silently trusted), it is
+    used as-is instead of re-splitting: the regex split is the single
+    most repeated pass of the text family (~1.6s/pass at sf1 vs 0.2s
+    reading the cached arrays). Only the default-case path may
+    shortcut — lowercase tokenization is always computed."""
+    from sift_spark.functions.core import is_token_artifact
+
+    if not lowercase and is_token_artifact(docs):
         return docs.select("doc_id", "toks")
     text = F.lower(F.col("text")) if lowercase else F.col("text")
     return docs.select("doc_id", tokens(text).alias("toks"))

@@ -1138,7 +1138,8 @@ def ccnet_buckets(docs: DataFrame, approx: bool = False,
     )
 
 
-def doc_srp_embeddings(docs: DataFrame, d: int = 16, min_df: int = 2) -> DataFrame:
+def doc_srp_embeddings(docs: DataFrame, d: int = 16, min_df: int = 2,
+                       tf: DataFrame | None = None) -> DataFrame:
     """Deterministic document embeddings: signed random projection
     (Achlioptas 2003 / SimHash-style) of each doc's tf-idf vector into
     ``d`` dims — the classical pre-neural doc representation, and the
@@ -1159,16 +1160,22 @@ def doc_srp_embeddings(docs: DataFrame, d: int = 16, min_df: int = 2) -> DataFra
     240M md5 calls at sf1, measured ~6s of the pass). The d per-dim
     sums run as one wide (doc)-keyed aggregate (map-side combinable)
     and unpivot to long format map-side. No driver state, no UDF.
+
+    ``tf``: optional pre-materialized (doc_id, term, tf) posting
+    table (the session's shared artifact, queries._docs_tf) — the
+    corpus pass is then skipped entirely and the caller owns the
+    table's lifecycle (no persist here).
     """
     from sift_spark.models.text import with_tokens
 
-    tf = (
-        with_tokens(docs)
-        .select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()  # lazy: vocab's eager count below fills it in the same job
-    )
+    if tf is None:
+        tf = (
+            with_tokens(docs)
+            .select("doc_id", F.explode("toks").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .persist()  # lazy: vocab's eager count below fills it in the same job
+        )
     # signs as d PRIMITIVE double columns, not an array: an array
     # column on the probe side of the join boxes d doubles per
     # posting row through the aggregate (GenericArrayData), measured
@@ -1338,7 +1345,8 @@ def heldout_backoff_logprob(docs: DataFrame, train_mod: int = 2,
 
 
 def retrieval_triples(docs: DataFrame, n_query_terms: int = 2, k_neg: int = 2,
-                      min_df: int = 2, max_df: int = 1000) -> DataFrame:
+                      min_df: int = 2, max_df: int = 1000,
+                      tf: DataFrame | None = None) -> DataFrame:
     """Training-data generation for retrieval models (DPR-style): for
     every document, a pseudo-query (its top tf-idf terms) plus the
     ``k_neg`` highest-scoring OTHER documents for that query — the
@@ -1357,19 +1365,24 @@ def retrieval_triples(docs: DataFrame, n_query_terms: int = 2, k_neg: int = 2,
     sqrt(tf)·idf and a per-query top-k window. ``max_df`` caps the
     posting list a query term may join (the scale lever: a
     stopword-like query term would otherwise fan out to the whole
-    corpus)."""
+    corpus).
+
+    ``tf``: optional pre-materialized (doc_id, term, tf) posting
+    table (the session's shared artifact, queries._docs_tf) — skips
+    the corpus pass; the caller owns that table's lifecycle."""
     from pyspark.sql import Window
 
     from sift_spark.models.text import with_tokens
 
-    tf = (
-        with_tokens(docs)
-        .select("doc_id", F.explode(F.col("toks")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
-    )
-    tf.count()  # materialize: wts / df branches race a lazy cache
+    if tf is None:
+        tf = (
+            with_tokens(docs)
+            .select("doc_id", F.explode(F.col("toks")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .persist()
+        )
+        tf.count()  # materialize: wts / df branches race a lazy cache
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     idf = (
@@ -1416,7 +1429,7 @@ def retrieval_triples(docs: DataFrame, n_query_terms: int = 2, k_neg: int = 2,
 
 
 def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
-                  min_docs: int = 3) -> DataFrame:
+                  min_docs: int = 3, tf: DataFrame | None = None) -> DataFrame:
     """Corpus topic map without iterative clustering: the SIGN PATTERN
     of the first ``sign_dims`` SRP dimensions is already a SimHash of
     the document (SRP = signed random projection), so it buckets
@@ -1440,7 +1453,7 @@ def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
 
     # only the first sign_dims projections are consumed — compute just
     # those (per-dim values are independent, so this is exact)
-    srp = doc_srp_embeddings(docs, d=sign_dims).where(F.col("dim") < sign_dims)
+    srp = doc_srp_embeddings(docs, d=sign_dims, tf=tf).where(F.col("dim") < sign_dims)
     topic = (
         srp.groupBy("doc_id")
         .agg(
@@ -1450,13 +1463,19 @@ def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
         )
         .persist()  # lazy: topic_tf's eager count below fills it in the same job
     )
-    tok = (
-        with_tokens(docs)
-        .select("doc_id", F.explode("toks").alias("term"))
-        .join(topic, "doc_id")
-    )
+    # with the shared posting artifact the (topic, term) counts are a
+    # re-aggregate of tf (Σ tf over the doc→topic join — identical
+    # integers), never a second corpus explode
+    if tf is None:
+        tok = (
+            with_tokens(docs)
+            .select("doc_id", F.explode("toks").alias("term"), F.lit(1).alias("tf"))
+            .join(topic, "doc_id")
+        )
+    else:
+        tok = tf.join(topic, "doc_id")
     topic_tf = (
-        tok.groupBy("topic", "term").agg(F.count(F.lit(1)).alias("ttf")).persist()
+        tok.groupBy("topic", "term").agg(F.sum("tf").alias("ttf")).persist()
     )
     # ONE eager job: materializing topic_tf fills topic's cache
     # through the join underneath it, and its three consumers (lift,

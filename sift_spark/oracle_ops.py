@@ -90,6 +90,23 @@ WITH {SHINGLES}
 SELECT doc_id, shingle, h FROM shh
 """
 
+# The token artifact's accounting line (queries._docs_tokenized):
+# hash-checks a deterministic per-doc projection of the cached
+# (docs + toks) table so the build cost is its own bench line.
+ORACLE_OPS["corpus_tokens"] = """
+SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
+       toks[1] AS first_tok, toks[-1] AS last_tok
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+# The (doc_id, term, tf) posting-table artifact (queries._docs_tf):
+# the tf-idf family (srp/topics/retrieval/search) branches from it.
+ORACLE_OPS["corpus_tf"] = f"""
+WITH {TOKCTE}
+SELECT doc_id, anchor AS term, count(*) AS tf
+FROM tok GROUP BY doc_id, anchor
+"""
+
 ORACLE_OPS["dedup_exact"] = """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_docs
 FROM documents GROUP BY md5(text)

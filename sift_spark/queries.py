@@ -52,7 +52,7 @@ def _docs_tokenized(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _TOKENS_CACHE.get(key)
     if df is None:
-        from sift_spark.functions.core import tokens
+        from sift_spark.functions.core import tagged_tokens
 
         # repartition to the session parallelism BEFORE tokenizing: a
         # cache pins its partitioning, and the raw parquet scan splits
@@ -60,10 +60,12 @@ def _docs_tokenized(spark, sf_dir):
         # executor — so every downstream map stage would run
         # under-parallel forever (measured 6-task stages on 32 cores
         # at sf1). The derived shingle artifact inherits this layout.
+        # tagged_tokens carries the provenance metadata the
+        # with_tokens/classify shortcut checks (never the bare name).
         df = (
             _docs(spark, sf_dir)
             .repartition(spark.sparkContext.defaultParallelism)
-            .withColumn("toks", tokens(F.col("text")))
+            .select("*", tagged_tokens(F.col("text")))
             .persist()
         )
         df.count()  # materialize once; consumers branch from the cache
@@ -82,6 +84,80 @@ def _docs_shingles(spark, sf_dir, n=3):
         df.count()  # materialize once; consumers branch from the cache
         _SHINGLE_CACHE[key] = df
     return df
+
+
+# The (doc_id, term, tf) corpus aggregate — the third shared artifact:
+# doc_srp_embeddings / corpus_topics / retrieval_triples (and the
+# whole tf-idf family) each recomputed this identical aggregate from
+# their own corpus pass; a production pipeline materializes the
+# posting/tf table once. Keyed like the others; registered as the
+# ``corpus_tf`` query so its build cost is its own accounting line.
+_TF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _docs_tf(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _TF_CACHE.get(key)
+    if df is None:
+        df = (
+            _docs_tokenized(spark, sf_dir)
+            .select("doc_id", F.explode("toks").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .persist()
+        )
+        df.count()  # materialize once; consumers branch from the cache
+        _TF_CACHE[key] = df
+    return df
+
+
+class CorpusArtifacts:
+    """Public lifecycle handle for one dataset's shared session
+    artifacts (token table, posting/tf table, shingle tables).
+
+    The module-level caches build each artifact once per (session,
+    dataset) and hold it persisted for the life of the session — the
+    right default for a pipeline hammering one corpus, but a
+    long-lived session cycling MANY datasets accumulates persisted
+    artifacts with no sanctioned release. This handle is that
+    release: ``corpus_artifacts(spark, sf_dir).release()`` unpersists
+    every artifact built for the dataset and drops the cache entries,
+    so the next query against that dataset simply rebuilds. Releasing
+    one dataset never touches another's artifacts (tested)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    # accessors build-on-demand, exactly like the registry queries
+    def tokens(self) -> DataFrame:
+        return _docs_tokenized(self._spark, self._sf_dir)
+
+    def tf(self) -> DataFrame:
+        return _docs_tf(self._spark, self._sf_dir)
+
+    def shingles(self, n: int = 3) -> DataFrame:
+        return _docs_shingles(self._spark, self._sf_dir, n)
+
+    def release(self) -> int:
+        """Unpersist this dataset's artifacts and drop their cache
+        entries; returns the number of artifacts released. Derived
+        artifacts (shingles of any n, tf) go first, the token table
+        last — order only matters for readability; unpersist is safe
+        in any order."""
+        app = self._spark.sparkContext.applicationId
+        released = 0
+        for cache in (_SHINGLE_CACHE, _TF_CACHE, _TOKENS_CACHE):
+            for key in [k for k in cache if k[0] == app and k[1] == self._sf_dir]:
+                cache.pop(key).unpersist()
+                released += 1
+        return released
+
+
+def corpus_artifacts(spark: SparkSession, sf_dir: str) -> CorpusArtifacts:
+    """The sanctioned lifecycle API for the session's shared corpus
+    artifacts — see :class:`CorpusArtifacts`."""
+    return CorpusArtifacts(spark, sf_dir)
 
 
 # --- corpora ---------------------------------------------------------------
@@ -484,6 +560,30 @@ def q_redirect_documents(spark, sf_dir):
 
 def _emb(spark, sf_dir):
     return table(spark, sf_dir, "embeddings")
+
+
+def q_corpus_tokens(spark, sf_dir):
+    """The tokenized-corpus artifact's OWN accounting line: builds (or
+    returns) the session's cached (docs + toks) table and emits a
+    cheap deterministic per-doc projection for the hash check. Before
+    this line existed, the token build+cache cost landed on whichever
+    text-family query the driver ran first (entity_mention_tf in the
+    r6 bench) — now every consumer reports its marginal cost over the
+    artifact, the way a pipeline that tokenizes once reports."""
+    t = _docs_tokenized(spark, sf_dir)
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.element_at("toks", 1).alias("first_tok"),
+        F.element_at("toks", -1).alias("last_tok"),
+    )
+
+
+def q_corpus_tf(spark, sf_dir):
+    """The (doc_id, term, tf) artifact as a first-class query — the
+    posting-table twin of ``corpus_tokens``/``corpus_shingles``; the
+    tf-idf family (srp/topics/retrieval/search) branches from it."""
+    return _docs_tf(spark, sf_dir)
 
 
 def q_corpus_shingles(spark, sf_dir):
@@ -1215,7 +1315,9 @@ def q_label_spread(spark, sf_dir):
 def q_doc_srp_embeddings(spark, sf_dir):
     from sift_spark.operators.text_analysis import doc_srp_embeddings
 
-    return doc_srp_embeddings(_docs_tokenized(spark, sf_dir))
+    return doc_srp_embeddings(
+        _docs_tokenized(spark, sf_dir), tf=_docs_tf(spark, sf_dir)
+    )
 
 
 
@@ -1255,14 +1357,18 @@ def q_heldout_backoff_logprob(spark, sf_dir):
 def q_retrieval_triples(spark, sf_dir):
     from sift_spark.operators.text_analysis import retrieval_triples
 
-    return retrieval_triples(_docs_tokenized(spark, sf_dir))
+    return retrieval_triples(
+        _docs_tokenized(spark, sf_dir), tf=_docs_tf(spark, sf_dir)
+    )
 
 
 
 def q_corpus_topics(spark, sf_dir):
     from sift_spark.operators.text_analysis import corpus_topics
 
-    return corpus_topics(_docs_tokenized(spark, sf_dir))
+    return corpus_topics(
+        _docs_tokenized(spark, sf_dir), tf=_docs_tf(spark, sf_dir)
+    )
 
 
 
@@ -1302,12 +1408,16 @@ def q_ccnet_buckets(spark, sf_dir):
 
 
 QUERIES: dict[str, QueryFn] = {
-    # --- driver-sampled front block (first 50), round 6 rotation:
-    # every query whose plan changed this round (shared shingle
-    # artifact, single-aggregate contamination, fused IRLS, comention
-    # HITS, single-scan bigram/tfidf/topics, event_transitions), then
-    # re-sampled HEAVY canaries (shingle + ANN + trainers) so hot-
-    # family regressions land in the driver gate, not just locally
+    # --- driver-sampled front block (first 50), round 7 rotation:
+    # the three artifact accounting lines FIRST (tokens → tf →
+    # shingles, so each build cost lands on its own line), then every
+    # query whose plan changed this round (minhash est-jaccard
+    # prefilter + its whole consumer family, incremental dedup, tf-
+    # artifact consumers srp/topics/retrieval, hashed fuzzy_name
+    # blocking, entity_hits overflow guard, IRLS rounding unification)
+    # plus re-sampled HEAVY canaries (ANN + trainers)
+    "corpus_tokens": q_corpus_tokens,
+    "corpus_tf": q_corpus_tf,
     "corpus_shingles": q_corpus_shingles,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
