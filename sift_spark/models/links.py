@@ -448,16 +448,22 @@ def entity_hits(links: DataFrame, n_iter: int = 5) -> DataFrame:
     floor). Hub scores never materialize; project them post-hoc as
     Σ_{e∈d} a(e) if needed.
 
-    Exactness across engines: every intermediate is an INTEGER carried
-    in doubles (counts, then integer-weighted integer sums), so both
-    the M-form and the edge-space unroll produce bit-identical values
-    regardless of summation order while magnitudes stay < 2^53 —
-    (Σdeg)^n_iter growth means ~10 effective digits per round; the
-    DuckDB oracle runs the same M-form iteration. The iterations run
-    UNNORMALIZED (per-round L1 norms would make each round reference
-    its predecessor twice — the 4^n lazy-unroll trap measured as a
-    driver-heap OOM); one final normalization crossJoin emits
-    round(a/Σa, 6)."""
+    Exactness across engines: every intermediate is an INTEGER, and
+    the iteration runs in DECIMAL(38,0) (Spark 128-bit decimal; the
+    DuckDB oracle mirrors with HUGEINT) — exact, summation-order-
+    independent integer arithmetic end to end, converted to double
+    only once for the final normalized ratio (both engines round the
+    same exact integer to the same nearest double). Doubles alone are
+    NOT enough: (Σdeg)-factor growth per round pushed |a_raw| past
+    2^53 by iteration 4 at sf0.001 already (measured 4.8e16), after
+    which float sums are order-dependent and only the 6dp output
+    rounding hid the drift. 128-bit integers give 38 digits of
+    headroom (~1e7 growth/round at n_iter=5); overflow yields NULL,
+    which the final pass turns into a loud error instead of a wrong
+    hash. The iterations run UNNORMALIZED (per-round L1 norms would
+    make each round reference its predecessor twice — the 4^n
+    lazy-unroll trap measured as a driver-heap OOM); one final
+    normalization crossJoin emits round(a/Σa, 6)."""
     edges = links.select("doc_id", "target").distinct().persist()
     # comention matrix, diagonal included; persisted because every
     # iteration joins it (lazy, it would recompute the corpus
@@ -468,12 +474,12 @@ def entity_hits(links: DataFrame, n_iter: int = 5) -> DataFrame:
         edges.alias("l")
         .join(edges.alias("r"), "doc_id")
         .groupBy(F.col("l.target").alias("e"), F.col("r.target").alias("e2"))
-        .agg(F.count(F.lit(1)).cast("double").alias("m"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m"))
         .persist()
     )
     M.count()
     a = edges.groupBy("target").agg(
-        F.count(F.lit(1)).cast("double").alias("a_raw")
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("a_raw")
     )
     for _ in range(n_iter - 1):
         a = (
@@ -487,9 +493,23 @@ def entity_hits(links: DataFrame, n_iter: int = 5) -> DataFrame:
     # iteration chain
     a = a.persist()
     a_norm = a.agg(F.sum("a_raw").alias("a_tot"))
+    # decimal(38,0) overflow yields NULL under non-ANSI arithmetic —
+    # turn it into a loud in-plan error (entity-sized pass) instead
+    # of a silently wrong hash on pathologically dense graphs
+    guard = F.when(
+        F.col("a_raw").isNull(),
+        F.raise_error(
+            F.lit(
+                "entity_hits: decimal(38,0) overflow in the power "
+                "iteration — lower n_iter (growth is ~(Σdeg) per round)"
+            )
+        ),
+    ).otherwise(F.col("a_raw"))
     return a.crossJoin(F.broadcast(a_norm)).select(
         F.col("target").alias("entity"),
-        F.round(F.col("a_raw") / F.col("a_tot"), 6).alias("authority"),
+        F.round(
+            guard.cast("double") / F.col("a_tot").cast("double"), 6
+        ).alias("authority"),
     )
 
 

@@ -48,6 +48,31 @@ D = len(FEATURES)
 RIDGE = 1e-4
 
 
+def _round_half_up(x: float, scale: int) -> float:
+    """The driver-leg twin of Spark ``F.round(x, scale)``: quantize
+    the SHORTEST-DECIMAL-REPR of the double (what BigDecimal.valueOf
+    / Double.toString yields — Python ``repr`` produces the same
+    shortest round-trip decimal) with HALF_UP. Empirically this is
+    also what DuckDB's ``round(double, s)`` computes on tie-adjacent
+    values, so ONE rounding mechanism now covers all three delta
+    legs: in-plan F.round, this driver leg, and the oracle.
+
+    Python's builtin ``round`` is half-even over the EXACT binary
+    expansion — a different mechanism that flips the last digit on
+    tie-adjacent values (measured: round(1.5e-9, 9) = 1e-9 vs 2e-9
+    for Spark/DuckDB/here), which 1/RIDGE then amplifies ~1e4×.
+    Tested tie-adjacent against live F.round in test_classify."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal(f"1E-{scale}"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _round9(x: float) -> float:
+    return _round_half_up(x, 9)
+
+
 def _det3(m: list[list[str]]) -> str:
     return (
         f"{m[0][0]}*({m[1][1]}*{m[2][2]} - {m[1][2]}*{m[2][1]})"
@@ -117,11 +142,15 @@ def _feature_base(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, dr, sr, score) — the map-only feature pass
     shared by :func:`quality_features` (per-doc) and
     :func:`logreg_train` (grouped)."""
-    # reuse the session's tokenized-corpus artifact when handed one
-    # (see models/text.with_tokens — identical arrays, no re-split)
+    # reuse the session's tokenized-corpus artifact when handed one —
+    # trusted via column-metadata provenance (functions.core
+    # is_token_artifact), never the bare column name: a user frame
+    # with its own ``toks`` column must not silently skip the split
+    from sift_spark.functions.core import is_token_artifact
+
     toks = (
         docs.select("doc_id", "toks")
-        if "toks" in docs.columns
+        if is_token_artifact(docs)
         else docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     ).where(F.size("toks") > 0)  # explode dropped token-less docs; keep that
     n_toks = F.size("toks")
@@ -292,7 +321,7 @@ def logreg_train(docs: DataFrame, n_iter: int = 6) -> list[float]:
                 env[f"h{j}{j}"] += RIDGE
             for j in range(D):
                 d = eval(_DELTAS[j], {"__builtins__": {}}, env)  # noqa: S307 — generated arithmetic, shared verbatim with the SQL oracle
-                w[j] = float(row[f"w{j}"]) - round(d, 9)
+                w[j] = float(row[f"w{j}"]) - _round9(d)
     finally:
         g.unpersist()
     return w
@@ -305,7 +334,7 @@ def quality_classifier(docs: DataFrame, n_iter: int = 6) -> DataFrame:
     spark = docs.sparkSession
     w = logreg_train(docs, n_iter=n_iter)
     return spark.createDataFrame(
-        [(j, FEATURES[j], round(v, 6)) for j, v in enumerate(w)],
+        [(j, FEATURES[j], _round_half_up(v, 6)) for j, v in enumerate(w)],
         "j int, feature string, w double",
     )
 

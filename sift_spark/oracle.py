@@ -1067,13 +1067,14 @@ ORACLE["entity_hits"] = f"""
 WITH {TOK}, {LINKS},
 il AS (SELECT DISTINCT doc_id, target FROM links),
 m AS MATERIALIZED (
-  SELECT l.target AS e, r.target AS e2, CAST(count(*) AS DOUBLE) AS m
+  SELECT l.target AS e, r.target AS e2, CAST(count(*) AS HUGEINT) AS m
   FROM il l JOIN il r USING (doc_id) GROUP BY 1, 2
 ),
-a1 AS (SELECT target, CAST(count(*) AS DOUBLE) AS a_raw FROM il GROUP BY target),
+a1 AS (SELECT target, CAST(count(*) AS HUGEINT) AS a_raw FROM il GROUP BY target),
 {_hits_iters}
 SELECT target AS entity,
-       round(a_raw / (SELECT sum(a_raw) FROM a5), 6) AS authority
+       round(CAST(a_raw AS DOUBLE)
+             / CAST((SELECT sum(a_raw) FROM a5) AS DOUBLE), 6) AS authority
 FROM a5
 """
 

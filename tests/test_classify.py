@@ -93,3 +93,35 @@ def test_newton_delta_formulas_solve_linear_system():
             env[f"h{r}{c}"] = H[r, c]
     d = [eval(f, {"__builtins__": {}}, env) for f in newton_delta_formulas()]  # noqa: S307
     assert np.allclose(H @ np.array(d), g, atol=1e-9)
+
+
+def test_round_half_up_matches_spark_round_tie_adjacent(spark):
+    """ONE rounding mechanism across all three delta legs: the driver
+    leg's _round_half_up must agree with the in-plan F.round (and, by
+    the same probe, DuckDB round) on tie-adjacent values — the exact
+    cases where Python's builtin half-even round flips the last digit
+    that 1/RIDGE then amplifies."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.classify import _round_half_up
+
+    # decimal ties, near-ties one ulp off, and real-magnitude deltas
+    grid = [1.5e-9, 2.5e-9, 7.5e-10, -1.5e-9, 0.0010000005, 2.0000000005,
+            0.1234567895, -0.1234567895]
+    grid += [math.nextafter(x, math.inf) for x in grid]
+    grid += [math.nextafter(x, -math.inf) for x in grid[:8]]
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(grid)], "i long, x double")
+    spark_rounded = {
+        r["i"]: r["r"]
+        for r in df.select("i", F.round("x", 9).alias("r")).collect()
+    }
+    con = duckdb.connect()
+    for i, x in enumerate(grid):
+        ours = _round_half_up(x, 9)
+        duck = con.execute("select round(?::DOUBLE, 9)", [x]).fetchone()[0]
+        assert ours == spark_rounded[i], (x, ours, spark_rounded[i])
+        assert ours == duck, (x, ours, duck)
