@@ -305,7 +305,21 @@ def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
         .union(cand.select(F.col("doc2").alias("doc_id")))
         .distinct()
     )
-    sh = sh.join(docs_in, "doc_id", "left_semi")
+    # the pruned slice is persisted and materialized: its THREE
+    # consumers (size aggregate + both intersection joins) would each
+    # re-run the broadcast-semi filter over the corpus-sized shingle
+    # table — one full pass apiece (the r7 restructure cut verify
+    # from 3 corpus passes to 1; the slice itself is candidate-doc
+    # sized, thousands of rows, so the cache is nearly free). Note:
+    # signature-estimated-jaccard prefiltering (the r5/r6 ask) was
+    # MEASURED and rejected instead — at 4 bands × 4 rows and
+    # threshold 0.8 the band-collision candidate set is already 100%
+    # true pairs at sf0.01/sf0.1 (random 3-gram-shingle jaccard
+    # ~1e-3 gives per-band collision odds ~1e-12), so there is
+    # nothing for an estimate filter to cut; the verify cost was the
+    # redundant corpus scans, not junk candidates.
+    sh = sh.join(docs_in, "doc_id", "left_semi").persist()
+    sh.count()  # materialize: the three consumers race a lazy cache
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc1"), F.col("shingle")), "doc1")
@@ -690,6 +704,38 @@ def lsh_index(docs: DataFrame, n: int = 3,
         _bands_from_signatures(_minhash_from_shingles(sh)),
         sh.select("doc_id", "shingle"),
     )
+
+
+def write_lsh_index(docs: DataFrame, bands_table: str = "lsh_index_bands",
+                    shingles_table: str = "lsh_index_shingles", n: int = 3,
+                    n_buckets: int = 32, sh: DataFrame | None = None) -> None:
+    """Write the standing near-dup index as BUCKETED tables — the
+    production layout for a growing corpus that runs incremental
+    dedup daily: bands bucketed on (band, sig) — BOTH probe-join keys,
+    in join-key order: Spark's co-partitioning check requires the
+    scan's HashPartitioning to cover every cluster key, so bucketing
+    on sig alone still re-shuffles the index (measured) — and
+    shingles bucketed on ``doc_id`` (the verify key). The corpus-
+    sized index side of every batch probe is then read
+    pre-partitioned and NEVER shuffled (only the batch shuffles),
+    regardless of whether the batch is small enough to broadcast.
+    Pair with :func:`read_lsh_index` →
+    :func:`minhash_lsh_pairs_incremental`; plan-asserted shuffle-free
+    in tests/test_dedup_bucketed_index.py."""
+    from sift_spark.operators.scale import write_bucketed
+
+    bands, shingles_df = lsh_index(docs, n, sh=sh)
+    write_bucketed(bands, bands_table, ["band", "sig"], n_buckets=n_buckets)
+    write_bucketed(shingles_df, shingles_table, "doc_id", n_buckets=n_buckets)
+
+
+def read_lsh_index(spark, bands_table: str = "lsh_index_bands",
+                   shingles_table: str = "lsh_index_shingles") -> tuple[DataFrame, DataFrame]:
+    """Load the standing index written by :func:`write_lsh_index` —
+    returns (bands, shingles) reading the bucketed layout (the scans
+    report their HashPartitioning, so downstream probe/verify joins
+    skip the index-side shuffle)."""
+    return spark.table(bands_table), spark.table(shingles_table)
 
 
 def minhash_lsh_pairs_incremental(new_docs: DataFrame, index_bands: DataFrame,

@@ -20,13 +20,21 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
     df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
 
 
-def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
-                   n_buckets: int = 32, sort_col: str | None = None) -> None:
+def write_bucketed(df: DataFrame, table_name: str, bucket_col: str | list[str],
+                   n_buckets: int = 32,
+                   sort_col: str | list[str] | None = None) -> None:
     """Bucketed + sorted table: joins/groupBys on ``bucket_col``
-    between co-bucketed tables skip the shuffle entirely."""
-    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    between co-bucketed tables skip the shuffle entirely.
+
+    Multi-key joins need ALL join keys in the bucket spec (pass a
+    list, same order as the join keys): Spark's co-partitioning check
+    requires the scan's HashPartitioning to cover every cluster key,
+    so a table bucketed on a subset still gets re-shuffled."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *cols)
     if sort_col:
-        w = w.sortBy(sort_col)
+        sort_cols = [sort_col] if isinstance(sort_col, str) else list(sort_col)
+        w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)
 
 
