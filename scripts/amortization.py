@@ -136,7 +136,7 @@ QSET = [
 ]
 
 
-def duck_one(name: str, sf_dir: str) -> None:
+def duck_one(name: str, sf_dir: str, runs: int = 1) -> None:
     import duckdb
 
     from sift_spark.oracle import ORACLE
@@ -146,15 +146,39 @@ def duck_one(name: str, sf_dir: str) -> None:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    t0 = time.time()
-    n = len(con.sql(ORACLE[name]).fetchall())
-    print(json.dumps({"sec": round(time.time() - t0, 3), "rows": n}))
+    secs = []
+    n = 0
+    for _ in range(runs):
+        t0 = time.time()
+        n = len(con.sql(ORACLE[name]).fetchall())
+        secs.append(round(time.time() - t0, 3))
+    print(json.dumps({"sec": secs[0], "secs": secs, "rows": n}))
+
+
+def full_qset() -> list[str]:
+    """The UNIFORM-protocol query set (r7 verdict #2): every
+    oracle-paired registry query, artifact accounting lines first
+    (their build cost must land on their own line), the rest in a
+    seed-fixed shuffled order so slow IO-throttling drift across the
+    block decorrelates from query families."""
+    import random
+
+    from sift_spark.oracle import ORACLE
+    from sift_spark.queries import QUERIES
+
+    art = [q for q in ("corpus_tokens", "corpus_tf", "corpus_shingles") if q in QUERIES]
+    rest = [q for q in QUERIES if q in ORACLE and q not in art]
+    random.Random(7).shuffle(rest)
+    return art + rest
 
 
 def main() -> None:
     if "--duck-one" in sys.argv:
         i = sys.argv.index("--duck-one")
-        duck_one(sys.argv[i + 1], sys.argv[i + 2])
+        runs = 1
+        if "--runs" in sys.argv:
+            runs = int(sys.argv[sys.argv.index("--runs") + 1])
+        duck_one(sys.argv[i + 1], sys.argv[i + 2], runs)
         return
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -162,7 +186,16 @@ def main() -> None:
     timeout = 600.0
     if "--timeout" in sys.argv:
         timeout = float(sys.argv[sys.argv.index("--timeout") + 1])
+    # --warm N: run each query 1+N times in BOTH engines (first =
+    # cold, rest warm); per-query output then carries cold AND min —
+    # ONE protocol for every entry (r7 verdict #2)
+    warm = 0
+    if "--warm" in sys.argv:
+        warm = int(sys.argv[sys.argv.index("--warm") + 1])
+    runs = 1 + warm
     qset = QSET
+    if "--full" in sys.argv:
+        qset = full_qset()
     if "--only" in sys.argv:
         qset = sys.argv[sys.argv.index("--only") + 1].split(",")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -170,19 +203,24 @@ def main() -> None:
 
     # --- DuckDB side: subprocess per query, wall timeout ---
     duck: dict[str, float | None] = {}
+    duck_cold: dict[str, float | None] = {}
     for name in qset:
         try:
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--duck-one", name, sf_dir],
-                capture_output=True, text=True, timeout=timeout,
+                [sys.executable, os.path.abspath(__file__), "--duck-one", name, sf_dir,
+                 "--runs", str(runs)],
+                capture_output=True, text=True, timeout=timeout * runs,
             )
             if out.returncode == 0:
-                duck[name] = json.loads(out.stdout.strip().splitlines()[-1])["sec"]
+                rec = json.loads(out.stdout.strip().splitlines()[-1])
+                secs = rec.get("secs", [rec["sec"]])
+                duck_cold[name] = secs[0]
+                duck[name] = min(secs)
             else:
-                duck[name] = None
+                duck[name] = duck_cold[name] = None
                 print(f"# duck {name}: rc={out.returncode}", file=sys.stderr)
         except subprocess.TimeoutExpired:
-            duck[name] = None
+            duck[name] = duck_cold[name] = None
             print(f"# duck {name}: TIMEOUT {timeout}s", file=sys.stderr)
         print(f"# duck {name}: {duck[name]}", file=sys.stderr)
 
@@ -200,16 +238,21 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(10).count()
 
     spk: dict[str, float | None] = {}
+    spk_cold: dict[str, float | None] = {}
     for name in qset:
         sc.setJobGroup(name, name, interruptOnCancel=True)
-        timer = threading.Timer(timeout, lambda: sc.cancelJobGroup(name))
+        timer = threading.Timer(timeout * runs, lambda: sc.cancelJobGroup(name))
         timer.start()
-        t0 = time.time()
+        secs = []
         try:
-            QUERIES[name](spark, sf_dir).count()
-            spk[name] = round(time.time() - t0, 3)
+            for _ in range(runs):
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).count()
+                secs.append(round(time.time() - t0, 3))
+            spk_cold[name] = secs[0]
+            spk[name] = min(secs)
         except Exception:
-            spk[name] = None
+            spk[name] = spk_cold[name] = None
             print(f"# spark {name}: CANCELLED/FAILED", file=sys.stderr)
         finally:
             timer.cancel()
@@ -220,10 +263,16 @@ def main() -> None:
     result = {
         "sf": sf,
         "timeout_sec": timeout,
+        "runs_per_query": runs,
         "queries": {
             q: {
                 "spark_sec": spk.get(q),
                 "duck_sec": duck.get(q),
+                **(
+                    {"spark_cold_sec": spk_cold.get(q), "duck_cold_sec": duck_cold.get(q)}
+                    if runs > 1
+                    else {}
+                ),
                 "ratio": (
                     round(spk[q] / duck[q], 3)
                     if duck.get(q) and spk.get(q) is not None
