@@ -136,7 +136,8 @@ QSET = [
 ]
 
 
-def duck_one(name: str, sf_dir: str, runs: int = 1) -> None:
+def duck_one(name: str, sf_dir: str, runs: int = 1,
+             budget: float | None = None) -> None:
     import duckdb
 
     from sift_spark.oracle import ORACLE
@@ -146,12 +147,18 @@ def duck_one(name: str, sf_dir: str, runs: int = 1) -> None:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    start = time.time()
     secs = []
     n = 0
     for _ in range(runs):
         t0 = time.time()
         n = len(con.sql(ORACLE[name]).fetchall())
         secs.append(round(time.time() - t0, 3))
+        # warm repeats only while there's budget — a slow query must
+        # not burn runs× the wall timeout (the subprocess cap stays at
+        # the single-run timeout; a DNF dies there as before)
+        if budget is not None and time.time() - start > 0.45 * budget:
+            break
     print(json.dumps({"sec": secs[0], "secs": secs, "rows": n}))
 
 
@@ -178,7 +185,10 @@ def main() -> None:
         runs = 1
         if "--runs" in sys.argv:
             runs = int(sys.argv[sys.argv.index("--runs") + 1])
-        duck_one(sys.argv[i + 1], sys.argv[i + 2], runs)
+        budget = None
+        if "--budget" in sys.argv:
+            budget = float(sys.argv[sys.argv.index("--budget") + 1])
+        duck_one(sys.argv[i + 1], sys.argv[i + 2], runs, budget)
         return
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -208,8 +218,8 @@ def main() -> None:
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--duck-one", name, sf_dir,
-                 "--runs", str(runs)],
-                capture_output=True, text=True, timeout=timeout * runs,
+                 "--runs", str(runs), "--budget", str(timeout)],
+                capture_output=True, text=True, timeout=timeout,
             )
             if out.returncode == 0:
                 rec = json.loads(out.stdout.strip().splitlines()[-1])
@@ -241,14 +251,17 @@ def main() -> None:
     spk_cold: dict[str, float | None] = {}
     for name in qset:
         sc.setJobGroup(name, name, interruptOnCancel=True)
-        timer = threading.Timer(timeout * runs, lambda: sc.cancelJobGroup(name))
+        timer = threading.Timer(timeout, lambda: sc.cancelJobGroup(name))
         timer.start()
         secs = []
+        qstart = time.time()
         try:
             for _ in range(runs):
                 t0 = time.time()
                 QUERIES[name](spark, sf_dir).count()
                 secs.append(round(time.time() - t0, 3))
+                if time.time() - qstart > 0.45 * timeout:
+                    break  # warm repeats only while there's budget
             spk_cold[name] = secs[0]
             spk[name] = min(secs)
         except Exception:
