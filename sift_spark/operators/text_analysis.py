@@ -657,22 +657,45 @@ def term_collocations(docs: DataFrame, min_count: int = 5) -> DataFrame:
     )
 
 
-def doc_top_terms(docs: DataFrame, k: int = 3, min_df: int = 2) -> DataFrame:
+def doc_top_terms(docs: DataFrame, k: int = 3, min_df: int = 2,
+                  tf: DataFrame | None = None) -> DataFrame:
     """Per-document top-k tf-idf terms as a sorted CSV column
     (doc_id, top_terms): terms ranked by weight desc then term asc —
     the per-doc profile a search/labeling pipeline exports. Rank
-    window partitions by doc_id on post-aggregation rows."""
+    window partitions by doc_id on post-aggregation rows.
+
+    ``tf``: optional pre-materialized (doc_id, term, tf) posting
+    table (the session's shared artifact, queries._docs_tf). df/idf
+    are then integer re-aggregates OF it (df = per-term row count —
+    exact, tf is one row per (doc, term), the same integers term_idfs
+    computes from its own corpus scan), so the operator runs ZERO
+    corpus passes of its own (was two: the tf explode + term_idfs'
+    distinct explode; sf1 measured 4.8s vs DuckDB 1.4s)."""
     from pyspark.sql import Window
 
     from sift_spark.models.text import term_idfs, with_tokens
 
-    tf = (
-        with_tokens(docs)
-        .select("doc_id", F.explode(F.col("toks")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    w = tf.join(term_idfs(docs, min_df=min_df), "term").select(
+    if tf is None:
+        tf = (
+            with_tokens(docs)
+            .select("doc_id", F.explode(F.col("toks")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        idf = term_idfs(docs, min_df=min_df)
+    else:
+        n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+        idf = (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > min_df)
+            .crossJoin(n)
+            .select(
+                "term",
+                F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"),
+            )
+        )
+    w = tf.join(idf, "term").select(
         "doc_id", "term", (F.sqrt(F.col("tf")) * F.col("idf")).alias("wt")
     )
     rk = Window.partitionBy("doc_id").orderBy(F.col("wt").desc(), F.col("term").asc())
