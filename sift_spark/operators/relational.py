@@ -167,10 +167,27 @@ def price_percentiles(part: DataFrame) -> DataFrame:
 
 def events_json_buckets(events: DataFrame) -> DataFrame:
     """JSON extraction from the ``props`` column: bucket by
-    ``props.k % 10``, count + sum(value)."""
-    k = F.get_json_object("props", "$.k").cast("long")
+    ``props.k % 10``, count + sum(value).
+
+    The parse stays REAL JSON — Spark 4's VARIANT path
+    (parse_json → variant_get: binary-JSON parse once, typed field
+    extraction; measured 1.6× over get_json_object, same null/type
+    semantics as the oracle's json_extract_string. A regexp
+    substitute measured 5× but silently changes semantics on
+    nested/escaped input — rejected). The scale note is parallelism:
+    JSON parse is an expensive per-row map, and a compact parquet
+    file splits into far fewer tasks than cores (sf1: 3 tasks on 32
+    cores — the whole 5.2s wall was 3-way parse). Repartition the
+    NARROW projection first when the scan under-splits; at real
+    scale the table has plenty of splits and the repartition is
+    skipped."""
+    src = events.select("props", "value")
+    par = events.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par // 2:
+        src = src.repartition(par)
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
     return (
-        events.select((k % 10).alias("k_bucket"), "value")
+        src.select((k % 10).alias("k_bucket"), "value")
         .groupBy("k_bucket")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
@@ -969,20 +986,30 @@ def basket_pairs(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
     in the same order, with support counts — (part1, part2, support)
     for part1 < part2 and support ≥ ``min_support``.
 
-    Shape: distinct (order, part) then an equi-self-join on the order
-    key — both sides shuffle once on l_orderkey and baskets are small
-    (TPC-H ≤ 7 lines), so the join output is bounded by Σ |basket|²;
-    the pair aggregate shuffles on the canonical (part1, part2) key.
-    Same canonical-pair pattern as ``comention_triangles``; never a
-    cross join."""
-    items = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))
-    ).select(F.col("a.pk").alias("part1"), F.col("b.pk").alias("part2"))
+    Shape: ONE basket aggregate (collect_set per order — map-side
+    partial, one shuffle keyed on l_orderkey), then pairs generated
+    LOCALLY from each basket array (a sequence×sequence transform —
+    baskets are small, TPC-H ≤ 7 lines, so the explode is bounded by
+    Σ |basket|²), then the canonical-pair aggregate. Replaces the
+    distinct + equi-self-join form, which shuffled the (order, part)
+    table three times (distinct, then both join sides) — measured
+    5.0s → 2.7s at sf1, identical pairs. Same output as
+    ``comention_triangles``' canonical-pair pattern; never a cross
+    join. Giant baskets (not TPC-H) would want a per-basket size cap
+    before the quadratic local expansion."""
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_col = F.expr(
+        "flatten(transform(sequence(1, size(ps) - 1), "
+        "i -> transform(sequence(i + 1, size(ps)), "
+        "j -> struct(element_at(ps, i) AS part1, element_at(ps, j) AS part2))))"
+    )
+    pairs = (
+        baskets.where(F.size("ps") >= 2)
+        .select(F.explode(pair_col).alias("p"))
+        .select("p.part1", "p.part2")
+    )
     return (
         pairs.groupBy("part1", "part2")
         .agg(F.count(F.lit(1)).alias("support"))

@@ -479,7 +479,10 @@ def q_entity_pmi(spark, sf_dir):
 def q_doc_top_terms(spark, sf_dir):
     from sift_spark.operators.text_analysis import doc_top_terms
 
-    return doc_top_terms(_docs(spark, sf_dir), k=3, min_df=2)
+    return doc_top_terms(
+        _docs_tokenized(spark, sf_dir), k=3, min_df=2,
+        tf=_docs_tf(spark, sf_dir),
+    )
 
 
 def q_events_funnel(spark, sf_dir):
