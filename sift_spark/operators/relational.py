@@ -446,52 +446,66 @@ def fuzzy_name_pairs(customer: DataFrame, max_dist: int = 1) -> DataFrame:
             "requires k-position masking (extend the variant set)"
         )
     c = customer.select("c_custkey", "c_name")
+    # per-row cost here is O(len²) variant building across len masked
+    # positions — expensive map work, and a compact dimension file
+    # splits into fewer tasks than cores (sf1: ONE 5 MB parquet split
+    # carried the whole explode on one core — measured 25s of a 27s
+    # wall). Repartition the 2-column projection first when the scan
+    # under-splits; at real scale the table has plenty of splits and
+    # this is skipped.
+    par = customer.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par // 2:
+        c = c.repartition(par)
+    # bucket key = the masked variant STRING itself (exactly the
+    # oracle's key): equal keys force equal lengths AND an identical
+    # mask position AND identical characters everywhere else, so
+    # bucket membership IS the Hamming≤1 invariant — no hash to
+    # insure against, no pair-level re-verify (the r7 profile showed
+    # the substring re-verify cost 3.5s of a 6.4s sf1 wall under the
+    # earlier hash-keyed form). The full name never shuffles either:
+    # each variant carries only (custkey, char-at-p), and a pair's
+    # edit distance is exactly (char1 != char2). Pairs are generated
+    # LOCALLY inside each bucket (same shape as basket_pairs) —
+    # replaces the exploded-table self-join, which scanned+exploded
+    # the table twice and shuffled both join sides.
     masked = F.expr(
         "transform(sequence(1, length(c_name)), "
-        "p -> struct(p AS p, concat(substring(c_name, 1, p - 1), '\x01', "
-        "substring(c_name, p + 1, length(c_name))) AS key))"
+        "p -> struct(concat(substring(c_name, 1, p - 1), '\x01', "
+        "substring(c_name, p + 1, length(c_name))) AS key, "
+        "substring(c_name, p, 1) AS ch))"
     )
-    # the variant string never leaves the map side: the self-join key
-    # is its 8-byte xxhash64 — the explode shuffles (custkey, name, p,
-    # hash) instead of (…, 25-byte masked string), and the join
-    # compares bigints, not strings (the r7 constant cut; the sf1
-    # explode moves ~1/3 fewer bytes and hashes fixed-width keys)
-    b = c.select("c_custkey", "c_name", F.explode(masked).alias("m")).select(
-        "c_custkey", "c_name", F.col("m.p").alias("p"),
-        F.xxhash64(F.col("m.key")).alias("kh"),
+    b = c.select("c_custkey", F.explode(masked).alias("m")).select(
+        F.col("m.key").alias("key"), "c_custkey", F.col("m.ch").alias("ch")
     )
-    cand = (
-        b.alias("l")
-        .join(b.alias("r"), (F.col("l.p") == F.col("r.p")) & (F.col("l.kh") == F.col("r.kh"))
-              & (F.col("l.c_custkey") < F.col("r.c_custkey")))
-        .select(
-            F.col("l.c_custkey").alias("k1"), F.col("l.c_name").alias("n1"),
-            F.col("r.c_custkey").alias("k2"), F.col("r.c_name").alias("n2"),
-            F.col("l.p").alias("p"),
-        )
+    # buckets are Hamming-1 neighborhoods (tiny by construction);
+    # sort by custkey so local i<j enumeration yields k1<k2 exactly
+    # like the old join condition
+    buckets = (
+        b.groupBy("key")
+        .agg(F.sort_array(F.collect_list(F.struct("c_custkey", "ch"))).alias("xs"))
+        .where(F.size("xs") >= 2)
     )
-    # correctness never rests on the 64-bit hash: the blocking
-    # invariant (equal length, identical outside position p) is
-    # re-verified on the carried names — a colliding impostor pair
-    # fails it and drops out; a true pair passes it by construction
-    same_outside_p = (
-        (F.length("n1") == F.length("n2"))
-        & F.expr("substring(n1, 1, p - 1) = substring(n2, 1, p - 1)")
-        & F.expr("substring(n1, p + 1) = substring(n2, p + 1)")
+    pair_col = F.expr(
+        "flatten(transform(sequence(1, size(xs) - 1), "
+        "i -> transform(sequence(i + 1, size(xs)), "
+        "j -> struct(element_at(xs, i) AS a, element_at(xs, j) AS b))))"
     )
-    # two equal-length names sharing a masked variant at position p are
-    # IDENTICAL everywhere except possibly p, so their edit distance is
-    # exactly (n1 != n2) — no DP levenshtein needed on the hot path
-    # (measured 10µs/pair → string equality at sf1's 3.1M candidates,
-    # 46.7s → ~15s). The DuckDB oracle keeps true levenshtein over the
-    # string-keyed blocking as the independent verify of both claims.
+    # two names sharing a masked variant are IDENTICAL everywhere
+    # except the masked position, so their edit distance is exactly
+    # (ch1 != ch2) — no DP levenshtein on the hot path. The DuckDB
+    # oracle keeps true levenshtein over the same string-keyed
+    # blocking as the independent verify of both claims.
     return (
-        cand.where(same_outside_p)
-        .withColumn(
-            "dist", F.when(F.col("n1") == F.col("n2"), 0).otherwise(1).cast("int")
+        buckets.select(F.explode(pair_col).alias("pr"))
+        .select(
+            F.col("pr.a.c_custkey").alias("k1"),
+            F.col("pr.b.c_custkey").alias("k2"),
+            F.when(F.col("pr.a.ch") == F.col("pr.b.ch"), 0)
+            .otherwise(1)
+            .cast("int")
+            .alias("dist"),
         )
-        .where(F.col("dist") <= max_dist)
-        .select("k1", "k2", "dist")
+        .where((F.col("k1") < F.col("k2")) & (F.col("dist") <= max_dist))
     )
 
 
