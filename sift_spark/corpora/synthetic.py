@@ -46,8 +46,14 @@ def token_offsets(toks: Column) -> Column:
 def token_pos_table(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, anchor) — token explode with positions only.
     Fully map-side (no offsets window); all aggregate models consume
-    this one."""
-    return docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "anchor"))
+    this one. Shortcuts on the session's provenance-tagged token
+    artifact (metadata-checked, never the bare column name): the
+    regex split is the dominant per-pass cost of the links family and
+    the cached arrays are semantics-identical."""
+    from sift_spark.functions.core import is_token_artifact
+
+    col = F.col("toks") if is_token_artifact(docs) else tokens(F.col("text"))
+    return docs.select("doc_id", F.posexplode(col).alias("pos", "anchor"))
 
 
 def token_table(docs: DataFrame) -> DataFrame:
@@ -65,7 +71,7 @@ def token_table(docs: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    t = docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "anchor"))
+    t = token_pos_table(docs)
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
     return (
         t.withColumn(

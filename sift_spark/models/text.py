@@ -77,11 +77,33 @@ def term_frequencies(docs: DataFrame, max_ngram: int = 1, lowercase: bool = Fals
     )
 
 
-def term_doc_frequencies(docs: DataFrame, max_ngram: int = 1, lowercase: bool = False, min_df: int = 2) -> DataFrame:
+def term_doc_frequencies(docs: DataFrame, max_ngram: int = 1, lowercase: bool = False, min_df: int = 2,
+                         tf: DataFrame | None = None) -> DataFrame:
     """Document frequencies (reference text.py:110
     ``TermDocumentFrequencies``): per-term distinct-doc counts with
     df > min_df. Distinct-per-doc before the global count keeps the
-    aggregation two map-side-combinable hash aggs."""
+    aggregation two map-side-combinable hash aggs.
+
+    ``tf``: optional pre-materialized (doc_id, term, tf) unigram
+    posting table (the session's shared artifact, queries._docs_tf).
+    df is then a per-term ROW COUNT of it — tf has one row per
+    (doc, term), so the integers are exactly the distinct-doc counts
+    the corpus scan computes — and the operator runs zero corpus
+    passes of its own. Only valid for the default tokenization
+    (unigrams, no lowercasing): asking for ngrams the artifact does
+    not hold raises rather than silently recomputing."""
+    if tf is not None:
+        if max_ngram != 1 or lowercase:
+            raise ValueError(
+                "the (doc_id, term, tf) artifact holds default-case "
+                f"unigrams; max_ngram={max_ngram}, lowercase={lowercase} "
+                "requires the corpus-scan path (omit tf)"
+            )
+        return (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > min_df)
+        )
     # per-doc dedup happens map-side via array_distinct — one shuffle
     # total (the term count), instead of distinct + groupBy
     return (
@@ -94,10 +116,13 @@ def term_doc_frequencies(docs: DataFrame, max_ngram: int = 1, lowercase: bool = 
 
 
 def term_vocab(docs: DataFrame, max_rank: int | None = 10000, min_rank: int | None = 0,
-               max_ngram: int = 1, lowercase: bool = False, min_df: int = 0) -> DataFrame:
+               max_ngram: int = 1, lowercase: bool = False, min_df: int = 0,
+               tf: DataFrame | None = None) -> DataFrame:
     """Df-ranked term index (reference text.py:128 ``TermVocab``);
-    ties broken by term ascending for cross-engine determinism."""
-    dfs = term_doc_frequencies(docs, max_ngram=max_ngram, lowercase=lowercase, min_df=min_df)
+    ties broken by term ascending for cross-engine determinism.
+    ``tf``: optional shared posting-table artifact (see
+    term_doc_frequencies)."""
+    dfs = term_doc_frequencies(docs, max_ngram=max_ngram, lowercase=lowercase, min_df=min_df, tf=tf)
     order = (F.col("df").desc(), F.col("term").asc())
     if max_rank is not None:
         # TakeOrderedAndProject: the rank window below then runs on
@@ -109,13 +134,17 @@ def term_vocab(docs: DataFrame, max_rank: int | None = 10000, min_rank: int | No
     return m
 
 
-def term_idfs(docs: DataFrame, max_ngram: int = 1, lowercase: bool = False, min_df: int = 2) -> DataFrame:
+def term_idfs(docs: DataFrame, max_ngram: int = 1, lowercase: bool = False, min_df: int = 2,
+              tf: DataFrame | None = None) -> DataFrame:
     """idf = ln(N / df) per term (reference text.py:157 ``TermIdfs``).
 
     N comes from a 1-row aggregate cross-joined in (broadcast by
-    Catalyst) — no driver-side ``count()`` round trip.
+    Catalyst) — no driver-side ``count()`` round trip. ``tf``:
+    optional shared posting-table artifact (see
+    term_doc_frequencies); N still counts ``docs`` (token-less docs
+    belong in N but have no tf rows).
     """
-    dfs = term_doc_frequencies(docs, max_ngram=max_ngram, lowercase=lowercase, min_df=min_df)
+    dfs = term_doc_frequencies(docs, max_ngram=max_ngram, lowercase=lowercase, min_df=min_df, tf=tf)
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     return dfs.crossJoin(n).select(
         "term", F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf")

@@ -1079,7 +1079,8 @@ def duplicate_cluster_stats(pairs: DataFrame) -> DataFrame:
 
 
 def doc_embedding_dup_pairs(docs: DataFrame, threshold: float = 0.9,
-                            n_blocks: int = 8) -> DataFrame:
+                            n_blocks: int = 8,
+                            tf: DataFrame | None = None) -> DataFrame:
     """Near-duplicate detection on RAW TEXT through the vector path:
     deterministic SRP document embeddings
     (``text_analysis.doc_srp_embeddings``) assembled into dense
@@ -1092,10 +1093,13 @@ def doc_embedding_dup_pairs(docs: DataFrame, threshold: float = 0.9,
 
     Shape: the SRP sum, one doc-keyed assembly (collect_list sorted
     by dim), then block-tiled GEMM with the threshold inside the
-    kernel — only qualifying pairs leave a tile."""
+    kernel — only qualifying pairs leave a tile.
+
+    ``tf``: optional shared (doc_id, term, tf) posting artifact,
+    passed through to the SRP stage (see doc_srp_embeddings)."""
     from sift_spark.operators.text_analysis import doc_srp_embeddings
 
-    srp = doc_srp_embeddings(docs)
+    srp = doc_srp_embeddings(docs, tf=tf)
     vec = (
         srp.groupBy("doc_id")
         .agg(

@@ -165,7 +165,8 @@ def weighted_sample(df: DataFrame, k: int = 100, key_col: str = "doc_id",
 
 
 def dsir_importance_weights(docs: DataFrame, target_lang: str = "en",
-                            smoothing: float = 1.0, k: int = 100) -> DataFrame:
+                            smoothing: float = 1.0, k: int = 100,
+                            tf: DataFrame | None = None) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"; unigram variant):
     rank documents by how much they resemble a target distribution.
@@ -182,17 +183,39 @@ def dsir_importance_weights(docs: DataFrame, target_lang: str = "en",
     for bounded vocabularies), scalar totals ride a 1-row broadcast,
     and the final top-k is TakeOrderedAndProject — no corpus-wide
     sort, no driver loop.
+
+    ``tf``: optional shared (doc_id, term, tf) posting artifact; the
+    whole operator then runs on posting rows, never the token stream:
+    the frequency tables are integer-exact re-aggregates (raw: Σ tf
+    per term; target: the same over a broadcast-joined lang filter),
+    and the per-doc score is the WEIGHTED average Σ tf·lr / Σ tf in
+    BOTH paths (and in the oracle) — same value as the per-token
+    average up to float summation order, which the 6dp edge rounding
+    already absorbs.
     """
+    from sift_spark.functions.core import is_token_artifact
     from sift_spark.models.text import tokens
 
-    tok = docs.select(
-        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
-    )
-    raw_tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("nr"))
+    # shortcut on the session's provenance-tagged token artifact (the
+    # frame carries every original column plus ``toks``): the regex
+    # split is the dominant per-pass cost and the cached arrays are
+    # semantics-identical (see models.text.with_tokens)
+    if tf is None:
+        toks_col = (
+            F.col("toks") if is_token_artifact(docs) else tokens(F.col("text"))
+        )
+        tf = (
+            docs.select("doc_id", F.explode(toks_col).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    posting = tf.select("doc_id", F.col("term").alias("tok"), "tf")
+    raw_tf = posting.groupBy("tok").agg(F.sum("tf").alias("nr"))
+    langs = docs.select("doc_id", "lang")
     tgt_tf = (
-        tok.where(F.col("lang") == target_lang)
+        posting.join(F.broadcast(langs.where(F.col("lang") == target_lang)), "doc_id")
         .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("nt"))
+        .agg(F.sum("tf").alias("nt"))
     )
     vocab = raw_tf.join(tgt_tf, "tok", "left").select(
         "tok", "nr", F.coalesce("nt", F.lit(0)).alias("nt")
@@ -211,9 +234,9 @@ def dsir_importance_weights(docs: DataFrame, target_lang: str = "en",
         ).alias("lr"),
     )
     weights = (
-        tok.join(lr, "tok")
+        posting.join(lr, "tok")
         .groupBy("doc_id")
-        .agg(F.round(F.avg("lr"), 6).alias("weight"))
+        .agg(F.round(F.sum(F.col("tf") * F.col("lr")) / F.sum("tf"), 6).alias("weight"))
     )
     return weights.orderBy(F.col("weight").desc(), F.col("doc_id").asc()).limit(k)
 

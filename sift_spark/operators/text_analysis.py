@@ -136,7 +136,7 @@ def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
 
 
 def tfidf_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
-                 min_df: int = 2) -> DataFrame:
+                 min_df: int = 2, tf: DataFrame | None = None) -> DataFrame:
     """TF-IDF ranked document search: score = Σ_q sqrt(tf)·idf over
     the query terms, L2-normalized by the document's full tf-idf
     vector (cosine against a binary query vector, up to the query
@@ -144,16 +144,23 @@ def tfidf_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
 
     Plan shape: doc-term tf (one shuffle), idf broadcast join, per-doc
     norm from the full vector, query-term filter before the final
-    top-k — no full-corpus sort, just one aggregation + window."""
+    top-k — no full-corpus sort, just one aggregation + window.
+
+    ``tf``: optional pre-materialized (doc_id, term, tf) posting
+    table (the session's shared artifact, queries._docs_tf); both the
+    weight table and the idf side then re-aggregate it — zero corpus
+    passes of the operator's own (was two: the tf explode + term_idfs'
+    distinct explode)."""
     from sift_spark.models.text import term_idfs, with_tokens
 
-    tf = (
-        with_tokens(docs)
-        .select("doc_id", F.explode(F.col("toks")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    idfs = term_idfs(docs, min_df=min_df)
+    idfs = term_idfs(docs, min_df=min_df, tf=tf)
+    if tf is None:
+        tf = (
+            with_tokens(docs)
+            .select("doc_id", F.explode(F.col("toks")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     w = tf.join(idfs, "term").select(
         "doc_id", "term", (F.sqrt(F.col("tf")) * F.col("idf")).alias("w")
     )
@@ -280,7 +287,7 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("clean_text", clean).drop(text_col)
 
 
-def unigram_logprob(docs: DataFrame) -> DataFrame:
+def unigram_logprob(docs: DataFrame, tf: DataFrame | None = None) -> DataFrame:
     """Corpus-unigram LM score per document: avg ln p(token), with
     p = corpus tf / total tokens — a cheap proxy for model-based
     quality filtering (low score = rare/garbled text):
@@ -289,15 +296,39 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     One lazy plan: the scalar total rides in via a crossJoin of a
     1-row aggregate (no driver action); the term-probability table is
     vocab-sized, so the join back to the token stream is hash-keyed
-    on the term and broadcastable for bounded vocabularies."""
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    total = tf.agg(F.sum("tf").alias("t"))
-    p = tf.crossJoin(F.broadcast(total)).select(
-        "tok", F.log(F.col("tf") / F.col("t")).alias("lp")
+    on the term and broadcastable for bounded vocabularies.
+
+    ``tf``: optional shared (doc_id, term, tf) posting artifact; the
+    whole operator is then integer-exact re-aggregates of it plus one
+    posting-sized score join. The per-doc average is the WEIGHTED
+    form Σ tf·lp / Σ tf in BOTH paths (and in the oracle), so the
+    score join carries one row per (doc, term) instead of one per
+    token — same value as the per-token average up to float
+    summation order, which the 6dp edge rounding already absorbs
+    (the artifact changes where rows come from, never what the
+    operator computes)."""
+    from sift_spark.models.text import with_tokens
+
+    if tf is None:
+        tf = (
+            with_tokens(docs)
+            .select("doc_id", F.explode("toks").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = ctf.agg(F.sum("ctf").alias("t"))
+    p = ctf.crossJoin(F.broadcast(total)).select(
+        "term", F.log(F.col("ctf") / F.col("t")).alias("lp")
     )
-    return tok.join(p, "tok").groupBy("doc_id").agg(
-        F.round(F.avg("lp"), 6).alias("avg_logprob")
+    return (
+        tf.join(p, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("tf") * F.col("lp")) / F.sum("tf"), 6).alias(
+                "avg_logprob"
+            )
+        )
     )
 
 
@@ -604,7 +635,8 @@ def doc_chunks(docs: DataFrame, window: int = 50, stride: int = 40) -> DataFrame
     )
 
 
-def term_collocations(docs: DataFrame, min_count: int = 5) -> DataFrame:
+def term_collocations(docs: DataFrame, min_count: int = 5,
+                      tf: DataFrame | None = None) -> DataFrame:
     """Adjacent-bigram collocations ranked by pointwise mutual
     information: (w1, w2, n_pair, pmi) for pairs seen ≥ ``min_count``
     times. pmi = ln((c_xy/B) / ((c_x/T)·(c_y/T))) with T total tokens,
@@ -614,12 +646,22 @@ def term_collocations(docs: DataFrame, min_count: int = 5) -> DataFrame:
     counts); the scalar totals ride a 1-row broadcast crossJoin (no
     action); the two unigram-count joins shuffle on the word — at
     corpus scale the unigram table is Zipf-skewed, which AQE skew
-    handling splits."""
+    handling splits.
+
+    ``tf``: optional shared (doc_id, term, tf) posting artifact — the
+    unigram counts and the token total become integer re-aggregates
+    of it (Σ tf: exactly the explode's integers), so only the bigram
+    pass reads the token stream."""
     from sift_spark.models.text import with_tokens
 
     t = with_tokens(docs)
     tok = t.select(F.explode("toks").alias("w"))
-    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    if tf is not None:
+        uni = tf.groupBy("term").agg(F.sum("tf").alias("c")).select(
+            F.col("term").alias("w"), "c"
+        )
+    else:
+        uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     # bigram pairs: per-gram element_at lookups (no array copy per gram)
     pairs = t.where(F.size("toks") >= 2).select(
         F.explode(
@@ -635,9 +677,12 @@ def term_collocations(docs: DataFrame, min_count: int = 5) -> DataFrame:
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair")).where(
         F.col("n_pair") >= min_count
     )
-    totals = tok.agg(
-        F.count(F.lit(1)).alias("t_tokens"),
-    ).crossJoin(pairs.agg(F.count(F.lit(1)).alias("t_bigrams")))
+    t_tokens = (
+        uni.agg(F.sum("c").alias("t_tokens"))
+        if tf is not None
+        else tok.agg(F.count(F.lit(1)).alias("t_tokens"))
+    )
+    totals = t_tokens.crossJoin(pairs.agg(F.count(F.lit(1)).alias("t_bigrams")))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     return (
@@ -1535,7 +1580,8 @@ def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
     )
 
 
-def windowed_pmi(docs: DataFrame, window: int = 3, min_count: int = 5) -> DataFrame:
+def windowed_pmi(docs: DataFrame, window: int = 3, min_count: int = 5,
+                 tf: DataFrame | None = None) -> DataFrame:
     """Windowed PMI collocations: term pairs co-occurring within
     ``window`` positions (any order; pair canonicalized a <= b),
     scored ln(P(ab)/(P(a)P(b))) — the classic collocation/relatedness
@@ -1546,7 +1592,12 @@ def windowed_pmi(docs: DataFrame, window: int = 3, min_count: int = 5) -> DataFr
     doc), each token emits ``window`` shifted copies map-side and the
     pair join is a LINEAR (doc_id, pos) equi-join; pair counts,
     unigram counts, and the two totals are all map-side-combinable
-    aggregates with the scalars broadcast."""
+    aggregates with the scalars broadcast.
+
+    ``tf``: optional shared (doc_id, term, tf) posting artifact — the
+    unigram counts and token total become integer re-aggregates of it
+    (Σ tf: exactly the explode's integers); the windowed pair pass
+    still reads the token arrays (order matters there)."""
     from sift_spark.models.text import with_tokens
 
     t = with_tokens(docs).withColumn("n", F.size("toks"))
@@ -1575,11 +1626,14 @@ def windowed_pmi(docs: DataFrame, window: int = 3, min_count: int = 5) -> DataFr
         ).alias("p")
     ).select("p.term_a", "p.term_b")
     pc = pairs.groupBy("term_a", "term_b").agg(F.count(F.lit(1)).alias("n"))
-    uni = (
-        t.select(F.explode("toks").alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    if tf is not None:
+        uni = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    else:
+        uni = (
+            t.select(F.explode("toks").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     totals = (
         pc.agg(F.sum("n").cast("double").alias("np"))
         .crossJoin(F.broadcast(uni.agg(F.sum("c").cast("double").alias("nt"))))

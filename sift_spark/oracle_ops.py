@@ -612,11 +612,12 @@ FROM tok GROUP BY doc_id
 
 ORACLE_OPS["unigram_logprob"] = f"""
 WITH {TOKCTE},
-tf AS (SELECT anchor, count(*) AS tf FROM tok GROUP BY anchor),
-tot AS (SELECT sum(tf) AS t FROM tf),
-p AS (SELECT anchor, ln(tf * 1.0 / (SELECT t FROM tot)) AS lp FROM tf)
-SELECT doc_id, round(avg(lp), 6) AS avg_logprob
-FROM tok JOIN p USING (anchor) GROUP BY doc_id
+dtf AS (SELECT doc_id, anchor, count(*) AS tf FROM tok GROUP BY doc_id, anchor),
+ctf AS (SELECT anchor, sum(tf) AS ctf FROM dtf GROUP BY anchor),
+tot AS (SELECT sum(ctf) AS t FROM ctf),
+p AS (SELECT anchor, ln(ctf * 1.0 / (SELECT t FROM tot)) AS lp FROM ctf)
+SELECT doc_id, round(sum(tf * lp) / sum(tf), 6) AS avg_logprob
+FROM dtf JOIN p USING (anchor) GROUP BY doc_id
 """
 
 
@@ -1015,8 +1016,13 @@ ORACLE_OPS["dsir_weights"] = """
 WITH tok AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
-raw_tf AS (SELECT tok, count(*) AS nr FROM tok GROUP BY tok),
-tgt_tf AS (SELECT tok, count(*) AS nt FROM tok WHERE lang = 'en' GROUP BY tok),
+dtf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+raw_tf AS (SELECT tok, sum(tf) AS nr FROM dtf GROUP BY tok),
+tgt_tf AS (
+  SELECT d.tok, sum(d.tf) AS nt
+  FROM dtf d JOIN (SELECT doc_id FROM documents WHERE lang = 'en') e USING (doc_id)
+  GROUP BY d.tok
+),
 v AS (
   SELECT r.tok, r.nr, coalesce(t.nt, 0) AS nt
   FROM raw_tf r LEFT JOIN tgt_tf t ON r.tok = t.tok
@@ -1027,8 +1033,8 @@ lr AS (
          ln((nt + 1.0) / (tt + 1.0 * vsz)) - ln((nr + 1.0) / (tr + 1.0 * vsz)) AS lr
   FROM v, c
 )
-SELECT doc_id, round(avg(lr), 6) AS weight
-FROM tok JOIN lr USING (tok)
+SELECT doc_id, round(sum(tf * lr) / sum(tf), 6) AS weight
+FROM dtf JOIN lr USING (tok)
 GROUP BY doc_id
 ORDER BY weight DESC, doc_id ASC
 LIMIT 100

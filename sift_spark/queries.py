@@ -163,7 +163,7 @@ def corpus_artifacts(spark: SparkSession, sf_dir: str) -> CorpusArtifacts:
 # --- corpora ---------------------------------------------------------------
 
 def q_wikify(spark, sf_dir):
-    return wikify_links(_docs(spark, sf_dir), with_offsets=True).select(
+    return wikify_links(_docs_tokenized(spark, sf_dir), with_offsets=True).select(
         "doc_id", "pos", "anchor", "start", "stop", "target"
     )
 
@@ -171,71 +171,78 @@ def q_wikify(spark, sf_dir):
 # --- link models -----------------------------------------------------------
 
 def q_entity_counts(spark, sf_dir):
-    return L.entity_counts(wikify_links(_docs(spark, sf_dir)), min_count=1)
+    return L.entity_counts(wikify_links(_docs_tokenized(spark, sf_dir)), min_count=1)
 
 
 def q_entity_name_counts(spark, sf_dir):
-    return L.entity_name_counts(wikify_links(_docs(spark, sf_dir)))
+    return L.entity_name_counts(wikify_links(_docs_tokenized(spark, sf_dir)))
 
 
 def q_name_entity_priors(spark, sf_dir):
-    return L.name_entity_priors(wikify_links(_docs(spark, sf_dir)))
+    return L.name_entity_priors(wikify_links(_docs_tokenized(spark, sf_dir)))
 
 
 def q_name_disambig_baseline(spark, sf_dir):
-    return L.name_disambig_baseline(wikify_links(_docs(spark, sf_dir)))
+    return L.name_disambig_baseline(wikify_links(_docs_tokenized(spark, sf_dir)))
 
 
 def q_name_part_counts(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+    docs = _docs_tokenized(spark, sf_dir)
     return L.name_part_counts(wikify_links(docs), token_pos_table(docs), max_ngram=2)
 
 
 def q_entity_inlinks(spark, sf_dir):
-    return L.entity_inlinks(wikify_links(_docs(spark, sf_dir)))
+    return L.entity_inlinks(wikify_links(_docs_tokenized(spark, sf_dir)))
 
 
 def q_entity_vocab(spark, sf_dir):
-    return L.entity_vocab(wikify_links(_docs(spark, sf_dir)), 0, 10000)
+    return L.entity_vocab(wikify_links(_docs_tokenized(spark, sf_dir)), 0, 10000)
 
 
 def q_entity_comentions(spark, sf_dir):
-    return L.entity_comentions(wikify_links(_docs(spark, sf_dir)))
+    return L.entity_comentions(wikify_links(_docs_tokenized(spark, sf_dir)))
 
 
 def q_entity_relatedness(spark, sf_dir):
-    return L.entity_relatedness(wikify_links(_docs(spark, sf_dir)))
+    return L.entity_relatedness(wikify_links(_docs_tokenized(spark, sf_dir)))
 
 
 def q_entity_pagerank(spark, sf_dir):
-    return L.entity_pagerank(wikify_links(_docs(spark, sf_dir)))
+    return L.entity_pagerank(wikify_links(_docs_tokenized(spark, sf_dir)))
 
 
 def q_mapped_comentions(spark, sf_dir):
-    links = wikify_links(_docs(spark, sf_dir))
+    links = wikify_links(_docs_tokenized(spark, sf_dir))
     return L.mapped_entity_comentions(links, L.entity_vocab(links, 0, 10000))
 
 
 # --- text models -----------------------------------------------------------
 
 def q_term_frequencies(spark, sf_dir):
-    return TX.term_frequencies(_docs(spark, sf_dir), max_ngram=2, min_count=1)
+    # bigrams need the token arrays (the tf artifact holds unigrams);
+    # the tokenized artifact still removes the regex-split pass
+    return TX.term_frequencies(_docs_tokenized(spark, sf_dir), max_ngram=2, min_count=1)
 
 
 def q_term_doc_frequencies(spark, sf_dir):
-    return TX.term_doc_frequencies(_docs(spark, sf_dir), min_df=2)
+    return TX.term_doc_frequencies(
+        _docs(spark, sf_dir), min_df=2, tf=_docs_tf(spark, sf_dir)
+    )
 
 
 def q_term_vocab(spark, sf_dir):
-    return TX.term_vocab(_docs(spark, sf_dir), max_rank=10000, min_rank=0, min_df=0)
+    return TX.term_vocab(
+        _docs(spark, sf_dir), max_rank=10000, min_rank=0, min_df=0,
+        tf=_docs_tf(spark, sf_dir),
+    )
 
 
 def q_term_idfs(spark, sf_dir):
-    return TX.term_idfs(_docs(spark, sf_dir), min_df=2)
+    return TX.term_idfs(_docs(spark, sf_dir), min_df=2, tf=_docs_tf(spark, sf_dir))
 
 
 def q_entity_mentions(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+    docs = _docs_tokenized(spark, sf_dir)
     return TX.entity_mentions(docs, wikify_links(docs), window=2)
 
 
@@ -244,13 +251,19 @@ def q_entity_mention_tf(spark, sf_dir):
     # extraction, idf) all tokenize — share the token artifact
     docs = _docs_tokenized(spark, sf_dir)
     mentions = TX.entity_mentions(docs, wikify_links(docs), window=2)
-    return TX.entity_mention_term_frequency(mentions, TX.term_idfs(docs, min_df=2))
+    return TX.entity_mention_term_frequency(
+        mentions, TX.term_idfs(docs, min_df=2, tf=_docs_tf(spark, sf_dir))
+    )
 
 
 def q_indexed_mentions(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+    docs = _docs_tokenized(spark, sf_dir)
     mentions = TX.entity_mentions(docs, wikify_links(docs), window=2)
-    return TX.indexed_mentions(mentions, TX.term_vocab(docs, max_rank=10000, min_rank=0, min_df=0))
+    return TX.indexed_mentions(
+        mentions,
+        TX.term_vocab(docs, max_rank=10000, min_rank=0, min_df=0,
+                      tf=_docs_tf(spark, sf_dir)),
+    )
 
 
 # --- relational ------------------------------------------------------------
@@ -473,7 +486,7 @@ def q_repeat_customers(spark, sf_dir):
 
 
 def q_entity_pmi(spark, sf_dir):
-    return L.entity_pmi(wikify_links(_docs(spark, sf_dir)))
+    return L.entity_pmi(wikify_links(_docs_tokenized(spark, sf_dir)))
 
 
 def q_doc_top_terms(spark, sf_dir):
@@ -550,7 +563,7 @@ def q_map_redirects(spark, sf_dir):
 def q_redirect_documents(spark, sf_dir):
     from sift_spark.corpora.redirects import redirect_links, resolve_transitive, synth_redirects
 
-    links = wikify_links(_docs(spark, sf_dir))
+    links = wikify_links(_docs_tokenized(spark, sf_dir))
     rr = resolve_transitive(synth_redirects(spark))
     return (
         redirect_links(links, rr)
@@ -704,7 +717,10 @@ def q_semantic_dedup(spark, sf_dir):
 def q_dsir_weights(spark, sf_dir):
     from sift_spark.operators.sampling import dsir_importance_weights
 
-    return dsir_importance_weights(_docs(spark, sf_dir), target_lang="en", k=100)
+    return dsir_importance_weights(
+        _docs_tokenized(spark, sf_dir), target_lang="en", k=100,
+        tf=_docs_tf(spark, sf_dir),
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -738,7 +754,9 @@ def q_doc_chunks(spark, sf_dir):
 def q_term_collocations(spark, sf_dir):
     from sift_spark.operators.text_analysis import term_collocations
 
-    return term_collocations(_docs(spark, sf_dir))
+    return term_collocations(
+        _docs_tokenized(spark, sf_dir), tf=_docs_tf(spark, sf_dir)
+    )
 
 
 def q_block_dedup(spark, sf_dir):
@@ -780,7 +798,9 @@ def q_source_quota_sample(spark, sf_dir):
 def q_unigram_logprob(spark, sf_dir):
     from sift_spark.operators.text_analysis import unigram_logprob
 
-    return unigram_logprob(_docs(spark, sf_dir))
+    return unigram_logprob(
+        _docs_tokenized(spark, sf_dir), tf=_docs_tf(spark, sf_dir)
+    )
 
 
 def q_kmeans_clusters(spark, sf_dir):
@@ -913,11 +933,11 @@ def q_events_seasonality(spark, sf_dir):
 
 
 def q_comention_degrees(spark, sf_dir):
-    return L.comention_degrees(wikify_links(_docs(spark, sf_dir)))
+    return L.comention_degrees(wikify_links(_docs_tokenized(spark, sf_dir)))
 
 
 def q_entity_components(spark, sf_dir):
-    return L.entity_components(wikify_links(_docs(spark, sf_dir)))
+    return L.entity_components(wikify_links(_docs_tokenized(spark, sf_dir)))
 
 
 def q_weighted_sample(spark, sf_dir):
@@ -929,7 +949,7 @@ def q_weighted_sample(spark, sf_dir):
 def q_bm25_search(spark, sf_dir):
     from sift_spark.operators.text_analysis import bm25_search
 
-    return bm25_search(_docs(spark, sf_dir), SEARCH_TERMS, k=10)
+    return bm25_search(_docs_tokenized(spark, sf_dir), SEARCH_TERMS, k=10)
 
 
 def q_retention_cohorts(spark, sf_dir):
@@ -943,13 +963,16 @@ def q_rfm_segments(spark, sf_dir):
 
 
 def q_comention_triangles(spark, sf_dir):
-    return L.comention_triangles(wikify_links(_docs(spark, sf_dir)))
+    return L.comention_triangles(wikify_links(_docs_tokenized(spark, sf_dir)))
 
 
 def q_tfidf_search(spark, sf_dir):
     from sift_spark.operators.text_analysis import tfidf_search
 
-    return tfidf_search(_docs(spark, sf_dir), SEARCH_TERMS, k=10)
+    return tfidf_search(
+        _docs_tokenized(spark, sf_dir), SEARCH_TERMS, k=10,
+        tf=_docs_tf(spark, sf_dir),
+    )
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -1053,7 +1076,7 @@ def q_price_band_join(spark, sf_dir):
 
 
 def q_anchor_ambiguity(spark, sf_dir):
-    return L.anchor_ambiguity(wikify_links(_docs(spark, sf_dir)))
+    return L.anchor_ambiguity(wikify_links(_docs_tokenized(spark, sf_dir)))
 
 
 def q_doc_novelty(spark, sf_dir):
@@ -1143,7 +1166,7 @@ def q_embedding_normalize(spark, sf_dir):
 
 
 def q_entity_hits(spark, sf_dir):
-    return L.entity_hits(wikify_links(_docs(spark, sf_dir)))
+    return L.entity_hits(wikify_links(_docs_tokenized(spark, sf_dir)))
 
 
 def q_bpe_encode(spark, sf_dir):
@@ -1189,7 +1212,7 @@ def q_embedding_pca(spark, sf_dir):
 def q_entity_salience(spark, sf_dir):
     from sift_spark.operators.text_analysis import token_stats
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_tokenized(spark, sf_dir)
     return L.entity_salience(wikify_links(docs), token_stats(docs))
 
 
@@ -1204,7 +1227,7 @@ def q_fuzzy_contamination(spark, sf_dir):
 
 
 def q_entity_random_walks(spark, sf_dir):
-    return L.entity_random_walks(wikify_links(_docs(spark, sf_dir)))
+    return L.entity_random_walks(wikify_links(_docs_tokenized(spark, sf_dir)))
 
 
 def q_events_forecast(spark, sf_dir):
@@ -1236,7 +1259,7 @@ def q_quality_bins(spark, sf_dir):
 
 
 def q_entity_node2vec(spark, sf_dir):
-    return L.entity_node2vec_walks(wikify_links(_docs(spark, sf_dir)))
+    return L.entity_node2vec_walks(wikify_links(_docs_tokenized(spark, sf_dir)))
 
 
 def q_orders_checks(spark, sf_dir):
@@ -1346,7 +1369,9 @@ def q_stratified_kfold(spark, sf_dir):
 def q_doc_embedding_dup_pairs(spark, sf_dir):
     from sift_spark.operators.dedup import doc_embedding_dup_pairs
 
-    return doc_embedding_dup_pairs(_docs(spark, sf_dir))
+    return doc_embedding_dup_pairs(
+        _docs(spark, sf_dir), tf=_docs_tf(spark, sf_dir)
+    )
 
 
 
@@ -1383,7 +1408,9 @@ def q_event_transitions(spark, sf_dir):
 def q_windowed_pmi(spark, sf_dir):
     from sift_spark.operators.text_analysis import windowed_pmi
 
-    return windowed_pmi(_docs(spark, sf_dir))
+    return windowed_pmi(
+        _docs_tokenized(spark, sf_dir), tf=_docs_tf(spark, sf_dir)
+    )
 
 
 def q_quality_classifier(spark, sf_dir):
