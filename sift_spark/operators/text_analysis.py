@@ -15,15 +15,20 @@ from pyspark.sql import functions as F
 from sift_spark.functions.core import LANG_PROFILES, MOD31, STOPWORDS, hash31, tokens
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
+def lang_id(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Stopword-profile language classifier:
     (doc_id, lang_pred, score). Score = fraction of tokens in the
     language's stopword list; ties break toward the alphabetically
-    first language (stable cross-engine)."""
+    first language (stable cross-engine).
+
+    ``keep``: extra input columns carried through the (entirely
+    map-side) projection — lets an evaluation like
+    :func:`lang_confusion` read prediction and ground truth in ONE
+    scan instead of re-joining the corpus on doc_id."""
     # one MAP-SIDE scan: every language's score is a filtered-size /
     # size over the token array — no explode, no shuffle at all (the
     # stopword-hit fraction is the same IEEE k/n division either way)
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+    toks = docs.select("doc_id", *keep, tokens(F.col("text")).alias("toks")).where(
         F.size("toks") > 0  # explode dropped token-less docs; keep that
     )
     n_toks = F.size("toks")
@@ -36,6 +41,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
 
     scored = toks.select(
         "doc_id",
+        *keep,
         *[
             F.round(F.size(F.filter("toks", _hit(words))) / n_toks, 6).alias(
                 f"s_{lang}"
@@ -57,7 +63,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         ]
     )
     return scored.select(
-        "doc_id", pick["lang"].alias("lang_pred"), pick["score"].alias("score")
+        "doc_id", *keep, pick["lang"].alias("lang_pred"), pick["score"].alias("score")
     )
 
 
@@ -561,13 +567,13 @@ def filtered_corpus(
 def lang_confusion(docs: DataFrame) -> DataFrame:
     """Classifier-evaluation confusion matrix for ``lang_id`` against
     the corpus ground-truth ``lang`` column: (lang, lang_pred,
-    n_docs). The eval join keys on doc_id (co-partitioned with the
-    classifier's own aggregate); the confusion matrix itself is
-    k²-row."""
-    pred = lang_id(docs).select("doc_id", "lang_pred")
+    n_docs). One map-side scan (ground truth rides through the
+    classifier projection); the confusion matrix itself is k²-row."""
+    # prediction and ground truth come out of the SAME map-side scan
+    # (lang_id keep=): no corpus re-join on doc_id — the only shuffle
+    # is the k²-row confusion aggregate itself
     return (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id")
+        lang_id(docs, keep=("lang",))
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
