@@ -45,6 +45,18 @@ def word_ngrams(toks: Column, min_n: int = 1, max_n: int = 1) -> Column:
     return parts[0] if len(parts) == 1 else F.flatten(F.array(*parts))
 
 
+def tokens_col(docs: DataFrame) -> Column:
+    """The token-array COLUMN for ``docs``: the session's
+    provenance-tagged ``toks`` if the frame carries it (checked by
+    column metadata, never by name — see functions.core.tagged_tokens),
+    else a fresh default-case split of ``text``. For operators that
+    need the array alongside OTHER input columns (lang, text length),
+    where :func:`with_tokens`'s two-column projection doesn't fit."""
+    from sift_spark.functions.core import is_token_artifact
+
+    return F.col("toks") if is_token_artifact(docs) else tokens(F.col("text"))
+
+
 def with_tokens(docs: DataFrame, lowercase: bool = False) -> DataFrame:
     """(doc_id, toks) with the token array materialized once.
 

@@ -25,10 +25,13 @@ def lang_id(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     map-side) projection — lets an evaluation like
     :func:`lang_confusion` read prediction and ground truth in ONE
     scan instead of re-joining the corpus on doc_id."""
+    from sift_spark.models.text import tokens_col
+
     # one MAP-SIDE scan: every language's score is a filtered-size /
     # size over the token array — no explode, no shuffle at all (the
-    # stopword-hit fraction is the same IEEE k/n division either way)
-    toks = docs.select("doc_id", *keep, tokens(F.col("text")).alias("toks")).where(
+    # stopword-hit fraction is the same IEEE k/n division either way);
+    # reads the session token artifact when the frame carries it
+    toks = docs.select("doc_id", *keep, tokens_col(docs).alias("toks")).where(
         F.size("toks") > 0  # explode dropped token-less docs; keep that
     )
     n_toks = F.size("toks")
@@ -79,7 +82,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
     Values are bit-identical to the exploded form: k/n is the same
     IEEE division, and token lengths sum exactly in both long and
     double arithmetic (every corpus is far below 2^53 chars/doc)."""
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+    from sift_spark.models.text import tokens_col
+
+    toks = docs.select("doc_id", tokens_col(docs).alias("toks")).where(
         F.size("toks") > 0  # explode dropped token-less docs; keep that
     )
     n_toks = F.size("toks")
@@ -113,8 +118,10 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
     MAP-SIDE: the per-doc sums fold over the token array instead of
     exploding + re-aggregating — no shuffle, identical integer values."""
+    from sift_spark.models.text import tokens_col
+
     toks = docs.select(
-        "doc_id", F.length("text").alias("n_chars"), tokens(F.col("text")).alias("toks")
+        "doc_id", F.length("text").alias("n_chars"), tokens_col(docs).alias("toks")
     ).where(F.size("toks") > 0)  # explode dropped token-less docs; keep that
     return toks.select(
         "doc_id",
@@ -1300,25 +1307,36 @@ def doc_srp_embeddings(docs: DataFrame, d: int = 16, min_df: int = 2,
     ).select("doc_id", "dim", "v")
 
 
-def corpus_datacard(docs: DataFrame) -> DataFrame:
+def corpus_datacard(docs: DataFrame, tf: DataFrame | None = None) -> DataFrame:
     """One-call corpus datacard — the summary block of a dataset card
     (docs/tokens/vocab, language concentration, exact-dup rate, mean
     quality) as long-format (metric, value) rows ready to publish.
 
-    Three small aggregates (corpus scalars, language shares, dup
-    groups) unioned; every input is map-side-combinable and the
-    result is a handful of rows."""
+    Five small aggregates (corpus scalars, vocab, language shares,
+    dup groups, mean quality) unioned; every input is
+    map-side-combinable and the result is a handful of rows. Each
+    aggregate is its own pass over the lazy ``t`` frame, so WITHOUT
+    the session artifacts the corpus is re-tokenized five times
+    (measured 6-10s at sf1) — pass the tokenized frame (the map
+    passes then read cached arrays) and ``tf`` (the vocab count
+    becomes a distinct-count over posting rows: the same terms the
+    explode yields, ~7× fewer rows at sf1)."""
+    from sift_spark.models.text import tokens_col
+
     t = docs.select(
-        "doc_id", "lang", "text", tokens(F.col("text")).alias("toks")
+        "doc_id", "lang", "text", tokens_col(docs).alias("toks")
     ).withColumn("n", F.size("toks"))
     scalars = t.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("n").cast("double").alias("n_tokens"),
         F.round(F.avg("n"), 6).alias("avg_doc_tokens"),
     )
-    vocab = (
-        t.select(F.explode("toks").alias("term"))
-        .agg(F.count_distinct("term").cast("double").alias("distinct_terms"))
+    vocab_src = (
+        tf.select("term") if tf is not None
+        else t.select(F.explode("toks").alias("term"))
+    )
+    vocab = vocab_src.agg(
+        F.count_distinct("term").cast("double").alias("distinct_terms")
     )
     lang = (
         t.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))

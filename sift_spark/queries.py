@@ -874,19 +874,19 @@ def q_ann_lsh_scaled(spark, sf_dir):
 def q_lang_id(spark, sf_dir):
     from sift_spark.operators.text_analysis import lang_id
 
-    return lang_id(_docs(spark, sf_dir))
+    return lang_id(_docs_tokenized(spark, sf_dir))
 
 
 def q_quality_score(spark, sf_dir):
     from sift_spark.operators.text_analysis import quality_score
 
-    return quality_score(_docs(spark, sf_dir))
+    return quality_score(_docs_tokenized(spark, sf_dir))
 
 
 def q_token_stats(spark, sf_dir):
     from sift_spark.operators.text_analysis import token_stats
 
-    return token_stats(_docs(spark, sf_dir))
+    return token_stats(_docs_tokenized(spark, sf_dir))
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -1028,7 +1028,7 @@ def q_events_mad(spark, sf_dir):
 def q_lang_confusion(spark, sf_dir):
     from sift_spark.operators.text_analysis import lang_confusion
 
-    return lang_confusion(_docs(spark, sf_dir))
+    return lang_confusion(_docs_tokenized(spark, sf_dir))
 
 
 def q_corpus_mix_report(spark, sf_dir):
@@ -1355,7 +1355,9 @@ def q_decayed_counts(spark, sf_dir):
 def q_corpus_datacard(spark, sf_dir):
     from sift_spark.operators.text_analysis import corpus_datacard
 
-    return corpus_datacard(_docs(spark, sf_dir))
+    return corpus_datacard(
+        _docs_tokenized(spark, sf_dir), tf=_docs_tf(spark, sf_dir)
+    )
 
 
 
