@@ -161,16 +161,28 @@ def tokens(col: Column) -> Column:
 # (pre-lowercased, user-supplied) token column and produce wrong
 # results with no error. Column metadata survives select/filter/
 # persist, so the tag rides with the artifact wherever it flows.
+# The optional DATASET tag extends this to CROSS-FRAME consistency:
+# the tf-accepting fast paths (term_idfs and friends) take a posting
+# table that must be derived from exactly the docs frame passed
+# alongside it — a session cycling two corpora that passes corpus A's
+# docs with corpus B's tf artifact would silently get full-corpus df
+# over the wrong N. Both artifacts carry the dataset id they were
+# minted from; check_tf_provenance raises on a mismatch.
 TOKENS_PROVENANCE_KEY = "sift_spark.provenance"
 TOKENS_PROVENANCE = "tokens(text)"
+TF_PROVENANCE = "tf(doc_id,term)"
+DATASET_KEY = "sift_spark.dataset"
 
 
-def tagged_tokens(col: Column) -> Column:
+def tagged_tokens(col: Column, dataset: str | None = None) -> Column:
     """``tokens(col)`` aliased to ``toks`` with the provenance tag —
-    the only sanctioned way to mint the shared token artifact."""
-    return tokens(col).alias(
-        "toks", metadata={TOKENS_PROVENANCE_KEY: TOKENS_PROVENANCE}
-    )
+    the only sanctioned way to mint the shared token artifact.
+    ``dataset``: optional corpus identity (e.g. the table path) for
+    the cross-frame consistency check."""
+    meta = {TOKENS_PROVENANCE_KEY: TOKENS_PROVENANCE}
+    if dataset is not None:
+        meta[DATASET_KEY] = dataset
+    return tokens(col).alias("toks", metadata=meta)
 
 
 def is_token_artifact(df) -> bool:
@@ -180,6 +192,70 @@ def is_token_artifact(df) -> bool:
         return False
     meta = df.schema["toks"].metadata or {}
     return meta.get(TOKENS_PROVENANCE_KEY) == TOKENS_PROVENANCE
+
+
+def tag_tf(df, dataset: str | None = None):
+    """Stamp a (doc_id, term, tf) posting table with provenance (+
+    optional dataset id) — the sanctioned way to mint the shared tf
+    artifact. The tag rides on the ``tf`` column's metadata."""
+    from pyspark.sql import functions as F
+
+    meta = {TOKENS_PROVENANCE_KEY: TF_PROVENANCE}
+    if dataset is not None:
+        meta[DATASET_KEY] = dataset
+    return df.select(
+        "doc_id", "term", F.col("tf").alias("tf", metadata=meta)
+    )
+
+
+def artifact_dataset(df, col: str) -> str | None:
+    """The dataset id a minted artifact column carries, or None."""
+    if col not in df.columns:
+        return None
+    meta = df.schema[col].metadata or {}
+    return meta.get(DATASET_KEY)
+
+
+def check_tf_provenance(docs, tf, caller: str) -> None:
+    """Guard for every tf-accepting fast path: the contract is that
+    ``tf`` is the unigram posting table of EXACTLY ``docs``. A
+    violated contract produces wrong numbers with no error (e.g.
+    term_idfs computing full-corpus df over a subset N), so when BOTH
+    frames carry a minted dataset id the mismatch raises loudly. A
+    frame without the tag (a user-supplied docs or tf) passes — the
+    contract is then the caller's responsibility, as documented on
+    each ``tf`` parameter."""
+    d_docs = artifact_dataset(docs, "toks")
+    d_tf = artifact_dataset(tf, "tf")
+    if d_docs is not None and d_tf is not None and d_docs != d_tf:
+        raise ValueError(
+            f"{caller}: the tf posting table was minted from dataset "
+            f"{d_tf!r} but docs carries dataset {d_docs!r} — tf must "
+            "be the posting table of exactly the docs frame passed "
+            "with it (rebuild it, or pass tf=None to recompute)"
+        )
+
+
+def guards_tf(fn):
+    """Decorator applying :func:`check_tf_provenance` to every
+    (docs, ..., tf=...) fast-path entry point — the tf contract (tf
+    is the posting table of exactly docs) is enforced once, at the
+    signature, instead of re-implemented per operator."""
+    import functools
+    import inspect
+
+    sig = inspect.signature(fn)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        bound = sig.bind(*args, **kwargs)
+        tf = bound.arguments.get("tf")
+        docs = bound.arguments.get("docs")
+        if tf is not None and docs is not None:
+            check_tf_provenance(docs, tf, fn.__name__)
+        return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def hash64(col: Column) -> Column:

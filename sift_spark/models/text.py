@@ -103,8 +103,18 @@ def term_doc_frequencies(docs: DataFrame, max_ngram: int = 1, lowercase: bool = 
     the corpus scan computes — and the operator runs zero corpus
     passes of its own. Only valid for the default tokenization
     (unigrams, no lowercasing): asking for ngrams the artifact does
-    not hold raises rather than silently recomputing."""
+    not hold raises rather than silently recomputing.
+
+    CONTRACT: tf must be the posting table of EXACTLY ``docs`` — a
+    filtered/foreign docs frame with a full-corpus tf silently yields
+    wrong df (and wrong idf N downstream). When both frames carry a
+    minted dataset tag the mismatch raises
+    (functions.core.check_tf_provenance); untagged frames are the
+    caller's responsibility."""
     if tf is not None:
+        from sift_spark.functions.core import check_tf_provenance
+
+        check_tf_provenance(docs, tf, "term_doc_frequencies")
         if max_ngram != 1 or lowercase:
             raise ValueError(
                 "the (doc_id, term, tf) artifact holds default-case "

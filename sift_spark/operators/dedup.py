@@ -32,6 +32,7 @@ from sift_spark.functions.core import (
     MOD31,
     SIMHASH_BITS,
     cosine_sim,
+    guards_tf,
     hash31,
 )
 from sift_spark.models.text import word_ngrams
@@ -209,6 +210,62 @@ def minhash_lsh_pairs(
     return _jaccard_verify(cand, sh, threshold)
 
 
+# --- connected components ----------------------------------------------
+#
+# Both CC variants gate on the VERIFIED-PAIR count: after LSH + exact
+# jaccard verification the duplicate-pair graph is minuscule relative
+# to the corpus (sf0.1: 256 pairs from 6k docs; the ratio shrinks as
+# thresholds rise), and running 2-4 distributed rounds over a few
+# thousand rows pays ~10 scheduled jobs of pure coordination. Below
+# the limit the edge list is collected once (it is already
+# materialized — the count doubles as the gate) and resolved with a
+# vectorized numpy min-label + pointer-jumping pass; above it the
+# distributed rounds run unchanged (forced in tests via the conf).
+# 2M edges ≈ 32 MB — comfortably driver-sized; this is the same
+# size-gated driver/distributed split the tokenizer trainers use.
+CC_DRIVER_EDGE_LIMIT_CONF = "spark.sift.cc.driverEdgeLimit"
+CC_DRIVER_EDGE_LIMIT = 2_000_000
+
+
+def _cc_driver_limit(spark) -> int:
+    return int(spark.conf.get(CC_DRIVER_EDGE_LIMIT_CONF, str(CC_DRIVER_EDGE_LIMIT)))
+
+
+def _driver_cc(edges: DataFrame, out_node: str, out_rep: str) -> DataFrame:
+    """CC over a collected (small, gated) edge list: each pass takes
+    every node to the min label over itself and its neighbors (both
+    directions — the input may be one-orientation) then pointer-jumps
+    ``lab = lab[lab]`` (path halving), all vectorized; converges in
+    O(log n) passes to the per-component minimum node id. np.unique
+    codes are SORTED, so min in code space == min in value space for
+    both int64 doc ids and string entity ids."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    pdf = edges.toPandas()
+    a_vals = pdf.iloc[:, 0].to_numpy()
+    b_vals = pdf.iloc[:, 1].to_numpy()
+    uniq, inv = np.unique(np.concatenate([a_vals, b_vals]), return_inverse=True)
+    a, b = inv[: len(a_vals)], inv[len(a_vals):]
+    lab = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        prev = lab.copy()
+        # unbuffered in-place min: duplicate target indices accumulate
+        np.minimum.at(lab, a, lab[b])
+        np.minimum.at(lab, b, lab[a])
+        lab = lab[lab]
+        if np.array_equal(lab, prev):
+            break
+    import pandas as pd
+
+    dt = edges.schema[0].dataType
+    out = pd.DataFrame({out_node: uniq, out_rep: uniq[lab]})
+    schema = T.StructType(
+        [T.StructField(out_node, dt, True), T.StructField(out_rep, dt, True)]
+    )
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs → duplicate clusters:
     (doc_id, rep_id) with ``rep_id`` = the cluster's minimum doc_id
@@ -217,28 +274,41 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Iterative min-label propagation: each node takes the least label
     among itself and its neighbors until fixpoint. Near-dup clusters
     are near-cliques, so this converges in 2-4 rounds regardless of
-    corpus size. Per round: ONE action — the previous label rides
-    along in the new frame, so the convergence probe is an aggregate
-    over the just-persisted result (no extra join, and the full-scan
-    aggregate guarantees the cache is fully materialized: a limit()
-    probe would leave partial caches that recompute through the whole
-    iteration lineage). For long-chain graphs swap in large-star/
-    small-star — same DataFrame skeleton, fewer rounds on
-    high-diameter inputs.
+    corpus size. Per round: ONE scheduled job — the round's lineage
+    cut is a LAZY checkpoint (functions.lineage.cut) whose
+    materializing action is the convergence probe itself: the probe
+    aggregate full-scans the new label frame, which caches the blocks,
+    truncates lineage, and returns the changed-count in the same job
+    (the eager-cut + separate-probe form cost 2 jobs/round and was the
+    measured sf0.1 scheduling floor). The previous label rides along
+    in the new frame so the probe needs no extra join. For long-chain
+    graphs swap in large-star/small-star — same DataFrame skeleton,
+    fewer rounds on high-diameter inputs. Honors
+    ``spark.sift.checkpoint=reliable`` for executor-loss-tolerant
+    checkpoints on real clusters.
+
+    Verified-pair graphs at or below ``spark.sift.cc.driverEdgeLimit``
+    symmetric edges (default 2M ≈ 32 MB) resolve driver-side in one
+    vectorized numpy pass instead — see the gate comment above
+    ``_driver_cc``; the distributed rounds are the ≥limit path and are
+    forced in tests via the conf.
     """
+    from sift_spark.functions.lineage import cut
+
     e = pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
-    # localCheckpoint (eager) materializes the edge list to executor
-    # storage AND truncates lineage: the candidate-generation DAG
-    # (LSH banding + verify) is analyzed/planned exactly once, and
+    # lineage cut for the edge list: it materializes the whole
+    # candidate-generation DAG (LSH banding + verify) exactly once and
     # every CC round plans against a flat leaf instead of a tree that
     # regrows by one join per round — at sf0.1 the rounds were
     # dominated by Catalyst re-analysis of that growing plan, not by
-    # shuffle work.
-    edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint()
+    # shuffle work. The gate count below is the lazy cut's single
+    # full-scan materializer, so the gate costs no extra job; after it
+    # the blocks are cached for whichever path runs.
+    edges = cut(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
+    if edges.count() <= _cc_driver_limit(pairs.sparkSession):
+        return _driver_cc(edges, "doc_id", "rep_id")
     # round 1 fused into initialization: each node starts at
     # min(self, direct neighbors) — one aggregate instead of a full
     # join+probe round (cliques are already converged here)
@@ -251,14 +321,16 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("a")
             .agg(F.min("rep").alias("nrep"))
         )
-        new_labels = (
+        # lazy cut: the probe below is the single full-scan consumer
+        # that materializes this round's blocks (1 job, not 2)
+        new_labels = cut(
             labels.join(nbr, labels["node"] == nbr["a"], "left")
             .select(
                 "node",
                 F.col("rep").alias("prev"),
                 F.least(F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))).alias("rep"),
             )
-        ).localCheckpoint()
+        )
         changed = new_labels.agg(
             F.sum((F.col("rep") != F.col("prev")).cast("int")).alias("c")
         ).collect()[0][0]
@@ -622,15 +694,28 @@ def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Each round is two keyed aggregates + joins over the edge list
     (large-star: every neighbor > u links to u's current min;
     small-star: neighbors ≤ u link to the min), with per-round
-    ``localCheckpoint`` lineage cuts like the propagation variant.
-    Convergence probe = edge-set hash equality (one aggregate).
+    lineage cuts like the propagation variant. Convergence probe =
+    edge-set hash equality; the probe aggregate is the round's
+    materializing action (lazy cut → 1 scheduled job per round).
+    Honors ``spark.sift.checkpoint=reliable`` and the same
+    ``spark.sift.cc.driverEdgeLimit`` driver gate as
+    :func:`duplicate_clusters`.
     """
-    edges = (
+    from sift_spark.functions.lineage import cut
+
+    # lazy cut: the gate count is the single full-scan materializer
+    # (no extra job); round 1's racing star-stages then read cache
+    edges = cut(
         pairs.select(F.col("doc1").alias("u"), F.col("doc2").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
+    # same verified-pair-count driver gate as duplicate_clusters: the
+    # star machinery exists for unknown-diameter graphs, and the numpy
+    # pointer-jumping pass IS star contraction, so below the limit the
+    # two variants share the fast path (identical output contract)
+    if edges.count() <= _cc_driver_limit(pairs.sparkSession):
+        return _driver_cc(edges, "doc_id", "rep_id")
 
     def _sym(ed: DataFrame) -> DataFrame:
         return ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -666,7 +751,10 @@ def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     prev_sig = None
     for _ in range(max_iter):
-        edges = small_star(large_star(edges)).localCheckpoint()
+        # lazy cut: the signature probe below is the single full-scan
+        # consumer that materializes the round (1 job, not 2); next
+        # round's racing star-stages then read the cached blocks
+        edges = cut(small_star(large_star(edges)))
         # canonical (unordered) edge-set signature: xor of pair hashes
         # (order-independent, overflow-free) + count
         sig = edges.agg(
@@ -1078,6 +1166,7 @@ def duplicate_cluster_stats(pairs: DataFrame) -> DataFrame:
     )
 
 
+@guards_tf
 def doc_embedding_dup_pairs(docs: DataFrame, threshold: float = 0.9,
                             n_blocks: int = 8,
                             tf: DataFrame | None = None) -> DataFrame:

@@ -495,10 +495,23 @@ def fuzzy_name_pairs(customer: DataFrame, max_dist: int = 1) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("c_custkey", "ch"))).alias("xs"))
         .where(F.size("xs") >= 2)
     )
+    # pair expansion in two chained explodes, NOT one flattened array:
+    # a single flatten(...) row holds all m·(m-1)/2 structs of a
+    # bucket at once — fine when buckets are Hamming-1 neighborhoods
+    # of near-unique names, an executor-memory blow-up when a popular
+    # name repeats (every duplicate × every mask position lands in one
+    # bucket). Exploding the anchor index i first bounds every
+    # intermediate row to O(m): the bucket array plus ONE suffix
+    # slice. Residual (documented) skew: the collect_list buffer above
+    # is still O(m) per bucket and one bucket is one task — a name
+    # duplicated ~10^7+ times needs pre-aggregating exact duplicates
+    # before blocking; the m² OUTPUT rows are the answer itself.
+    anchored = buckets.select(
+        "xs", F.explode(F.expr("sequence(1, size(xs) - 1)")).alias("i")
+    )
     pair_col = F.expr(
-        "flatten(transform(sequence(1, size(xs) - 1), "
-        "i -> transform(sequence(i + 1, size(xs)), "
-        "j -> struct(element_at(xs, i) AS a, element_at(xs, j) AS b))))"
+        "transform(sequence(i + 1, size(xs)), "
+        "j -> struct(element_at(xs, i) AS a, element_at(xs, j) AS b))"
     )
     # two names sharing a masked variant are IDENTICAL everywhere
     # except the masked position, so their edit distance is exactly
@@ -506,7 +519,7 @@ def fuzzy_name_pairs(customer: DataFrame, max_dist: int = 1) -> DataFrame:
     # oracle keeps true levenshtein over the same string-keyed
     # blocking as the independent verify of both claims.
     return (
-        buckets.select(F.explode(pair_col).alias("pr"))
+        anchored.select(F.explode(pair_col).alias("pr"))
         .select(
             F.col("pr.a.c_custkey").alias("k1"),
             F.col("pr.b.c_custkey").alias("k2"),

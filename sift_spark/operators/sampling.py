@@ -209,14 +209,34 @@ def dsir_importance_weights(docs: DataFrame, target_lang: str = "en",
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
+        # the lang column is INLINE on docs — the target table needs
+        # no join at all: filter then count token occurrences (= Σ tf
+        # over target docs, integer-identical to the posting-side sum)
+        tgt_tf = (
+            docs.where(F.col("lang") == target_lang)
+            .select(F.explode(toks_col).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("nt"))
+        )
+    else:
+        from sift_spark.functions.core import check_tf_provenance
+
+        check_tf_provenance(docs, tf, "dsir_importance_weights")
+        # target-lang doc ids join the posting table UNHINTED: the
+        # filtered doc set is corpus-proportional (every target-lang
+        # doc), so a forced broadcast would bypass
+        # autoBroadcastJoinThreshold and risk driver/executor OOM at
+        # scale — AQE picks broadcast when the runtime size fits and a
+        # keyed shuffle when it doesn't (correctness never assumes it
+        # fits, same rule as the q4 semi-join)
+        tgt_ids = docs.where(F.col("lang") == target_lang).select("doc_id")
+        tgt_tf = (
+            tf.join(tgt_ids, "doc_id")
+            .groupBy(F.col("term").alias("tok"))
+            .agg(F.sum("tf").alias("nt"))
+        )
     posting = tf.select("doc_id", F.col("term").alias("tok"), "tf")
     raw_tf = posting.groupBy("tok").agg(F.sum("tf").alias("nr"))
-    langs = docs.select("doc_id", "lang")
-    tgt_tf = (
-        posting.join(F.broadcast(langs.where(F.col("lang") == target_lang)), "doc_id")
-        .groupBy("tok")
-        .agg(F.sum("tf").alias("nt"))
-    )
     vocab = raw_tf.join(tgt_tf, "tok", "left").select(
         "tok", "nr", F.coalesce("nt", F.lit(0)).alias("nt")
     )

@@ -12,7 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sift_spark.functions.core import LANG_PROFILES, MOD31, STOPWORDS, hash31, tokens
+from sift_spark.functions.core import (
+    LANG_PROFILES,
+    MOD31,
+    STOPWORDS,
+    guards_tf,
+    hash31,
+    tokens,
+)
 
 
 def lang_id(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
@@ -148,6 +155,7 @@ def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     return topk.withColumn("rank", F.row_number().over(w))
 
 
+@guards_tf
 def tfidf_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
                  min_df: int = 2, tf: DataFrame | None = None) -> DataFrame:
     """TF-IDF ranked document search: score = Σ_q sqrt(tf)·idf over
@@ -300,6 +308,7 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("clean_text", clean).drop(text_col)
 
 
+@guards_tf
 def unigram_logprob(docs: DataFrame, tf: DataFrame | None = None) -> DataFrame:
     """Corpus-unigram LM score per document: avg ln p(token), with
     p = corpus tf / total tokens — a cheap proxy for model-based
@@ -519,16 +528,18 @@ def filtered_corpus(
     text is the one thing a 100 TB pipeline never caches.)
 
     BATCH-ONLY / fault-tolerance tradeoff: the pushdown barrier is a
-    lazy ``localCheckpoint``, which truncates lineage and stores
-    unreplicated blocks — on a multi-executor cluster an executor
-    loss mid-job fails the job (resubmit rather than recompute), and
-    a streaming DataFrame is rejected outright. That is deliberate:
-    the feature table is the ~30-byte/doc artifact a production
-    pipeline writes to durable storage anyway (then filters read the
-    parquet back, giving both the barrier and fault tolerance); the
-    in-session checkpoint is the test/interactive form. A plain
-    persist() would keep lineage but re-derives the corpus scan per
-    lost partition and pins the cache for the session."""
+    lazy lineage cut (default ``localCheckpoint``), which truncates
+    lineage and stores unreplicated blocks — on a multi-executor
+    cluster an executor loss mid-job fails the job (resubmit rather
+    than recompute), and a streaming DataFrame is rejected outright.
+    That is deliberate: the feature table is the ~30-byte/doc
+    artifact a production pipeline writes to durable storage anyway
+    (then filters read the parquet back, giving both the barrier and
+    fault tolerance); the in-session checkpoint is the
+    test/interactive form, and ``spark.sift.checkpoint=reliable``
+    switches it to an executor-loss-tolerant reliable checkpoint. A
+    plain persist() would keep lineage but re-derives the corpus scan
+    per lost partition and pins the cache for the session."""
     from sift_spark.models.text import with_tokens
     from sift_spark.operators.dedup import dedup_exact
 
@@ -557,11 +568,14 @@ def filtered_corpus(
     # lineage barrier: predicate pushdown would substitute the full
     # tokenize/bigram expressions into EACH filter conjunct (measured
     # 2.5s → 25s at sf1 — the filter re-evaluates the corpus scan per
-    # condition). The lazy localCheckpoint materializes the 4-column
-    # feature table once (~30 bytes/doc — the artifact a real pipeline
-    # writes anyway) and filters read it back: 1.8s at sf1.
+    # condition). The lazy cut materializes the 4-column feature
+    # table once (~30 bytes/doc — the artifact a real pipeline writes
+    # anyway) and filters read it back: 1.8s at sf1. Honors
+    # ``spark.sift.checkpoint=reliable`` (functions.lineage).
+    from sift_spark.functions.lineage import cut
+
     return (
-        feats.localCheckpoint(eager=False)
+        cut(feats)
         .where(
             (F.col("n_tokens") >= min_tokens)
             & (F.col("score") >= min_score)
@@ -648,6 +662,7 @@ def doc_chunks(docs: DataFrame, window: int = 50, stride: int = 40) -> DataFrame
     )
 
 
+@guards_tf
 def term_collocations(docs: DataFrame, min_count: int = 5,
                       tf: DataFrame | None = None) -> DataFrame:
     """Adjacent-bigram collocations ranked by pointwise mutual
@@ -715,6 +730,7 @@ def term_collocations(docs: DataFrame, min_count: int = 5,
     )
 
 
+@guards_tf
 def doc_top_terms(docs: DataFrame, k: int = 3, min_df: int = 2,
                   tf: DataFrame | None = None) -> DataFrame:
     """Per-document top-k tf-idf terms as a sorted CSV column
@@ -1219,6 +1235,7 @@ def ccnet_buckets(docs: DataFrame, approx: bool = False,
     )
 
 
+@guards_tf
 def doc_srp_embeddings(docs: DataFrame, d: int = 16, min_df: int = 2,
                        tf: DataFrame | None = None) -> DataFrame:
     """Deterministic document embeddings: signed random projection
@@ -1307,6 +1324,7 @@ def doc_srp_embeddings(docs: DataFrame, d: int = 16, min_df: int = 2,
     ).select("doc_id", "dim", "v")
 
 
+@guards_tf
 def corpus_datacard(docs: DataFrame, tf: DataFrame | None = None) -> DataFrame:
     """One-call corpus datacard — the summary block of a dataset card
     (docs/tokens/vocab, language concentration, exact-dup rate, mean
@@ -1436,6 +1454,7 @@ def heldout_backoff_logprob(docs: DataFrame, train_mod: int = 2,
     )
 
 
+@guards_tf
 def retrieval_triples(docs: DataFrame, n_query_terms: int = 2, k_neg: int = 2,
                       min_df: int = 2, max_df: int = 1000,
                       tf: DataFrame | None = None) -> DataFrame:
@@ -1520,6 +1539,7 @@ def retrieval_triples(docs: DataFrame, n_query_terms: int = 2, k_neg: int = 2,
     )
 
 
+@guards_tf
 def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
                   min_docs: int = 3, tf: DataFrame | None = None) -> DataFrame:
     """Corpus topic map without iterative clustering: the SIGN PATTERN
@@ -1604,6 +1624,7 @@ def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
     )
 
 
+@guards_tf
 def windowed_pmi(docs: DataFrame, window: int = 3, min_count: int = 5,
                  tf: DataFrame | None = None) -> DataFrame:
     """Windowed PMI collocations: term pairs co-occurring within

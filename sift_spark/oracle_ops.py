@@ -610,14 +610,19 @@ SELECT doc_id,
 FROM tok GROUP BY doc_id
 """
 
+# deliberately the PER-TOKEN average (avg over occurrences), not the
+# Spark implementation's weighted posting-table form Σ tf·lp / Σ tf:
+# the two are mathematically equal (verified value-identical at
+# sf0.01 and sf0.1), and keeping the oracle structurally different
+# preserves its value as an independent check — a conceptual bug in
+# the posting-table restructure cannot pass both sides.
 ORACLE_OPS["unigram_logprob"] = f"""
 WITH {TOKCTE},
-dtf AS (SELECT doc_id, anchor, count(*) AS tf FROM tok GROUP BY doc_id, anchor),
-ctf AS (SELECT anchor, sum(tf) AS ctf FROM dtf GROUP BY anchor),
+ctf AS (SELECT anchor, count(*) AS ctf FROM tok GROUP BY anchor),
 tot AS (SELECT sum(ctf) AS t FROM ctf),
 p AS (SELECT anchor, ln(ctf * 1.0 / (SELECT t FROM tot)) AS lp FROM ctf)
-SELECT doc_id, round(sum(tf * lp) / sum(tf), 6) AS avg_logprob
-FROM dtf JOIN p USING (anchor) GROUP BY doc_id
+SELECT doc_id, round(avg(lp), 6) AS avg_logprob
+FROM tok JOIN p USING (anchor) GROUP BY doc_id
 """
 
 
@@ -1033,12 +1038,15 @@ lr AS (
          ln((nt + 1.0) / (tt + 1.0 * vsz)) - ln((nr + 1.0) / (tr + 1.0 * vsz)) AS lr
   FROM v, c
 )
-SELECT doc_id, round(sum(tf * lr) / sum(tf), 6) AS weight
-FROM dtf JOIN lr USING (tok)
+SELECT doc_id, round(avg(lr), 6) AS weight
+FROM tok JOIN lr USING (tok)
 GROUP BY doc_id
 ORDER BY weight DESC, doc_id ASC
 LIMIT 100
 """
+# ^ per-token avg(lr), not the implementation's Σ tf·lr / Σ tf —
+# mathematically equal, structurally independent (see unigram_logprob
+# note above; verified value-identical at sf0.01/sf0.1).
 
 ORACLE_OPS["similar_docs"] = """
 WITH sh AS (

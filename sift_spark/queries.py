@@ -61,11 +61,12 @@ def _docs_tokenized(spark, sf_dir):
         # under-parallel forever (measured 6-task stages on 32 cores
         # at sf1). The derived shingle artifact inherits this layout.
         # tagged_tokens carries the provenance metadata the
-        # with_tokens/classify shortcut checks (never the bare name).
+        # with_tokens/classify shortcut checks (never the bare name),
+        # plus the dataset id for the tf cross-frame guard.
         df = (
             _docs(spark, sf_dir)
             .repartition(spark.sparkContext.defaultParallelism)
-            .select("*", tagged_tokens(F.col("text")))
+            .select("*", tagged_tokens(F.col("text"), dataset=sf_dir))
             .persist()
         )
         df.count()  # materialize once; consumers branch from the cache
@@ -99,13 +100,15 @@ def _docs_tf(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _TF_CACHE.get(key)
     if df is None:
-        df = (
+        from sift_spark.functions.core import tag_tf
+
+        df = tag_tf(
             _docs_tokenized(spark, sf_dir)
             .select("doc_id", F.explode("toks").alias("term"))
             .groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .persist()
-        )
+            .agg(F.count(F.lit(1)).alias("tf")),
+            dataset=sf_dir,
+        ).persist()
         df.count()  # materialize once; consumers branch from the cache
         _TF_CACHE[key] = df
     return df

@@ -1,0 +1,104 @@
+"""Round-8: CC driver gate equivalence + checkpoint modes.
+
+The CC variants now (a) resolve small verified-pair graphs driver-side
+(vectorized numpy) and (b) honor ``spark.sift.checkpoint=reliable``
+for executor-loss-tolerant lineage cuts. These tests pin that all
+three paths — driver, distributed/localCheckpoint, distributed/
+reliable — produce identical (node → component-min) labelings on
+clique, chain (high-diameter, the star variant's reason to exist),
+and string-vertex graphs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted((r[0], r[1]) for r in df.collect())
+
+
+GRAPHS = {
+    # two cliques + a singleton self-pair
+    "cliques": [(1, 2), (2, 3), (1, 3), (10, 11), (5, 5)],
+    # a 12-node chain: needs >1 min-label round, exercises pointer jumps
+    "chain": [(i, i + 1) for i in range(1, 12)],
+    # string vertices (entity_components shape), reversed orientation
+    "strings": [("b", "a"), ("c", "b"), ("x", "y")],
+}
+
+
+def _expected(edges):
+    # independent reference: brute-force label flooding
+    nodes = {n for e in edges for n in e}
+    lab = {n: n for n in nodes}
+    for _ in range(len(nodes)):
+        for u, v in edges:
+            m = min(lab[u], lab[v])
+            lab[u] = lab[v] = m
+    return sorted(lab.items())
+
+
+@pytest.mark.parametrize("variant", ["prop", "star"])
+@pytest.mark.parametrize("graph", sorted(GRAPHS))
+def test_driver_gate_matches_distributed(spark, variant, graph):
+    from sift_spark.operators.dedup import (
+        CC_DRIVER_EDGE_LIMIT_CONF,
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    fn = duplicate_clusters if variant == "prop" else duplicate_clusters_star
+    edges = GRAPHS[graph]
+    pairs = spark.createDataFrame(edges, ["doc1", "doc2"])
+    exp = _expected(
+        # the star variant drops self-loop-only nodes by contract
+        [e for e in edges if not (variant == "star" and e[0] == e[1])]
+    )
+    got_driver = _rows(fn(pairs))
+    try:
+        spark.conf.set(CC_DRIVER_EDGE_LIMIT_CONF, "0")  # force distributed
+        got_dist = _rows(fn(pairs))
+    finally:
+        spark.conf.unset(CC_DRIVER_EDGE_LIMIT_CONF)
+    assert got_driver == exp
+    assert got_dist == exp
+
+
+def test_reliable_checkpoint_mode_identical(spark):
+    """spark.sift.checkpoint=reliable must be output-identical on the
+    real operator composition (minhash pairs → CC → apply) and must
+    actually set a checkpoint directory."""
+    from sift_spark.operators.dedup import (
+        CC_DRIVER_EDGE_LIMIT_CONF,
+        dedup_apply,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs)
+    base = sorted(tuple(r) for r in dedup_apply(docs, pairs).collect())
+    try:
+        spark.conf.set("spark.sift.checkpoint", "reliable")
+        # force the distributed CC rounds so the reliable cut is
+        # exercised inside the loop, not just at the edge list
+        spark.conf.set(CC_DRIVER_EDGE_LIMIT_CONF, "0")
+        rel = sorted(tuple(r) for r in dedup_apply(docs, pairs).collect())
+        assert spark.sparkContext.getCheckpointDir() is not None
+    finally:
+        spark.conf.unset("spark.sift.checkpoint")
+        spark.conf.unset(CC_DRIVER_EDGE_LIMIT_CONF)
+    assert rel == base
+
+
+def test_checkpoint_mode_validation(spark):
+    from sift_spark.functions.lineage import checkpoint_mode
+
+    try:
+        spark.conf.set("spark.sift.checkpoint", "bogus")
+        with pytest.raises(ValueError, match="bogus"):
+            checkpoint_mode(spark)
+    finally:
+        spark.conf.unset("spark.sift.checkpoint")

@@ -1,0 +1,53 @@
+"""Multi-JVM execution proof (the round-8 #1 ask).
+
+Everything else in this repo runs ``local[*]`` — one JVM, no closure
+serialization boundary, localCheckpoint blocks in-process. This test
+runs the representative slice (CC localCheckpoint loop forced down the
+distributed path, star CC over strings, shared-artifact consumer,
+Arrow-cogroup GEMM, grouped IRLS, windowed agg + its streaming twin)
+on ``local-cluster[2,2,2048]`` — two separate executor JVMs — in a
+subprocess, and asserts the value hashes are IDENTICAL to the same
+slice computed on the in-process local session.
+
+What the harness already caught while being built: executor Python
+workers do not inherit the driver's sys.path, so every pandas-UDF
+closure needs the package shipped via ``addPyFile`` exactly as a real
+cluster submit would (scripts/multijvm_slice.py:package_zip).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_local_cluster_slice_hash_identical(spark):
+    from scripts.multijvm_slice import run_slice
+
+    local = run_slice(spark)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multijvm_slice.py"),
+         "local-cluster[2,2,2048]"],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        cwd=REPO,
+    )
+    marker = "MULTIJVM_RESULT "
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith(marker)]
+    assert lines, (
+        f"no result line from local-cluster run\nrc={proc.returncode}\n"
+        f"stdout tail: {proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}"
+    )
+    cluster = json.loads(lines[-1][len(marker):])
+    assert set(cluster) == set(local)
+    for name in sorted(local):
+        assert cluster[name]["rows"] == local[name]["rows"], name
+        assert cluster[name]["hash"] == local[name]["hash"], (
+            f"{name}: multi-JVM hash differs from local[*]"
+        )
+        assert cluster[name]["rows"] > 0, name
