@@ -197,6 +197,8 @@ def main() -> None:
         "entity_node2vec",
         "orders_checks",
         "customer_profile",
+        "pii_redact",
+        "profile_drift",
         "ccnet_buckets",
         "hard_negatives",
         "cluster_balanced_sample",

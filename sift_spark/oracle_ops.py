@@ -1740,3 +1740,84 @@ FROM a JOIN s USING (cluster)
 
 
 ORACLE_OPS["embedding_outliers"] = _embedding_outliers_oracle()
+
+
+def _pii_redact_oracle() -> str:
+    """Sequential redaction mirrored stage by stage (email → phone →
+    ipv4, each counting + replacing on the PREVIOUS stage's output).
+    Patterns come from the same PII_PATTERNS constants (RE2- and
+    Java-regex-compatible by construction); DuckDB needs the explicit
+    'g' flag where Spark's regexp_replace is global by default."""
+    from sift_spark.operators.text_analysis import PII_PATTERNS
+
+    prev = "text"
+    stages = []
+    for i, (name, pat) in enumerate(PII_PATTERNS, start=1):
+        stages.append(
+            f"s{i} AS (SELECT * EXCLUDE ({prev}),\n"
+            f"  len(regexp_extract_all({prev}, '{pat}')) AS n_{name},\n"
+            f"  regexp_replace({prev}, '{pat}', '[{name.upper()}]', 'g') AS t{i}\n"
+            f"  FROM {'documents' if i == 1 else f's{i - 1}'})"
+        )
+        prev = f"t{i}"
+    cte = ",\n".join(stages)
+    return f"""
+WITH {cte}
+SELECT * EXCLUDE ({prev}), {prev} AS clean_text FROM s{len(PII_PATTERNS)}
+"""
+
+
+ORACLE_OPS["pii_redact"] = _pii_redact_oracle()
+
+
+def _profile_sql(table_expr: str, cols: tuple[str, ...], numeric: tuple[str, ...],
+                 suffix: str) -> str:
+    """One column_profile twin: per column null count, exact distinct
+    count, and (numeric only) 6dp-rounded mean — UNION ALL long form
+    of the Spark side's single-aggregate + explode (values identical;
+    the structural difference is deliberate oracle independence)."""
+    parts = []
+    for c in cols:
+        mv = f"round(avg({c}), 6)" if c in numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS col, count(*) AS n, "
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nn, "
+            f"count(DISTINCT {c}) AS nd, {mv} AS mv FROM {table_expr}"
+        )
+    body = "\nUNION ALL ".join(parts)
+    return (
+        f"SELECT col, nn * 1.0 / n AS nr_{suffix}, nd AS nd_{suffix}, "
+        f"mv AS mv_{suffix} FROM ({body})"
+    )
+
+
+def _profile_drift_oracle() -> str:
+    old_cols = ("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    new_cols = ("o_orderkey", "o_totalprice", "o_orderstatus", "o_flag")
+    numeric = ("o_orderkey", "o_totalprice", "o_flag")
+    po = _profile_sql("old_t", old_cols, numeric, "o")
+    pn = _profile_sql("new_t", new_cols, numeric, "n")
+    return f"""
+WITH old_t AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+),
+new_t AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         CAST(o_orderkey % 2 AS INT) AS o_flag
+  FROM orders
+),
+po AS ({po}),
+pn AS ({pn})
+SELECT coalesce(po.col, pn.col) AS "column",
+       CASE WHEN nr_o IS NULL THEN 'added'
+            WHEN nr_n IS NULL THEN 'removed'
+            ELSE 'kept' END AS status,
+       round(nr_n - nr_o, 6) AS null_rate_delta,
+       round(nd_n / nd_o, 6) AS distinct_ratio,
+       round(mv_n - mv_o, 6) AS mean_delta
+FROM po FULL OUTER JOIN pn ON po.col = pn.col
+"""
+
+
+ORACLE_OPS["profile_drift"] = _profile_drift_oracle()

@@ -1265,6 +1265,28 @@ def q_entity_node2vec(spark, sf_dir):
     return L.entity_node2vec_walks(wikify_links(_docs_tokenized(spark, sf_dir)))
 
 
+def q_pii_redact(spark, sf_dir):
+    from sift_spark.operators.text_analysis import pii_redact
+
+    return pii_redact(_docs(spark, sf_dir))
+
+
+def q_profile_drift(spark, sf_dir):
+    from sift_spark.operators.validation import profile_drift
+
+    # two versions of orders: "old" = a date-bounded snapshot missing
+    # a column, "new" = the full load with an added derived column —
+    # exercises all three statuses (kept / removed / added)
+    o = table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderdate") < "1997-01-01").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    new = o.select("o_orderkey", "o_totalprice", "o_orderstatus").withColumn(
+        "o_flag", (F.col("o_orderkey") % 2).cast("int")
+    )
+    return profile_drift(old, new, numeric_cols=("o_orderkey", "o_totalprice", "o_flag"))
+
+
 def q_orders_checks(spark, sf_dir):
     from sift_spark.operators.validation import table_checks
 
@@ -1451,6 +1473,9 @@ QUERIES: dict[str, QueryFn] = {
     # artifact consumers srp/topics/retrieval, hashed fuzzy_name
     # blocking, entity_hits overflow guard, IRLS rounding unification)
     # plus re-sampled HEAVY canaries (ANN + trainers)
+    # round-8 promotions ([t] → [q]) sample first
+    "pii_redact": q_pii_redact,
+    "profile_drift": q_profile_drift,
     "corpus_tokens": q_corpus_tokens,
     "corpus_tf": q_corpus_tf,
     "corpus_shingles": q_corpus_shingles,

@@ -76,6 +76,33 @@ def register_views(spark: SparkSession, sf_dir: str,
     return out
 
 
+def register_catalog(spark: SparkSession, sf_dir: str,
+                     names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Register EVERY registry query as a temp view under its query
+    name — the plain-``spark.sql`` user gets the whole catalog
+    (``SELECT * FROM dedup_minhash_lsh WHERE jaccard > 0.9`` …), not
+    just the five model views. Returns the name → DataFrame map.
+
+    Views are DataFrames, so Catalyst inlines them: filters and
+    projections over a catalog view push into the underlying scans
+    exactly as the operator composition would (plan-asserted on a
+    sample in tests/test_sql_surface.py). Two caveats, by design:
+    queries under the eager-execution contract (the shingle family —
+    see minhash_lsh_pairs) launch their artifact-materializing jobs
+    at REGISTRATION, which is when a catalog wants to pay that cost;
+    and a catalog name shadows a same-named DERIVED model view
+    (register_views) since the registry form is the checked one.
+    ``names``: optional subset to register (default: all)."""
+    from sift_spark.queries import QUERIES
+
+    out: dict[str, DataFrame] = {}
+    for name in (names if names is not None else list(QUERIES)):
+        df = QUERIES[name](spark, sf_dir)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
 def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     """One-call convenience: register views, run the query."""
     register_views(spark, sf_dir)

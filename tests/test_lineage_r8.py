@@ -102,3 +102,40 @@ def test_checkpoint_mode_validation(spark):
             checkpoint_mode(spark)
     finally:
         spark.conf.unset("spark.sift.checkpoint")
+
+
+def test_word2vec_fixed_seed_single_partition_exact(spark):
+    """Round-8: the Word2Vec determinism fixture — with seed pinned
+    and numPartitions=1 the training order is sequential, so two runs
+    over the same tiny corpus must produce BITWISE-identical vectors
+    (the neighborhood-Jaccard property test remains the check for the
+    real multi-partition path, whose values are training-order-
+    dependent by design)."""
+    from pyspark.sql import Row
+
+    from sift_spark.models.embeddings import skipgram_embeddings
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t)
+            for i, t in enumerate(
+                [
+                    "alpha beta gamma alpha beta",
+                    "beta gamma delta beta gamma",
+                    "gamma delta alpha gamma delta",
+                    "delta alpha beta delta alpha",
+                ]
+                * 4
+            )
+        ]
+    ).coalesce(1)
+
+    def run():
+        rows = skipgram_embeddings(
+            docs, dimensions=8, min_count=1, seed=7, num_partitions=1, max_iter=2
+        ).collect()
+        return {r["term"]: tuple(r["vector"]) for r in rows}
+
+    a, b = run(), run()
+    assert set(a) == {"alpha", "beta", "gamma", "delta"}
+    assert a == b  # exact float equality, not approx
