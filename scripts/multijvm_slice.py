@@ -47,7 +47,10 @@ def run_slice(spark) -> dict:
 
     import __spark_entry__ as E
 
+    # force the DISTRIBUTED paths — the driver fast-path gates would
+    # otherwise hide exactly the machinery this slice exists to prove
     spark.conf.set("spark.sift.cc.driverEdgeLimit", "0")
+    spark.conf.set("spark.sift.logreg.driverGroupLimit", "0")
     qs = E.queries()
     out = {}
     try:
@@ -59,6 +62,7 @@ def run_slice(spark) -> dict:
             }
     finally:
         spark.conf.unset("spark.sift.cc.driverEdgeLimit")
+        spark.conf.unset("spark.sift.logreg.driverGroupLimit")
 
     # streaming twin: file-source stream over events.parquet →
     # watermarked tumbling counts, drained with availableNow (the

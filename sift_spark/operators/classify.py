@@ -73,6 +73,60 @@ def _round9(x: float) -> float:
     return _round_half_up(x, 9)
 
 
+# Driver gate for the IRLS loop: the grouped feature table is usually
+# tiny (quantized features collapse 50k sf1 docs to 4.6k vectors), and
+# each DISTRIBUTED fused round costs ~1.1s of pure plan-analysis +
+# codegen on a cache that one Python loop crunches in milliseconds —
+# the same small-input/driver split as the CC edge gate and the
+# tokenizer trainers. At or below the limit the grouped rows are
+# collected once and the rounds run in a BIT-FAITHFUL Python twin of
+# the decimal aggregate (see _driver_partials); above it the
+# distributed rounds run unchanged. 32k rows ≈ 1.5 MB collected and
+# ~0.5s of Decimal arithmetic — past that the distributed aggregate
+# wins again.
+LOGREG_DRIVER_GROUP_LIMIT_CONF = "spark.sift.logreg.driverGroupLimit"
+LOGREG_DRIVER_GROUP_LIMIT = 32768
+
+
+def _dec15(x: float):
+    """The driver twin of ``F.round(e, 15).cast("decimal(20,15)")``:
+    HALF_UP on the shortest decimal repr (same mechanism as
+    _round_half_up), re-quantized as a Decimal — exactly the value the
+    in-plan cast produces (BigDecimal.valueOf → setScale HALF_UP)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("1E-15")
+    return Decimal(repr(_round_half_up(x, 15))).quantize(q, rounding=ROUND_HALF_UP)
+
+
+def _driver_partials(groups, w, names):
+    """One IRLS round's gradient/Hessian partials over collected
+    grouped rows — operation-for-operation the Python twin of the
+    distributed decimal aggregate (same left-fold margin, same
+    contribution expressions, 15dp HALF_UP quantization, exact
+    integer-weighted Decimal sums, double conversion, /n, 9dp round),
+    so the two paths return bit-identical partials. The one shared
+    assumption is libm exp agreeing with JVM exp at the 15dp
+    quantization boundary — asserted by the driver-vs-distributed
+    equality test and by every oracle hash (DuckDB is libm too)."""
+    import math
+    from decimal import Decimal
+
+    accs = {k: Decimal(0) for k in names}
+    n = 0
+    for x1, x2, x3, y, m in groups:
+        x = (1.0, x1, x2, x3)
+        margin = sum(x[j] * w[j] for j in range(D))
+        p = 1.0 / (1.0 + math.exp(-margin))
+        for j in range(D):
+            accs[f"g{j}"] += m * _dec15(x[j] * (p - y))
+        for r in range(D):
+            for c in range(r, D):
+                accs[f"h{r}{c}"] += m * _dec15(x[r] * x[c] * p * (1 - p))
+        n += m
+    return {k: _round9(float(v) / n) for k, v in accs.items()}
+
+
 def _det3(m: list[list[str]]) -> str:
     return (
         f"{m[0][0]}*({m[1][1]}*{m[2][2]} - {m[1][2]}*{m[2][1]})"
@@ -212,6 +266,33 @@ def logreg_train(docs: DataFrame, n_iter: int = 6) -> list[float]:
         if med is None:
             # an empty corpus (first micro-batch reality) trains nothing
             return w
+
+        # driver gate (see LOGREG_DRIVER_GROUP_LIMIT): small grouped
+        # tables iterate in the bit-faithful Python twin — the collect
+        # reads the cache the med aggregate just filled
+        spark = docs.sparkSession
+        limit = int(
+            spark.conf.get(LOGREG_DRIVER_GROUP_LIMIT_CONF, str(LOGREG_DRIVER_GROUP_LIMIT))
+        )
+        rows = g.limit(limit + 1).collect() if limit > 0 else []
+        if 0 < len(rows) <= limit:
+            groups = [
+                (r["x1"], r["x2"], r["x3"],
+                 1.0 if r["score"] >= float(med) else 0.0, r["m"])
+                for r in rows
+            ]
+            names = [f"g{j}" for j in range(D)] + [
+                f"h{r}{c}" for r in range(D) for c in range(r, D)
+            ]
+            for _ in range(n_iter):
+                env = _driver_partials(groups, w, names)
+                for j in range(D):
+                    env[f"h{j}{j}"] += RIDGE
+                for j in range(D):
+                    d = eval(_DELTAS[j], {"__builtins__": {}}, env)  # noqa: S307 — generated arithmetic, shared verbatim with the SQL oracle
+                    w[j] = w[j] - _round9(d)
+            return w
+
         feat = g.select(
             F.lit(1.0).alias("x0"),
             "x1",
@@ -222,7 +303,6 @@ def logreg_train(docs: DataFrame, n_iter: int = 6) -> list[float]:
         )
         xs = [f"x{j}" for j in range(D)]
         m_dec = F.col("m").cast("decimal(14,0)")
-        spark = docs.sparkSession
         w_schema = ", ".join(f"w{j} double" for j in range(D))
 
         # the per-round expressions reference only COLUMNS (weights

@@ -125,3 +125,24 @@ def test_round_half_up_matches_spark_round_tie_adjacent(spark):
         duck = con.execute("select round(?::DOUBLE, 9)", [x]).fetchone()[0]
         assert ours == spark_rounded[i], (x, ours, spark_rounded[i])
         assert ours == duck, (x, ours, duck)
+
+
+def test_driver_gate_matches_distributed_irls(spark):
+    """Round-8: the size-gated driver IRLS twin must return BITWISE
+    identical weights to the distributed decimal aggregate (same
+    margin fold, 15dp HALF_UP quantization, exact Decimal sums, 9dp
+    deltas) — on the real documents table, not a toy."""
+    from sift_spark.operators.classify import (
+        LOGREG_DRIVER_GROUP_LIMIT_CONF,
+        logreg_train,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    w_driver = logreg_train(docs, n_iter=6)
+    try:
+        spark.conf.set(LOGREG_DRIVER_GROUP_LIMIT_CONF, "0")  # force distributed
+        w_dist = logreg_train(docs, n_iter=6)
+    finally:
+        spark.conf.unset(LOGREG_DRIVER_GROUP_LIMIT_CONF)
+    assert w_driver == w_dist  # exact float equality
