@@ -1465,15 +1465,20 @@ def q_ccnet_buckets(spark, sf_dir):
 
 
 QUERIES: dict[str, QueryFn] = {
-    # --- driver-sampled front block (first 50), round 7 rotation:
-    # the three artifact accounting lines FIRST (tokens → tf →
-    # shingles, so each build cost lands on its own line), then every
-    # query whose plan changed this round (minhash est-jaccard
-    # prefilter + its whole consumer family, incremental dedup, tf-
-    # artifact consumers srp/topics/retrieval, hashed fuzzy_name
-    # blocking, entity_hits overflow guard, IRLS rounding unification)
-    # plus re-sampled HEAVY canaries (ANN + trainers)
-    # round-8 promotions ([t] → [q]) sample first
+    # --- driver-sampled front block (first 50), round 8 rotation:
+    # the two [t]→[q] promotions first, the artifact accounting lines
+    # (tokens → tf → shingles, each build cost on its own line), then
+    # every query this round's changes touched — the CC driver gate
+    # family (clusters/star/apply/stats + entity_components), the
+    # IRLS-gated quality_classifier, dsir_weights + unigram_logprob
+    # (oracles reverted to the independent per-token form), the
+    # tf-guarded term family (idfs/vocab/df/collocations/top_terms/
+    # datacard), fuzzy_name_pairs (O(m)-row pair expansion),
+    # filtered_corpus (cut via lineage helper) — plus the standing
+    # HEAVY canaries (ANN + trainers). Rotated OUT (r7-green,
+    # untouched): bigram_logprob, ccnet_buckets, event_transitions,
+    # heldout_backoff_logprob, doc_entropy, contamination_check,
+    # similar_docs, doc_novelty.
     "pii_redact": q_pii_redact,
     "profile_drift": q_profile_drift,
     "corpus_tokens": q_corpus_tokens,
@@ -1487,17 +1492,17 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "containment_pairs": q_containment_pairs,
-    "doc_novelty": q_doc_novelty,
-    "similar_docs": q_similar_docs,
-    "contamination_check": q_contamination_check,
+    "corpus_datacard": q_corpus_datacard,
+    "doc_top_terms": q_doc_top_terms,
+    "term_collocations": q_term_collocations,
     "fuzzy_contamination": q_fuzzy_contamination,
-    "bigram_logprob": q_bigram_logprob,
-    "ccnet_buckets": q_ccnet_buckets,
+    "dsir_weights": q_dsir_weights,
+    "entity_components": q_entity_components,
     "retrieval_triples": q_retrieval_triples,
     "corpus_topics": q_corpus_topics,
     "entity_hits": q_entity_hits,
     "quality_classifier": q_quality_classifier,
-    "event_transitions": q_event_transitions,
+    "term_idfs": q_term_idfs,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "ann_ivf_bucketed": q_ann_ivf_bucketed,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
@@ -1518,16 +1523,16 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
     "filtered_corpus": q_filtered_corpus,
-    "heldout_backoff_logprob": q_heldout_backoff_logprob,
+    "term_doc_frequencies": q_term_doc_frequencies,
     "windowed_pmi": q_windowed_pmi,
     "doc_srp_embeddings": q_doc_srp_embeddings,
     "unigram_logprob": q_unigram_logprob,
-    "doc_entropy": q_doc_entropy,
+    "term_vocab": q_term_vocab,
     "tfidf_search": q_tfidf_search,
     "bm25_search": q_bm25_search,
     "entity_mention_tf": q_entity_mention_tf,
-    "term_collocations": q_term_collocations,
-    "dsir_weights": q_dsir_weights,
+    "contamination_check": q_contamination_check,
+    "bigram_logprob": q_bigram_logprob,
     "block_dedup": q_block_dedup,
     # --- previously driver-verified (r1-r5 green) ---
     "gopher_rules": q_gopher_rules,
@@ -1589,7 +1594,7 @@ QUERIES: dict[str, QueryFn] = {
     "source_quota_sample": q_source_quota_sample,
     "text_normalize": q_text_normalize,
     "doc_chunks": q_doc_chunks,
-    "doc_top_terms": q_doc_top_terms,
+    "similar_docs": q_similar_docs,
     "lang_confusion": q_lang_confusion,
     "corpus_mix_report": q_corpus_mix_report,
     "stratified_sample": q_stratified_sample,
@@ -1599,7 +1604,7 @@ QUERIES: dict[str, QueryFn] = {
     "snapshot_delta": q_snapshot_delta,
     "term_drift": q_term_drift,
     "decayed_counts": q_decayed_counts,
-    "corpus_datacard": q_corpus_datacard,
+    "doc_novelty": q_doc_novelty,
     "stratified_kfold": q_stratified_kfold,
     "entity_node2vec": q_entity_node2vec,
     "embedding_int8": q_embedding_int8,
@@ -1615,7 +1620,7 @@ QUERIES: dict[str, QueryFn] = {
     "session_stats": q_session_stats,
     "events_window_uniques": q_events_window_uniques,
     "embedding_normalize": q_embedding_normalize,
-    "entity_components": q_entity_components,
+    "ccnet_buckets": q_ccnet_buckets,
     "wikify": q_wikify,
     "entity_counts": q_entity_counts,
     "entity_name_counts": q_entity_name_counts,
@@ -1628,9 +1633,9 @@ QUERIES: dict[str, QueryFn] = {
     "entity_relatedness": q_entity_relatedness,
     "mapped_comentions": q_mapped_comentions,
     "term_frequencies": q_term_frequencies,
-    "term_doc_frequencies": q_term_doc_frequencies,
-    "term_vocab": q_term_vocab,
-    "term_idfs": q_term_idfs,
+    "heldout_backoff_logprob": q_heldout_backoff_logprob,
+    "doc_entropy": q_doc_entropy,
+    "event_transitions": q_event_transitions,
     "entity_mentions": q_entity_mentions,
     "indexed_mentions": q_indexed_mentions,
     "q1_pricing_summary": q_q1,
