@@ -986,29 +986,39 @@ def q21_waiting_suppliers(supplier: DataFrame, orders: DataFrame, lineitem: Data
     supplier. Both existence checks collapse into per-order aggregates
     on the natural key — the fact shuffles once on l_orderkey, then
     once more (tiny, post-agg) on the blamed supplier."""
-    li = lineitem.join(
-        orders.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    ).select("l_orderkey", "l_suppkey", "l_shipdate")
-    per_order = li.groupBy("l_orderkey").agg(
+    # ONE keyed pass over the fact: the (shipdate, suppkey) set per
+    # order is tiny (TPC-H ≤ 7 lines), so the blame decision — did
+    # exactly one distinct supplier ship on the order's max date — is
+    # an array expression over the collected set. The r7 form joined
+    # the 12M-row fact against orders, aggregated, then joined the
+    # fact AGAIN against the per-order table (two corpus-sized
+    # shuffles + two fact-dim joins — measured 5.5s warm at sf2); here
+    # the fact shuffles once and the o_orderstatus filter becomes a
+    # post-aggregation semi-join on order-count-sized tables (sf2:
+    # 5.5s → ~2.5s, identical rows/hash).
+    # collect_set, not collect_list+array_distinct: the set dedups in
+    # the partial aggregation buffer, so duplicates never shuffle
+    per_order = lineitem.groupBy("l_orderkey").agg(
         F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.collect_set(F.struct("l_shipdate", "l_suppkey")).alias("sd"),
     )
-    late = (
-        li.withColumnRenamed("l_orderkey", "lo")
-        .join(
-            per_order.where(F.col("n_supp") > 1),
-            F.col("lo") == F.col("l_orderkey"),
-        )
-        .where(F.col("l_shipdate") == F.col("max_ship"))
+    late_supps = F.array_distinct(
+        F.expr("transform(filter(sd, s -> s.l_shipdate = max_ship), s -> s.l_suppkey)")
     )
     blamed = (
-        late.groupBy("l_orderkey")
-        .agg(
-            F.countDistinct("l_suppkey").alias("n_late"),
-            F.max("l_suppkey").alias("suppkey"),
+        per_order.where(
+            F.size(F.array_distinct(F.expr("transform(sd, s -> s.l_suppkey)"))) > 1
         )
-        .where(F.col("n_late") == 1)
+        .select("l_orderkey", late_supps.alias("ls"))
+        .where(F.size("ls") == 1)
+        .select("l_orderkey", F.element_at("ls", 1).alias("suppkey"))
+        .join(
+            orders.where(F.col("o_orderstatus") == "F").select(
+                F.col("o_orderkey").alias("l_orderkey")
+            ),
+            "l_orderkey",
+            "left_semi",
+        )
     )
     numwait = blamed.groupBy("suppkey").agg(F.count(F.lit(1)).alias("numwait"))
     named = (
