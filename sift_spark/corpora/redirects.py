@@ -40,6 +40,16 @@ def synth_redirects(spark, pairs=SYNTH_REDIRECTS) -> DataFrame:
     return spark.createDataFrame(list(pairs), "source string, target string")
 
 
+# Driver gate for the fixpoint walk (same small-input/distributed
+# split as the CC edge gate): real redirect sets are dictionary-sized
+# (enwiki ≈ 10M pairs ≈ a few hundred MB — above this default), and
+# the distributed loop pays a probe + join round-trip per hop, which
+# on a SMALL set is pure scheduling (measured 4.4s on the synthetic
+# set at sf2 vs milliseconds of dict walking).
+REDIRECTS_DRIVER_LIMIT_CONF = "spark.sift.redirects.driverLimit"
+REDIRECTS_DRIVER_LIMIT = 1_000_000
+
+
 def resolve_transitive(redirects: DataFrame, max_hops: int = 8) -> DataFrame:
     """Collapse redirect chains to their terminal targets.
 
@@ -48,7 +58,39 @@ def resolve_transitive(redirects: DataFrame, max_hops: int = 8) -> DataFrame:
     the oracle's recursive CTE (walk depth ≤ max_hops): the initial
     set is 1 hop, each iteration adds one, so the loop runs
     ``max_hops - 1`` times — a cycle resolves to the same
-    parity-of-hops node in both engines."""
+    parity-of-hops node in both engines.
+
+    Sets at or below ``spark.sift.redirects.driverLimit`` rows
+    (default 1M) resolve driver-side: one collect, then the identical
+    per-row walk (each distributed round advances every unresolved
+    row one hop through the SAME static map, so the per-row chain
+    walk of ≤ max_hops-1 extra hops is value-identical, cycles
+    included). The distributed loop is the >limit path, forced in
+    tests via the conf."""
+    spark = redirects.sparkSession
+    limit = int(
+        spark.conf.get(REDIRECTS_DRIVER_LIMIT_CONF, str(REDIRECTS_DRIVER_LIMIT))
+    )
+    if limit > 0:
+        rows = redirects.select("source", "target").limit(limit + 1).collect()
+        # the dict walk assumes a FUNCTIONAL map (one target per
+        # source — what a redirect set is); a duplicate source would
+        # fan out in the distributed join but collapse in a dict, so
+        # such inputs take the distributed path
+        if len(rows) <= limit and len({r["source"] for r in rows}) == len(rows):
+            nxt_map = {r["source"]: r["target"] for r in rows}
+            out = []
+            for r in rows:
+                t = r["target"]
+                for _ in range(max_hops - 1):
+                    t2 = nxt_map.get(t)
+                    if t2 is None:
+                        break
+                    t = t2
+                out.append((r["source"], t))
+            return spark.createDataFrame(
+                out, redirects.select("source", "target").schema
+            )
     resolved = redirects.select("source", "target")
     nxt = redirects.select(F.col("source").alias("__s"), F.col("target").alias("__t"))
     for _ in range(max_hops - 1):

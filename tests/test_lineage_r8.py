@@ -139,3 +139,27 @@ def test_word2vec_fixed_seed_single_partition_exact(spark):
     a, b = run(), run()
     assert set(a) == {"alpha", "beta", "gamma", "delta"}
     assert a == b  # exact float equality, not approx
+
+
+def test_redirect_driver_gate_matches_distributed(spark):
+    """The redirect fixpoint's driver dict-walk must equal the
+    distributed hop loop — including a cycle (resolves to the same
+    parity-of-hops node) and a chain longer than one hop."""
+    from sift_spark.corpora.redirects import (
+        REDIRECTS_DRIVER_LIMIT_CONF,
+        resolve_transitive,
+    )
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"),   # 3-chain
+             ("x", "y"), ("y", "x"),               # 2-cycle
+             ("lone", "end")]
+    rd = spark.createDataFrame(pairs, ["source", "target"])
+    drv = sorted(tuple(r) for r in resolve_transitive(rd).collect())
+    try:
+        spark.conf.set(REDIRECTS_DRIVER_LIMIT_CONF, "0")  # force distributed
+        dist = sorted(tuple(r) for r in resolve_transitive(rd).collect())
+    finally:
+        spark.conf.unset(REDIRECTS_DRIVER_LIMIT_CONF)
+    assert drv == dist
+    d = dict(drv)
+    assert d["a"] == "d" and d["lone"] == "end"
