@@ -1047,20 +1047,33 @@ def basket_pairs(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
     baskets = lineitem.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    pair_col = F.expr(
+    # pairs travel as ONE packed long (part1 << 32 | part2), not a
+    # two-field struct: the support aggregate then hashes/compares a
+    # single primitive — measured 4.1→3.3s warm at sf2, identical
+    # rows. Packing is exact for part1 < 2^31 and part2 < 2^32; the
+    # in-plan guard raises LOUDLY on wider ids rather than silently
+    # wrapping (swap back to a struct key for such datasets).
+    key_col = F.expr(
         "flatten(transform(sequence(1, size(ps) - 1), "
         "i -> transform(sequence(i + 1, size(ps)), "
-        "j -> struct(element_at(ps, i) AS part1, element_at(ps, j) AS part2))))"
+        "j -> CASE WHEN element_at(ps, i) >= 2147483648 "
+        "OR element_at(ps, j) >= 4294967296 "
+        "THEN raise_error('basket_pairs: part key exceeds the packed-"
+        "long range (part1 < 2^31, part2 < 2^32) — use a struct key') "
+        "ELSE element_at(ps, i) * 4294967296 + element_at(ps, j) END)))"
     )
-    pairs = (
-        baskets.where(F.size("ps") >= 2)
-        .select(F.explode(pair_col).alias("p"))
-        .select("p.part1", "p.part2")
-    )
+    pairs = baskets.where(F.size("ps") >= 2).select(F.explode(key_col).alias("k"))
     return (
-        pairs.groupBy("part1", "part2")
+        pairs.groupBy("k")
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= min_support)
+        .select(
+            # integer div, NOT float division: k approaches 2^63 and a
+            # double quotient can round across the integer boundary
+            F.expr("k DIV 4294967296").alias("part1"),
+            F.pmod(F.col("k"), F.lit(4294967296)).alias("part2"),
+            "support",
+        )
     )
 
 
