@@ -163,3 +163,36 @@ def test_redirect_driver_gate_matches_distributed(spark):
     assert drv == dist
     d = dict(drv)
     assert d["a"] == "d" and d["lone"] == "end"
+
+
+def test_cc_driver_vs_distributed_property(spark):
+    """Property check over random graphs: the numpy driver pass and
+    the distributed rounds agree on BOTH CC variants for arbitrary
+    edge lists (self-loops, duplicate edges, multi-component,
+    chain+clique mixes) — seeded exhaustively rather than via
+    hypothesis so the Spark session round-trips stay bounded."""
+    import random
+
+    from sift_spark.operators.dedup import (
+        CC_DRIVER_EDGE_LIMIT_CONF,
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    rng = random.Random(8)
+    for trial in range(4):
+        n = rng.randint(2, 24)
+        m = rng.randint(1, 40)
+        edges = [(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)]
+        pairs = spark.createDataFrame(edges, ["doc1", "doc2"])
+        for fn, drop_self in ((duplicate_clusters, False),
+                              (duplicate_clusters_star, True)):
+            exp = _expected(
+                [e for e in edges if not (drop_self and e[0] == e[1])]
+            )
+            assert _rows(fn(pairs)) == exp, (trial, fn.__name__, edges)
+            try:
+                spark.conf.set(CC_DRIVER_EDGE_LIMIT_CONF, "0")
+                assert _rows(fn(pairs)) == exp, (trial, fn.__name__, "dist")
+            finally:
+                spark.conf.unset(CC_DRIVER_EDGE_LIMIT_CONF)
