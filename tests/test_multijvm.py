@@ -51,3 +51,28 @@ def test_local_cluster_slice_hash_identical(spark):
             f"{name}: multi-JVM hash differs from local[*]"
         )
         assert cluster[name]["rows"] > 0, name
+
+
+def test_reliable_checkpoint_survives_executor_loss():
+    """Chaos proof of the round-8 fault-tolerance claim: SIGKILL one
+    executor JVM mid-CC-iteration on local-cluster — with
+    spark.sift.checkpoint=reliable the worker relaunches the executor,
+    tasks retry from the checkpoint files, and the query completes
+    with the correct answer. (The localCheckpoint control run fails on
+    the same kill — demonstrated by scripts/chaos_executor_loss.py
+    local — but is not asserted here: its failure depends on the kill
+    landing while lost blocks are still referenced, which is the
+    common case, not a guaranteed one.)"""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "chaos_executor_loss.py"),
+         "reliable"],
+        capture_output=True, text=True, timeout=540, cwd=REPO,
+    )
+    marker = "CHAOS_RESULT "
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith(marker)]
+    assert lines, f"no result\nstdout: {proc.stdout[-1500:]}\nstderr: {proc.stderr[-1500:]}"
+    res = json.loads(lines[-1][len(marker):])
+    assert res["outcome"] == "completed", res
+    assert res["correct"] is True, res
+    # the kill must actually have happened for this to prove anything
+    assert res["killed"] is not None, res
