@@ -93,19 +93,12 @@ def package_zip() -> str:
     inherit the driver's sys.path (the first thing this harness
     caught: every pandas-UDF closure pickles by module reference, so
     the package must ship to workers exactly as it would on a real
-    cluster via ``spark-submit --py-files``)."""
-    import tempfile
-    import zipfile
+    cluster via ``spark-submit --py-files``). Delegates to the
+    library helper (sift_spark.deploy), which session.get_spark also
+    calls automatically for non-local masters."""
+    from sift_spark.deploy import package_zip as _pz
 
-    zpath = os.path.join(tempfile.mkdtemp(prefix="sift-pyfiles-"), "sift_spark.zip")
-    pkg = os.path.join(REPO, "sift_spark")
-    with zipfile.ZipFile(zpath, "w") as z:
-        for root, _dirs, files in os.walk(pkg):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    z.write(full, os.path.relpath(full, REPO))
-    return zpath
+    return _pz()
 
 
 def main() -> None:

@@ -18,8 +18,13 @@ def get_spark(app_name: str = "sift_spark", shuffle_partitions: int | None = Non
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # SIFT_SPARK_MASTER overrides the single-JVM default so the WHOLE
+    # suite/bench can run multi-JVM (e.g. local-cluster[2,2,2048] or a
+    # standalone master) — the package auto-ships to executor workers
+    # below when the master is not local[*]
+    master = os.environ.get("SIFT_SPARK_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -54,4 +59,8 @@ def get_spark(app_name: str = "sift_spark", shuffle_partitions: int | None = Non
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if not master.startswith("local["):
+        from sift_spark.deploy import ship_package
+
+        ship_package(spark)
     return spark
