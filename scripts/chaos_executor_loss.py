@@ -35,12 +35,15 @@ N_CHAIN = 60_000
 KILL_AFTER_S = 6.0
 
 
-def _executor_pids() -> list[int]:
-    """Executor JVMs of THIS app: children running
-    CoarseGrainedExecutorBackend (the driver JVM runs Master+Worker
-    in-process in local-cluster mode; executors are separate)."""
+def _executor_pids(app_id: str) -> list[int]:
+    """Executor JVMs of THIS app only — matched on the ``--app-id``
+    the standalone worker passes on the executor command line, so a
+    concurrent Spark app on the same host (parallel tests, a user's
+    bench) is never collateral damage (and the kill can't be vacuous:
+    hitting another app would leave this query untouched and falsely
+    'prove' fault tolerance)."""
     out = subprocess.run(
-        ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+        ["pgrep", "-f", f"CoarseGrainedExecutorBackend.*{app_id}"],
         capture_output=True, text=True,
     )
     return [int(p) for p in out.stdout.split()]
@@ -81,10 +84,11 @@ def main() -> None:
     )
 
     state = {"killed": None}
+    app_id = spark.sparkContext.applicationId
 
     def killer():
         time.sleep(KILL_AFTER_S)
-        pids = _executor_pids()
+        pids = _executor_pids(app_id)
         if pids:
             os.kill(pids[0], 9)
             state["killed"] = pids[0]

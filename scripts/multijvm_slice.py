@@ -77,13 +77,16 @@ def run_slice(spark) -> dict:
     )
 
     stage = tempfile.mkdtemp(prefix="sift-multijvm-events-")
-    shutil.copy(f"{SF_DIR}/events.parquet", os.path.join(stage, "events.parquet"))
-    stream = stream_tumbling_counts(read_event_stream(spark, stage))
-    pdf = run_available_now(stream, "multijvm_tumbling").toPandas()
-    out["stream_tumbling"] = {
-        "rows": len(pdf),
-        "hash": value_hash(_pandas_rows(pdf), list(pdf.columns)),
-    }
+    try:
+        shutil.copy(f"{SF_DIR}/events.parquet", os.path.join(stage, "events.parquet"))
+        stream = stream_tumbling_counts(read_event_stream(spark, stage))
+        pdf = run_available_now(stream, "multijvm_tumbling").toPandas()
+        out["stream_tumbling"] = {
+            "rows": len(pdf),
+            "hash": value_hash(_pandas_rows(pdf), list(pdf.columns)),
+        }
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return out
 
 

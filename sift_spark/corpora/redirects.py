@@ -71,14 +71,23 @@ def resolve_transitive(redirects: DataFrame, max_hops: int = 8) -> DataFrame:
     limit = int(
         spark.conf.get(REDIRECTS_DRIVER_LIMIT_CONF, str(REDIRECTS_DRIVER_LIMIT))
     )
-    if limit > 0:
-        rows = redirects.select("source", "target").limit(limit + 1).collect()
+    if limit > 0 and redirects.count() <= limit:
+        # count gates BEFORE collecting — an over-limit set must not
+        # pay a limit-sized row transfer just to discover it is big
+        rows = redirects.select("source", "target").collect()
         # the dict walk assumes a FUNCTIONAL map (one target per
-        # source — what a redirect set is); a duplicate source would
-        # fan out in the distributed join but collapse in a dict, so
-        # such inputs take the distributed path
-        if len(rows) <= limit and len({r["source"] for r in rows}) == len(rows):
-            nxt_map = {r["source"]: r["target"] for r in rows}
+        # source — what a redirect set is); a duplicate NON-NULL
+        # source would fan out in the distributed join but collapse
+        # in a dict, so such inputs take the distributed path.
+        # NULL sources are excluded from the map entirely: the
+        # distributed join is null-unsafe (NULL never matches NULL),
+        # so a NULL-keyed dict entry would resolve chains the join
+        # never would.
+        non_null = [r["source"] for r in rows if r["source"] is not None]
+        if len(set(non_null)) == len(non_null):
+            nxt_map = {
+                r["source"]: r["target"] for r in rows if r["source"] is not None
+            }
             out = []
             for r in rows:
                 t = r["target"]

@@ -221,10 +221,12 @@ def check_tf_provenance(docs, tf, caller: str) -> None:
     ``tf`` is the unigram posting table of EXACTLY ``docs``. A
     violated contract produces wrong numbers with no error (e.g.
     term_idfs computing full-corpus df over a subset N), so when BOTH
-    frames carry a minted dataset id the mismatch raises loudly. A
-    frame without the tag (a user-supplied docs or tf) passes — the
-    contract is then the caller's responsibility, as documented on
-    each ``tf`` parameter."""
+    frames carry a minted dataset id the mismatch raises loudly.
+    Scope honestly stated: this catches CROSS-CORPUS mixups only —
+    a filtered subset of the tagged corpus keeps its tag (metadata
+    survives filters by design) and passes, as does any untagged
+    user frame; both remain the caller's responsibility, as
+    documented on each ``tf`` parameter."""
     d_docs = artifact_dataset(docs, "toks")
     d_tf = artifact_dataset(tf, "tf")
     if d_docs is not None and d_tf is not None and d_docs != d_tf:

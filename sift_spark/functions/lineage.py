@@ -54,6 +54,16 @@ def checkpoint_mode(spark) -> str:
     return mode
 
 
+def _single_machine_master(master: str) -> bool:
+    """True when every executor shares the driver's filesystem —
+    ``local[...]`` and ``local-cluster[...]`` only. On any real
+    cluster master (spark://, yarn, k8s://) a driver-local temp dir
+    would be written per-machine and be UNREADABLE by a relaunched
+    executor on another host — silently voiding the executor-loss
+    guarantee reliable mode exists for, so we refuse to default it."""
+    return master.startswith("local[") or master.startswith("local-cluster[")
+
+
 def _ensure_checkpoint_dir(spark) -> None:
     sc = spark.sparkContext
     try:
@@ -65,6 +75,14 @@ def _ensure_checkpoint_dir(spark) -> None:
         return
     configured = spark.conf.get(CHECKPOINT_DIR_CONF, None)
     if not configured:
+        if not _single_machine_master(sc.master):
+            raise ValueError(
+                f"{CHECKPOINT_MODE_CONF}=reliable on master {sc.master!r} "
+                f"requires {CHECKPOINT_DIR_CONF} to point at shared "
+                "storage (HDFS/S3): a driver-local temp dir is not "
+                "visible to relaunched executors on other hosts, which "
+                "defeats the recovery guarantee"
+            )
         import tempfile
 
         configured = tempfile.mkdtemp(prefix="sift-spark-ckpt-")

@@ -107,10 +107,13 @@ def term_doc_frequencies(docs: DataFrame, max_ngram: int = 1, lowercase: bool = 
 
     CONTRACT: tf must be the posting table of EXACTLY ``docs`` — a
     filtered/foreign docs frame with a full-corpus tf silently yields
-    wrong df (and wrong idf N downstream). When both frames carry a
-    minted dataset tag the mismatch raises
-    (functions.core.check_tf_provenance); untagged frames are the
-    caller's responsibility."""
+    wrong df (and wrong idf N downstream). The minted dataset tags
+    catch the CROSS-CORPUS mixup (corpus A's docs with corpus B's tf
+    raises, functions.core.check_tf_provenance); a SUBSET of the same
+    corpus carries the same tag and passes — filtering docs and
+    reusing the full-corpus artifact is undetectable metadata-wise
+    and remains the caller's responsibility (rebuild tf from the
+    filtered frame, or pass tf=None)."""
     if tf is not None:
         from sift_spark.functions.core import check_tf_provenance
 

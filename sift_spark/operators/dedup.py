@@ -307,7 +307,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     edges = cut(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
-    if edges.count() <= _cc_driver_limit(pairs.sparkSession):
+    # this edge list is SYMMETRIZED (≈2 rows per undirected pair), so
+    # compare against 2× the limit — the conf then means "distinct
+    # undirected pairs" identically in both CC variants (the star
+    # variant counts raw pairs)
+    if edges.count() <= 2 * _cc_driver_limit(pairs.sparkSession):
         return _driver_cc(edges, "doc_id", "rep_id")
     # round 1 fused into initialization: each node starts at
     # min(self, direct neighbors) — one aggregate instead of a full

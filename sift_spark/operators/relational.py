@@ -1056,10 +1056,13 @@ def basket_pairs(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
     key_col = F.expr(
         "flatten(transform(sequence(1, size(ps) - 1), "
         "i -> transform(sequence(i + 1, size(ps)), "
-        "j -> CASE WHEN element_at(ps, i) >= 2147483648 "
+        "j -> CASE WHEN element_at(ps, i) < 0 "
+        "OR element_at(ps, i) >= 2147483648 "
+        "OR element_at(ps, j) < 0 "
         "OR element_at(ps, j) >= 4294967296 "
-        "THEN raise_error('basket_pairs: part key exceeds the packed-"
-        "long range (part1 < 2^31, part2 < 2^32) — use a struct key') "
+        "THEN raise_error('basket_pairs: part key outside the packed-"
+        "long range (0 <= part1 < 2^31, 0 <= part2 < 2^32) — use a "
+        "struct key') "
         "ELSE element_at(ps, i) * 4294967296 + element_at(ps, j) END)))"
     )
     pairs = baskets.where(F.size("ps") >= 2).select(F.explode(key_col).alias("k"))

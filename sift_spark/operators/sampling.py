@@ -187,11 +187,14 @@ def dsir_importance_weights(docs: DataFrame, target_lang: str = "en",
     ``tf``: optional shared (doc_id, term, tf) posting artifact; the
     whole operator then runs on posting rows, never the token stream:
     the frequency tables are integer-exact re-aggregates (raw: Σ tf
-    per term; target: the same over a broadcast-joined lang filter),
-    and the per-doc score is the WEIGHTED average Σ tf·lr / Σ tf in
-    BOTH paths (and in the oracle) — same value as the per-token
-    average up to float summation order, which the 6dp edge rounding
-    already absorbs.
+    per term; target: the same over an AQE-planned doc_id join), and
+    the per-doc score is the WEIGHTED average Σ tf·lr / Σ tf in both
+    Spark paths — same value as the per-token average up to float
+    summation order, which the 6dp edge rounding absorbs. The DuckDB
+    oracle deliberately computes the PER-TOKEN form avg(lr) over the
+    token stream (mathematically equal, structurally independent —
+    see the oracle_ops note); do NOT "align" it back to the weighted
+    shape.
     """
     from sift_spark.functions.core import is_token_artifact
     from sift_spark.models.text import tokens

@@ -87,12 +87,16 @@ def register_catalog(spark: SparkSession, sf_dir: str,
     projections over a catalog view push into the underlying scans
     exactly as the operator composition would (plan-asserted on a
     sample in tests/test_sql_surface.py). Two caveats, by design:
-    queries under the eager-execution contract (the shingle family —
-    see minhash_lsh_pairs) launch their artifact-materializing jobs
-    at REGISTRATION, which is when a catalog wants to pay that cost;
-    and a catalog name shadows a same-named DERIVED model view
-    (register_views) since the registry form is the checked one.
-    ``names``: optional subset to register (default: all)."""
+    registering the FULL catalog runs real jobs — the eager-execution
+    shingle family materializes its artifacts, and the trainer
+    queries (quality_classifier's IRLS rounds, bpe/unigram training,
+    Word2Vec) execute their whole driver-coordinated training at
+    REGISTRATION, since their result tables ARE the trained models;
+    pass ``names`` to register a cheap subset when that cost is not
+    wanted up front. And a catalog name shadows a same-named DERIVED
+    model view (register_views) since the registry form is the
+    checked one. ``names``: optional subset to register
+    (default: all)."""
     from sift_spark.queries import QUERIES
 
     out: dict[str, DataFrame] = {}

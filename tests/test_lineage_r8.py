@@ -152,17 +152,20 @@ def test_redirect_driver_gate_matches_distributed(spark):
 
     pairs = [("a", "b"), ("b", "c"), ("c", "d"),   # 3-chain
              ("x", "y"), ("y", "x"),               # 2-cycle
-             ("lone", "end")]
-    rd = spark.createDataFrame(pairs, ["source", "target"])
-    drv = sorted(tuple(r) for r in resolve_transitive(rd).collect())
+             ("lone", "end"),
+             ("n", None), (None, "a")]             # NULLs: join is null-unsafe
+    rd = spark.createDataFrame(pairs, "source string, target string")
+    key = lambda t: (t[0] or "", t[1] or "")
+    drv = sorted((tuple(r) for r in resolve_transitive(rd).collect()), key=key)
     try:
         spark.conf.set(REDIRECTS_DRIVER_LIMIT_CONF, "0")  # force distributed
-        dist = sorted(tuple(r) for r in resolve_transitive(rd).collect())
+        dist = sorted((tuple(r) for r in resolve_transitive(rd).collect()), key=key)
     finally:
         spark.conf.unset(REDIRECTS_DRIVER_LIMIT_CONF)
     assert drv == dist
-    d = dict(drv)
+    d = dict((k, v) for k, v in drv if k is not None)
     assert d["a"] == "d" and d["lone"] == "end"
+    assert d["n"] is None  # NULL target stops the walk in both paths
 
 
 def test_cc_driver_vs_distributed_property(spark):
@@ -196,3 +199,15 @@ def test_cc_driver_vs_distributed_property(spark):
                 assert _rows(fn(pairs)) == exp, (trial, fn.__name__, "dist")
             finally:
                 spark.conf.unset(CC_DRIVER_EDGE_LIMIT_CONF)
+
+
+def test_reliable_mode_refuses_default_dir_on_real_cluster():
+    """On a multi-node master, reliable mode without an explicit
+    checkpoint dir must refuse loudly — a driver-local temp dir is
+    per-machine and silently voids the recovery guarantee."""
+    from sift_spark.functions.lineage import _single_machine_master
+
+    assert _single_machine_master("local[32]")
+    assert _single_machine_master("local-cluster[2,2,2048]")
+    for m in ("spark://host:7077", "yarn", "k8s://https://api:6443"):
+        assert not _single_machine_master(m)
