@@ -367,13 +367,24 @@ def dedup_apply(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
 def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     # exact verify touches only documents that appear in a candidate
     # pair: the shingle table is semi-joined down to the candidate doc
-    # set first (doc-id keys only — AQE broadcasts when small), so the
-    # size aggregate and both intersection joins scan the collision
-    # population instead of the corpus (measured 3.8s → the candidate
-    # slice at sf1 for a 30k-pair verify over an 85M-row shingle
-    # table). cand is persisted: it is now referenced three times
-    # (both union arms + the intersection join), and lazily each
-    # reference would replay the band self-join + distinct.
+    # set first (doc-id keys only — AQE broadcasts when small), so
+    # everything downstream scans the collision population instead of
+    # the corpus (measured 3.8s → the candidate slice at sf1 for a
+    # 30k-pair verify over an 85M-row shingle table). The intersection
+    # itself is an ARRAY kernel: the candidate docs' shingle sets are
+    # collected once per doc (bounded by per-doc shingle count — the
+    # row-wise double-intersection-join form this replaced re-shuffled
+    # the slice rows per pair and measured 1.6s vs 0.9s warm at sf0.1,
+    # identical pairs at every SF), joined onto each pair side, and
+    # jaccard = |S1∩S2| / (|S1|+|S2|−|S1∩S2|) evaluates map-side.
+    # Skew note: a doc in k pairs ships its array k times — the same
+    # fan-out the row form paid in exploded rows. Note: signature-
+    # estimated-jaccard prefiltering (the r5/r6 ask) was MEASURED and
+    # rejected — at 4 bands × 4 rows and threshold 0.8 the band-
+    # collision candidate set is already 100% true pairs
+    # (random 3-gram-shingle jaccard ~1e-3 → per-band collision odds
+    # ~1e-12); the verify cost was redundant corpus scans, never junk
+    # candidates.
     cand = cand.persist()
     cand.count()  # materialize: the three consumers race a lazy cache
     docs_in = (
@@ -381,35 +392,25 @@ def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
         .union(cand.select(F.col("doc2").alias("doc_id")))
         .distinct()
     )
-    # the pruned slice is persisted and materialized: its THREE
-    # consumers (size aggregate + both intersection joins) would each
-    # re-run the broadcast-semi filter over the corpus-sized shingle
-    # table — one full pass apiece (the r7 restructure cut verify
-    # from 3 corpus passes to 1; the slice itself is candidate-doc
-    # sized, thousands of rows, so the cache is nearly free). Note:
-    # signature-estimated-jaccard prefiltering (the r5/r6 ask) was
-    # MEASURED and rejected instead — at 4 bands × 4 rows and
-    # threshold 0.8 the band-collision candidate set is already 100%
-    # true pairs at sf0.01/sf0.1 (random 3-gram-shingle jaccard
-    # ~1e-3 gives per-band collision odds ~1e-12), so there is
-    # nothing for an estimate filter to cut; the verify cost was the
-    # redundant corpus scans, not junk candidates.
-    sh = sh.join(docs_in, "doc_id", "left_semi").persist()
-    sh.count()  # materialize: the three consumers race a lazy cache
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc1"), F.col("shingle")), "doc1")
-        .join(sh.select(F.col("doc_id").alias("doc2"), F.col("shingle")), ["doc2", "shingle"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    doc_sh = (
+        sh.join(docs_in, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("S"))
+        .persist()
     )
+    doc_sh.count()  # materialize: both pair-side joins race a lazy cache
+    d1 = doc_sh.select(F.col("doc_id").alias("doc1"), F.col("S").alias("S1"))
+    d2 = doc_sh.select(F.col("doc_id").alias("doc2"), F.col("S").alias("S2"))
+    inter = F.size(F.array_intersect("S1", "S2"))
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")), "doc1")
-        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")), "doc2")
+        cand.join(d1, "doc1")
+        .join(d2, "doc2")
         .select(
             "doc1",
             "doc2",
-            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6).alias("jaccard"),
+            F.round(
+                inter / (F.size("S1") + F.size("S2") - inter), 6
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
