@@ -1125,25 +1125,21 @@ def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
         csh = shingles(docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"), n)
     else:
         csh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    n2 = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n2"))
-    inter = (
-        cand.join(csh.select(F.col("doc_id").alias("doc1"), "shingle"), "doc1")
-        .join(
-            F.broadcast(bsh.select(F.col("doc_id").alias("doc2"), "shingle")),
-            ["doc2", "shingle"],
-        )
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # array-intersect verify (same kernel as _jaccard_verify): the
+    # candidate corpus docs' shingle sets are collected once per doc
+    # and the benchmark docs' sets broadcast as arrays, so jaccard
+    # evaluates map-side on the pair join — replaces the row-wise
+    # double intersection join + size joins
+    c_sets = csh.groupBy("doc_id").agg(F.collect_set("shingle").alias("S1"))
+    b_sets = bsh.groupBy("doc_id").agg(F.collect_set("shingle").alias("S2"))
+    inter = F.size(F.array_intersect("S1", "S2"))
     jac = (
-        inter.join(sig.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")), "doc1")
-        .join(F.broadcast(n2.select(F.col("doc_id").alias("doc2"), "n2")), "doc2")
+        cand.join(c_sets.select(F.col("doc_id").alias("doc1"), "S1"), "doc1")
+        .join(F.broadcast(b_sets.select(F.col("doc_id").alias("doc2"), "S2")), "doc2")
         .select(
             "doc1",
             "doc2",
-            F.round(
-                F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6
-            ).alias("jaccard"),
+            F.round(inter / (F.size("S1") + F.size("S2") - inter), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
