@@ -21,8 +21,29 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Analyzed-relation cache: `spark.read.parquet` lists the path and
+# reads footers for schema inference on EVERY call (~50-150ms of
+# driver time each) — a registry sweep loads the same ten immutable
+# tables hundreds of times, so this was a measurable slice of the
+# small-SF per-query floor. Entries are keyed on (applicationId,
+# path, source mtime): a dead session's entry is rebuilt, and an
+# overwritten table (parquet overwrite = rewrite the directory, which
+# bumps its mtime) misses the cache instead of serving a stale
+# relation. This caches ANALYSIS ONLY — no data is persisted; it is
+# the same metadata reuse a production catalog (metastore) provides.
+_TABLE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0  # non-local / missing: let spark.read raise below
+    key = (spark.sparkContext.applicationId, path, mtime)
+    df = _TABLE_CACHE.get(key)
+    if df is not None:
+        return df
     if name == "events":
         # driver testdata stores ts as timestamp[us] (plain
         # TimestampType — this conf is a no-op for it); set so a true
@@ -30,7 +51,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # erroring under a caller-provided session. Operators accept
         # either via epoch_seconds() type detection.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
