@@ -63,30 +63,44 @@ def name_part_counts(links: DataFrame, docs_tokens: DataFrame, max_ngram: int = 
     # anchor contributes parts[0]→B, parts[-1]→E, interior→I — a
     # single-part partition fires both B and E. A flattened cross-n
     # index would mislabel higher-n grams of multi-word anchors as I.
+    # All n values are enumerated in ONE pass: each n contributes a
+    # (term, spantype) entry array built with an indexed transform
+    # (flatten absorbs the single-part B+E double emission), the
+    # arrays concat, and a single explode feeds the aggregate — one
+    # anchor scan and one shuffle instead of a union of per-n scans.
     anchors = links.select(F.split(F.col("anchor"), " ").alias("toks"))
-    per_n = []
+    gram_cols = {}
     for n in range(1, max_ngram + 1):
-        parts = anchors.select(
-            F.posexplode(_ngrams_n(F.col("toks"), n)).alias("idx", "term"),
-            (F.size("toks") - n + 1).alias("n_parts"),
+        # materialize the gram array and its length as columns: a
+        # computed expression referenced inside a transform lambda
+        # re-evaluates per element
+        anchors = anchors.withColumn(f"_g{n}", _ngrams_n(F.col("toks"), n)).withColumn(
+            f"_np{n}", F.size(f"_g{n}")
         )
-        per_n.append(
-            parts.select(
-                "term",
-                F.explode(
-                    F.when(
-                        (F.col("idx") == 0) & (F.col("idx") == F.col("n_parts") - 1),
-                        F.array(F.lit("B"), F.lit("E")),
-                    )
-                    .when(F.col("idx") == 0, F.array(F.lit("B")))
-                    .when(F.col("idx") == F.col("n_parts") - 1, F.array(F.lit("E")))
-                    .otherwise(F.array(F.lit("I")))
-                ).alias("spantype"),
+        gram_cols[n] = (f"_g{n}", f"_np{n}")
+
+    def _entries(g: str, np_: str):
+        def lab(x, s):
+            return F.struct(x.alias("term"), F.lit(s).alias("spantype"))
+
+        last = F.col(np_) - 1
+        return F.flatten(
+            F.transform(
+                F.col(g),
+                lambda x, i: F.when(
+                    (i == 0) & (i == last), F.array(lab(x, "B"), lab(x, "E"))
+                )
+                .when(i == 0, F.array(lab(x, "B")))
+                .when(i == last, F.array(lab(x, "E")))
+                .otherwise(F.array(lab(x, "I"))),
             )
         )
-    all_parts = per_n[0]
-    for p in per_n[1:]:
-        all_parts = all_parts.unionByName(p)
+
+    all_parts = anchors.select(
+        F.explode(
+            F.concat(*[_entries(g, np_) for g, np_ in gram_cols.values()])
+        ).alias("e")
+    ).select(F.col("e.term").alias("term"), F.col("e.spantype").alias("spantype"))
     bie = all_parts.groupBy("term", "spantype").agg(F.count(F.lit(1)).alias("count"))
     outside = (
         docs_tokens.select(F.col("anchor").alias("term"))
@@ -219,9 +233,11 @@ def entity_pagerank(links: DataFrame, damping: float = 0.85, n_iter: int = 5) ->
     Scale shape: the comention self-join is keyed on doc_id (never a
     cross join); each iteration is one keyed shuffle (join on src +
     groupBy dst) over the edge list — the classic distributed
-    PageRank layout. No per-iteration action: with a fixed iteration
-    count the whole computation stays one lazy plan, and edges/degrees
-    are persisted for reuse across iterations.
+    PageRank layout. NO action at all: the node count rides in as a
+    broadcast 1-row aggregate (the identical broadcast subplan in
+    every iteration collapses to one build via ReusedExchange), so
+    with a fixed iteration count the whole computation is one lazy
+    plan; edges/degrees are persisted for reuse across iterations.
     """
     il = links.select("doc_id", "target").distinct()
     edges = (
@@ -233,17 +249,39 @@ def entity_pagerank(links: DataFrame, damping: float = 0.85, n_iter: int = 5) ->
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    n = deg.count()
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("r"))
+    # node count as a broadcast scalar, never a driver action: ONE
+    # 1-row crossJoin at init, then the count rides along as a column
+    # (constant within every group, so first() is deterministic) —
+    # per-iteration broadcasts would each schedule their own build
+    # job, which is exactly the small-SF floor this avoids. The
+    # division 1.0/n is the same IEEE double either way.
+    nrow = deg.agg(F.count(F.lit(1)).alias("_n"))
+    ranks = (
+        deg.crossJoin(F.broadcast(nrow))
+        .select(
+            F.col("src").alias("node"),
+            (F.lit(1.0) / F.col("_n")).alias("r"),
+            "_n",
+        )
+    )
     for _ in range(n_iter):
         contrib = (
             edges.join(deg, "src")
             .join(ranks, F.col("src") == F.col("node"))
-            .select(F.col("dst"), (F.col("r") / F.col("deg")).alias("c"))
+            .select(F.col("dst"), (F.col("r") / F.col("deg")).alias("c"), "_n")
         )
-        ranks = contrib.groupBy("dst").agg(
-            (F.lit((1.0 - damping) / n) + F.lit(damping) * F.sum("c")).alias("r")
-        ).select(F.col("dst").alias("node"), "r")
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("_sum_c"), F.first("_n").alias("_n"))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(1.0 - damping) / F.col("_n")
+                    + F.lit(damping) * F.col("_sum_c")
+                ).alias("r"),
+                "_n",
+            )
+        )
     return ranks.select(F.col("node").alias("entity"), F.round("r", 6).alias("pagerank"))
 
 
