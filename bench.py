@@ -24,9 +24,14 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from sift_spark.queries import QUERIES
-    from sift_spark.session import get_spark
+    from sift_spark.session import get_spark, shuffle_partitions_for
 
-    spark = get_spark("sift_spark_bench")
+    # size-aware reduce parallelism: ~16MB/partition clamped [8, cpus]
+    # — full core count at sf1+, no 32-task stages on a 100MB input
+    spark = get_spark(
+        "sift_spark_bench",
+        shuffle_partitions=shuffle_partitions_for(sf_dir),
+    )
 
     # headline set: one per operator family, heaviest variants.
     # corpus_tokens runs FIRST so the session token artifact's build
