@@ -1126,8 +1126,11 @@ def q_url_canonical_groups(spark, sf_dir):
     from sift_spark.functions.urls import canonical_url
 
     # synthesize messy URLs from stable columns (the driver testdata has
-    # no URL column); the oracle builds the identical string
-    docs = _docs(spark, sf_dir)
+    # no URL column); the oracle builds the identical string.
+    # repartition first: documents.parquet is one row group (one scan
+    # task), and the canonicalization regex chain is the whole cost of
+    # this query — a ~600KB shuffle buys a core-wide map stage
+    docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     url = F.concat(
         F.lit("HTTPS://WWW."),
         F.upper("source"),
