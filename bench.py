@@ -229,10 +229,24 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(10).count()
 
+    # Protocol: cold + warm-min, the SAME uniform protocol as the
+    # sf1/sf2 studies (AMORTIZATION_*.json) and as the DuckDB baseline
+    # itself (per-query MIN over three idle sweeps — BASELINE.md).
+    # Each query runs twice in-process; the headline value is the
+    # per-query minimum (steady-state engine cost: a single JVM pays
+    # whole-stage-codegen compile + JIT on the first execution of each
+    # plan shape — measured 3-4x the steady-state cost at 60 MB — a
+    # warmup a 1000-executor deployment amortizes away entirely, and
+    # one the warm DuckDB baseline never pays). cold_total_sec keeps
+    # the first-run aggregate visible. The three corpus_* artifact
+    # lines stay FIRST-run by design: their line exists to account the
+    # artifact build cost, which a warm re-read would hide.
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     n_jobs: dict[str, int] = {}
     total = 0.0
     sc = spark.sparkContext
+    artifact_lines = {"corpus_tokens", "corpus_tf", "corpus_shingles"}
     for name in headline:
         fn = QUERIES.get(name)
         if fn is None:
@@ -245,11 +259,22 @@ def main() -> None:
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()
-        dt = round(time.time() - t0, 3)
-        times[name] = dt
+        dt1 = round(time.time() - t0, 3)
         n_jobs[name] = len(sc.statusTracker().getJobIdsForGroup(f"bench:{name}"))
+        cold[name] = dt1
+        if name in artifact_lines:
+            dt = dt1
+        else:
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = min(dt1, round(time.time() - t0, 3))
+        times[name] = dt
         total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows, {n_jobs[name]} jobs)", file=sys.stderr)
+        print(
+            f"# {name}: {dt:.2f}s warm-min / {dt1:.2f}s cold "
+            f"({n} rows, {n_jobs[name]} jobs)",
+            file=sys.stderr,
+        )
 
     out = {
         "metric": "headline_suite_wall",
@@ -257,6 +282,9 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "protocol": "warm-min of 2 in-process runs per query "
+                    "(artifact build lines cold); cold_total_sec = first runs",
+        "cold_total_sec": round(sum(cold.values()), 3),
     }
 
     # standing single-node baseline (scripts/baseline_duckdb.py): when
@@ -299,6 +327,7 @@ def main() -> None:
     art_lines = [q for q in times if q.startswith("corpus_")
                  and q in ("corpus_tokens", "corpus_tf", "corpus_shingles")]
     full = dict(out)
+    full["queries_cold"] = cold
     full["query_jobs"] = n_jobs
     full["artifact_lines"] = art_lines
     full["artifact_marginal"] = sorted(
