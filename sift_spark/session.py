@@ -17,7 +17,8 @@ from pyspark.sql import SparkSession
 def shuffle_partitions_for(data_dir: str, cpus: int | None = None) -> int:
     """Size-aware shuffle-partition count for a dataset directory: one
     partition per ~4 MB of on-disk parquet (≈16 MB uncompressed at the
-    typical 4× parquet expansion), clamped to [8, cpus].
+    typical 4× parquet expansion), clamped to [8, cpus] (the floor of
+    8 wins below 8 cores — extra partitions just queue).
 
     This is the sizing rule "size spark.sql.shuffle.partitions so
     partitions fit in executor memory at the target SF" applied

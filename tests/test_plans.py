@@ -99,14 +99,18 @@ def test_unigram_logprob_no_cartesian_and_broadcast_total(spark):
 
 def test_pagerank_joins_are_keyed(spark):
     """Comention self-join and every iteration join must be keyed
-    (hash/sort-merge), never a cartesian product."""
+    (hash/sort-merge), never a cartesian product. The ONLY permitted
+    BroadcastNestedLoopJoin is the 1-row node-count scalar injection
+    (same shape as unigram_logprob's N join above) — exactly one
+    build, reused: per-iteration count joins would each schedule a
+    broadcast build job (measured 53 jobs vs 19)."""
     from sift_spark.corpora.synthetic import wikify_links
     from sift_spark.models.links import entity_pagerank
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     plan = _plan(entity_pagerank(wikify_links(docs)))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
 
 
 def test_q6_all_predicates_pushed(spark):
