@@ -1481,7 +1481,10 @@ QUERIES: dict[str, QueryFn] = {
     # HEAVY canaries (ANN + trainers). Rotated OUT (r7-green,
     # untouched): bigram_logprob, ccnet_buckets, event_transitions,
     # heldout_backoff_logprob, doc_entropy, contamination_check,
-    # similar_docs, doc_novelty.
+    # similar_docs, doc_novelty. r8-continuation rotation: the two
+    # queries this session rewrote (name_part_counts single-pass
+    # enumeration, url_canonical_groups repartitioned map) moved IN;
+    # term_vocab + tfidf_search (r7-green, untouched) moved out.
     "pii_redact": q_pii_redact,
     "profile_drift": q_profile_drift,
     "corpus_tokens": q_corpus_tokens,
@@ -1522,6 +1525,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_embedding": q_dedup_embedding,
     "duplicate_spans": q_duplicate_spans,
     "entity_pagerank": q_entity_pagerank,
+    "name_part_counts": q_name_part_counts,
+    "url_canonical_groups": q_url_canonical_groups,
     "unigram_train": q_unigram_train,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
@@ -1530,8 +1535,6 @@ QUERIES: dict[str, QueryFn] = {
     "windowed_pmi": q_windowed_pmi,
     "doc_srp_embeddings": q_doc_srp_embeddings,
     "unigram_logprob": q_unigram_logprob,
-    "term_vocab": q_term_vocab,
-    "tfidf_search": q_tfidf_search,
     "bm25_search": q_bm25_search,
     "entity_mention_tf": q_entity_mention_tf,
     "contamination_check": q_contamination_check,
@@ -1619,7 +1622,7 @@ QUERIES: dict[str, QueryFn] = {
     "temperature_sample": q_temperature_sample,
     "events_attribution": q_events_attribution,
     "events_ewma": q_events_ewma,
-    "url_canonical_groups": q_url_canonical_groups,
+    "tfidf_search": q_tfidf_search,
     "session_stats": q_session_stats,
     "events_window_uniques": q_events_window_uniques,
     "embedding_normalize": q_embedding_normalize,
@@ -1629,7 +1632,7 @@ QUERIES: dict[str, QueryFn] = {
     "entity_name_counts": q_entity_name_counts,
     "name_entity_priors": q_name_entity_priors,
     "name_disambig_baseline": q_name_disambig_baseline,
-    "name_part_counts": q_name_part_counts,
+    "term_vocab": q_term_vocab,
     "entity_inlinks": q_entity_inlinks,
     "entity_vocab": q_entity_vocab,
     "entity_comentions": q_entity_comentions,
