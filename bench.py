@@ -204,6 +204,8 @@ def main() -> None:
         "customer_profile",
         "pii_redact",
         "profile_drift",
+        "token_zipf_fit",
+        "shard_skew_report",
         "ccnet_buckets",
         "hard_negatives",
         "cluster_balanced_sample",

@@ -372,3 +372,40 @@ def stratified_kfold(df: DataFrame, key_col: str, strata_col: str,
         F.col(strata_col).alias("stratum"),
         ((F.row_number().over(w) - 1) % k).cast("int").alias("fold"),
     )
+
+
+def shard_skew_report(docs_with_tokens: DataFrame, n_shards: int = 8,
+                      key_col: str = "doc_id", n_col: str = "n_tokens") -> DataFrame:
+    """Token-balance report for the deterministic hash sharding that
+    :func:`pack_sequences_sharded` / ``write_training_shards`` key on:
+    per shard (shard_id, n_docs, n_tokens, frac_tokens, skew), where
+    skew = shard tokens / mean shard tokens over the observed shards
+    (1.0 = perfectly balanced).
+
+    The pre-flight check a 100 TB packing run does before committing
+    to a shard count: a skewed key (or a pathological corpus) turns
+    into straggler executors exactly proportional to max(skew). Uses
+    the SAME salted hash as the packer ('pack:' || key), so the report
+    describes the sharding that will actually run — two aggregates
+    over a doc-count-sized frame plus one broadcast 1-row total.
+    """
+    h = hash64(F.concat(F.lit("pack:"), F.col(key_col).cast("string")))
+    per = (
+        docs_with_tokens.select((h % n_shards).alias("shard_id"), F.col(n_col))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_col).alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("_tot"),
+        F.count(F.lit(1)).cast("double").alias("_ns"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("frac_tokens"),
+        F.round(F.col("n_tokens") * F.col("_ns") / F.col("_tot"), 6).alias("skew"),
+    )

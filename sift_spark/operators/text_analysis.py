@@ -1701,3 +1701,56 @@ def windowed_pmi(docs: DataFrame, window: int = 3, min_count: int = 5,
             ).alias("pmi"),
         )
     )
+
+
+@guards_tf
+def token_zipf_fit(docs: DataFrame, max_rank: int = 1000,
+                   tf: DataFrame | None = None) -> DataFrame:
+    """Zipf-law fit over the term frequency distribution: OLS of
+    ln(frequency) on ln(rank) for the top ``max_rank`` terms —
+    (n_terms, slope, intercept, r2), slope ≈ −1 for natural language.
+
+    The standard corpus-health gate for a training-data pipeline:
+    boilerplate floods, template spam, and OCR noise all bend the
+    log-log line (slope drifting toward 0 = mass in the tail; r²
+    collapsing = the distribution is not power-law at all), and the
+    single-row report is cheap enough to run per ingest batch.
+
+    Shape: one term aggregate (branches from the shared tf posting
+    artifact when passed — zero corpus passes), a top-``max_rank``
+    rank (single-partition window over the vocab-sized frequency
+    table — at web scale the vocabulary is ~1e7 rows, still one
+    executor's work; the corpus itself is never globally sorted),
+    then one 1-row OLS aggregate (covar/var partials, map-side
+    combined). Ties rank deterministically (freq desc, term asc) in
+    both engines.
+    """
+    from pyspark.sql import Window
+
+    from sift_spark.models.text import with_tokens
+
+    if tf is not None:
+        totals = tf.groupBy("term").agg(F.sum("tf").alias("f"))
+    else:
+        totals = (
+            with_tokens(docs)
+            .select(F.explode("toks").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("f"))
+        )
+    w = Window.orderBy(F.col("f").desc(), F.col("term").asc())
+    pts = (
+        totals.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= max_rank)
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
+        F.round(F.pow(F.corr("x", "y"), F.lit(2.0)), 6).alias("r2"),
+    )

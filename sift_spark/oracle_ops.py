@@ -1821,3 +1821,37 @@ FROM po FULL OUTER JOIN pn ON po.col = pn.col
 
 
 ORACLE_OPS["profile_drift"] = _profile_drift_oracle()
+
+
+ORACLE_OPS["token_zipf_fit"] = f"""
+WITH {TOKCTE},
+tfr AS (SELECT anchor AS term, count(*) AS f FROM tok GROUP BY anchor),
+rk AS (SELECT term, f,
+              row_number() OVER (ORDER BY f DESC, term ASC) AS r
+       FROM tfr),
+pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+        FROM rk WHERE r <= 1000)
+SELECT count(*) AS n_terms,
+       round(covar_pop(x, y) / var_pop(x), 6) AS slope,
+       round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6) AS intercept,
+       round(pow(corr(x, y), 2), 6) AS r2
+FROM pts
+"""
+
+ORACLE_OPS["shard_skew_report"] = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST({_h64("concat('pack:', cast(doc_id as varchar))")} % 8 AS BIGINT)
+           AS shard_id
+  FROM documents
+),
+per AS (SELECT shard_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM t GROUP BY shard_id),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS _tot,
+               CAST(count(*) AS DOUBLE) AS _ns FROM per)
+SELECT shard_id, n_docs, n_tokens,
+       round(n_tokens / _tot, 6) AS frac_tokens,
+       round(n_tokens * _ns / _tot, 6) AS skew
+FROM per, tot
+"""

@@ -1467,6 +1467,25 @@ def q_ccnet_buckets(spark, sf_dir):
     return ccnet_buckets(_docs_tokenized(spark, sf_dir))
 
 
+def q_token_zipf_fit(spark, sf_dir):
+    from sift_spark.operators.text_analysis import token_zipf_fit
+
+    # branches from the shared tf posting artifact — zero corpus passes
+    return token_zipf_fit(_docs(spark, sf_dir), tf=_docs_tf(spark, sf_dir))
+
+
+def q_shard_skew_report(spark, sf_dir):
+    from sift_spark.operators.sampling import shard_skew_report
+
+    # the same sized-docs frame the packer queries build, so the report
+    # describes exactly the sharding pack_sequences_sharded would run
+    docs = _docs(spark, sf_dir)
+    sized = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    return shard_skew_report(sized, n_shards=8)
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- driver-sampled front block (first 50), round 8 rotation:
     # the two [t]→[q] promotions first, the artifact accounting lines
@@ -1487,6 +1506,9 @@ QUERIES: dict[str, QueryFn] = {
     # term_vocab + tfidf_search (r7-green, untouched) moved out.
     "pii_redact": q_pii_redact,
     "profile_drift": q_profile_drift,
+    # r8-continuation additions, never driver-checked — front of the line
+    "token_zipf_fit": q_token_zipf_fit,
+    "shard_skew_report": q_shard_skew_report,
     "corpus_tokens": q_corpus_tokens,
     "corpus_tf": q_corpus_tf,
     "corpus_shingles": q_corpus_shingles,

@@ -1,0 +1,80 @@
+"""Units for the round-8-continuation operators: token_zipf_fit and
+shard_skew_report."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_zipf_fit_matches_numpy_ols(spark):
+    from sift_spark.operators.text_analysis import token_zipf_fit
+
+    # frequencies by construction: a=5, b=3, c=2, d=1 (ties impossible)
+    docs = _docs(spark, [
+        (1, "a a a b b c"),
+        (2, "a a b c d"),
+    ])
+    row = token_zipf_fit(docs).collect()[0]
+    assert row.n_terms == 4
+    freqs = [5, 3, 2, 1]
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(f) for f in freqs]
+    mx = sum(xs) / 4
+    my = sum(ys) / 4
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / 4
+    var = sum((x - mx) ** 2 for x in xs) / 4
+    slope = cov / var
+    assert abs(row.slope - round(slope, 6)) < 2e-6
+    assert abs(row.intercept - round(my - slope * mx, 6)) < 2e-6
+    assert 0.0 < row.r2 <= 1.0
+
+
+def test_token_zipf_fit_max_rank_caps_points(spark):
+    from sift_spark.operators.text_analysis import token_zipf_fit
+
+    docs = _docs(spark, [(1, "a a a b b c"), (2, "a d e f")])
+    row = token_zipf_fit(docs, max_rank=3).collect()[0]
+    assert row.n_terms == 3
+
+
+def test_shard_skew_report_conserves_and_normalizes(spark):
+    from sift_spark.operators.sampling import shard_skew_report
+
+    sized = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).cast("bigint").alias("n_tokens"),
+    )
+    rows = shard_skew_report(sized, n_shards=4).collect()
+    assert {r.shard_id for r in rows} <= {0, 1, 2, 3}
+    # token conservation
+    assert sum(r.n_tokens for r in rows) == sum((i % 7) + 1 for i in range(200))
+    assert sum(r.n_docs for r in rows) == 200
+    # fractions sum to 1, skew averages 1 over the observed shards
+    assert abs(sum(r.frac_tokens for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.skew for r in rows) / len(rows) - 1.0) < 1e-4
+
+
+def test_shard_skew_matches_packer_sharding(spark):
+    """The report must describe the SAME shard assignment
+    pack_sequences_sharded executes ('pack:'-salted hash)."""
+    from sift_spark.operators.sampling import (
+        pack_sequences_sharded,
+        shard_skew_report,
+    )
+
+    sized = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(5).cast("bigint").alias("n_tokens")
+    )
+    packed = pack_sequences_sharded(sized, n_shards=4, max_tokens=16)
+    pk = {
+        r.shard_id: r.cnt
+        for r in packed.groupBy("shard_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    rep = {r.shard_id: r.n_docs for r in shard_skew_report(sized, n_shards=4).collect()}
+    assert pk == rep
