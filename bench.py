@@ -206,6 +206,8 @@ def main() -> None:
         "profile_drift",
         "token_zipf_fit",
         "shard_skew_report",
+        "filter_funnel",
+        "vocab_coverage",
         "ccnet_buckets",
         "hard_negatives",
         "cluster_balanced_sample",

@@ -1754,3 +1754,107 @@ def token_zipf_fit(docs: DataFrame, max_rank: int = 1000,
         F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
         F.round(F.pow(F.corr("x", "y"), F.lit(2.0)), 6).alias("r2"),
     )
+
+
+def filter_funnel(docs: DataFrame, min_words: int = 50, max_words: int = 100_000,
+                  min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                  max_symbol_frac: float = 0.1, min_alpha_frac: float = 0.8,
+                  min_stop_distinct: int = 1) -> DataFrame:
+    """Survivor funnel for the Gopher rule filter: how many documents
+    remain after each rule applied IN ORDER — the report a pipeline
+    reads before deciding which gate to tune (a rule that kills 40%
+    of the corpus gets reviewed; one that kills 0.1% gets dropped
+    from the hot path). One row: (n_docs, after_n_words,
+    after_mean_len, after_symbol, after_alpha, after_stopwords,
+    pass_rate), counting from documents with ≥1 token (the same
+    universe :func:`gopher_rules` scores).
+
+    Composes the gopher_rules per-doc features (map-side array
+    kernels, no shuffle) with ONE 1-row conditional aggregate — a
+    single corpus scan regardless of rule count.
+    """
+    r = gopher_rules(
+        docs, min_words=min_words, max_words=max_words,
+        min_mean_len=min_mean_len, max_mean_len=max_mean_len,
+        max_symbol_frac=max_symbol_frac, min_alpha_frac=min_alpha_frac,
+        min_stop_distinct=min_stop_distinct,
+    )
+    c1 = F.col("n_words").between(min_words, max_words)
+    c2 = c1 & F.col("mean_word_len").between(min_mean_len, max_mean_len)
+    c3 = c2 & (F.col("symbol_word_frac") <= max_symbol_frac)
+    c4 = c3 & (F.col("alpha_word_frac") >= min_alpha_frac)
+    c5 = c4 & (F.col("n_stop_distinct") >= min_stop_distinct)
+
+    def cnt(c):
+        return F.sum(F.when(c, 1).otherwise(0)).cast("long")
+
+    return r.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt(c1).alias("after_n_words"),
+        cnt(c2).alias("after_mean_len"),
+        cnt(c3).alias("after_symbol"),
+        cnt(c4).alias("after_alpha"),
+        cnt(c5).alias("after_stopwords"),
+        F.round(cnt(c5) / F.count(F.lit(1)), 6).alias("pass_rate"),
+    )
+
+
+@guards_tf
+def vocab_coverage(docs: DataFrame, vocab_size: int = 5000,
+                   heldout_mod: int = 5,
+                   tf: DataFrame | None = None) -> DataFrame:
+    """Held-out coverage of a top-K frequency vocabulary — the
+    tokenizer/vocab-sizing gate: build the vocab from the train split
+    (doc_id % heldout_mod != 0, top ``vocab_size`` terms by collection
+    frequency, ties broken term asc) and measure what fraction of
+    HELD-OUT token instances (doc_id % heldout_mod == 0) it covers.
+    One row: (n_vocab, heldout_tokens, covered_tokens, coverage,
+    oov_rate).
+
+    Branches from the shared tf posting artifact when passed (zero
+    corpus passes). The vocab is K rows → broadcast semi-join onto the
+    held-out postings; the rank window is vocab-sized, the corpus is
+    never globally sorted.
+    """
+    from pyspark.sql import Window
+
+    from sift_spark.models.text import with_tokens
+
+    if tf is None:
+        from sift_spark.functions.core import tag_tf
+
+        tf = tag_tf(
+            with_tokens(docs)
+            .select("doc_id", F.explode("toks").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    train = tf.where(F.col("doc_id") % heldout_mod != 0)
+    heldout = tf.where(F.col("doc_id") % heldout_mod == 0)
+    totals = train.groupBy("term").agg(F.sum("tf").alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("term").asc())
+    vocab = (
+        totals.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= vocab_size)
+        .select("term")
+    )
+    counted = heldout.join(F.broadcast(vocab), "term", "left_semi").agg(
+        F.sum("tf").cast("long").alias("covered_tokens")
+    )
+    base = heldout.agg(F.sum("tf").cast("long").alias("heldout_tokens"))
+    nv = vocab.agg(F.count(F.lit(1)).alias("n_vocab"))
+    return (
+        nv.crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(counted))
+        .select(
+            "n_vocab",
+            "heldout_tokens",
+            "covered_tokens",
+            F.round(F.col("covered_tokens") / F.col("heldout_tokens"), 6).alias("coverage"),
+            F.round(
+                (F.col("heldout_tokens") - F.col("covered_tokens"))
+                / F.col("heldout_tokens"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

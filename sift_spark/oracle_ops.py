@@ -1855,3 +1855,69 @@ SELECT shard_id, n_docs, n_tokens,
        round(n_tokens * _ns / _tot, 6) AS skew
 FROM per, tot
 """
+
+
+ORACLE_OPS["filter_funnel"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+),
+r AS (
+  SELECT doc_id,
+    CAST(n AS BIGINT) AS n_words,
+    round(list_sum(list_transform(toks, w -> length(w))) * 1.0 / n, 6) AS mean_word_len,
+    round(len(list_filter(toks, w -> contains(w, '#') OR contains(w, '...'))) * 1.0 / n, 6) AS symbol_word_frac,
+    round(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) * 1.0 / n, 6) AS alpha_word_frac,
+    CAST(len(list_filter(list_distinct(toks),
+         w -> w IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop_distinct
+  FROM f
+),
+c AS (
+  SELECT
+    (n_words BETWEEN 50 AND 100000) AS c1,
+    (n_words BETWEEN 50 AND 100000)
+      AND (mean_word_len BETWEEN 3.0 AND 10.0) AS c2,
+    (n_words BETWEEN 50 AND 100000)
+      AND (mean_word_len BETWEEN 3.0 AND 10.0)
+      AND (symbol_word_frac <= 0.1) AS c3,
+    (n_words BETWEEN 50 AND 100000)
+      AND (mean_word_len BETWEEN 3.0 AND 10.0)
+      AND (symbol_word_frac <= 0.1)
+      AND (alpha_word_frac >= 0.8) AS c4,
+    (n_words BETWEEN 50 AND 100000)
+      AND (mean_word_len BETWEEN 3.0 AND 10.0)
+      AND (symbol_word_frac <= 0.1)
+      AND (alpha_word_frac >= 0.8)
+      AND (n_stop_distinct >= 1) AS c5
+  FROM r
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS after_n_words,
+       CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS after_mean_len,
+       CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS after_symbol,
+       CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS after_alpha,
+       CAST(sum(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS after_stopwords,
+       round(sum(CASE WHEN c5 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS pass_rate
+FROM c
+"""
+
+ORACLE_OPS["vocab_coverage"] = f"""
+WITH {TOKCTE},
+tfp AS (SELECT doc_id, anchor AS term, count(*) AS tf FROM tok GROUP BY doc_id, anchor),
+tot AS (SELECT term, sum(tf) AS f FROM tfp WHERE doc_id % 5 <> 0 GROUP BY term),
+v AS (SELECT term FROM (SELECT term, f,
+                               row_number() OVER (ORDER BY f DESC, term ASC) AS r
+                        FROM tot) WHERE r <= 5000),
+ho AS (SELECT term, tf FROM tfp WHERE doc_id % 5 = 0),
+base AS (SELECT CAST(sum(tf) AS BIGINT) AS heldout_tokens FROM ho),
+cov AS (SELECT CAST(sum(tf) AS BIGINT) AS covered_tokens FROM ho
+        WHERE term IN (SELECT term FROM v)),
+nv AS (SELECT count(*) AS n_vocab FROM v)
+SELECT n_vocab, heldout_tokens, covered_tokens,
+       round(covered_tokens * 1.0 / heldout_tokens, 6) AS coverage,
+       round((heldout_tokens - covered_tokens) * 1.0 / heldout_tokens, 6) AS oov_rate
+FROM nv, base, cov
+"""

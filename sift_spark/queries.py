@@ -1467,6 +1467,18 @@ def q_ccnet_buckets(spark, sf_dir):
     return ccnet_buckets(_docs_tokenized(spark, sf_dir))
 
 
+def q_filter_funnel(spark, sf_dir):
+    from sift_spark.operators.text_analysis import filter_funnel
+
+    return filter_funnel(_docs(spark, sf_dir))
+
+
+def q_vocab_coverage(spark, sf_dir):
+    from sift_spark.operators.text_analysis import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), tf=_docs_tf(spark, sf_dir))
+
+
 def q_token_zipf_fit(spark, sf_dir):
     from sift_spark.operators.text_analysis import token_zipf_fit
 
@@ -1509,6 +1521,8 @@ QUERIES: dict[str, QueryFn] = {
     # r8-continuation additions, never driver-checked — front of the line
     "token_zipf_fit": q_token_zipf_fit,
     "shard_skew_report": q_shard_skew_report,
+    "filter_funnel": q_filter_funnel,
+    "vocab_coverage": q_vocab_coverage,
     "corpus_tokens": q_corpus_tokens,
     "corpus_tf": q_corpus_tf,
     "corpus_shingles": q_corpus_shingles,

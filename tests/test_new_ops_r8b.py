@@ -78,3 +78,41 @@ def test_shard_skew_matches_packer_sharding(spark):
     }
     rep = {r.shard_id: r.n_docs for r in shard_skew_report(sized, n_shards=4).collect()}
     assert pk == rep
+
+
+def test_filter_funnel_is_monotone_and_consistent(spark):
+    from sift_spark.operators.text_analysis import filter_funnel, gopher_rules
+
+    docs = _docs(spark, [
+        (1, " ".join(["the word and more text here"] * 12)),   # passes
+        (2, "short doc"),                                      # fails n_words
+        (3, " ".join(["####"] * 60)),                          # fails symbol+alpha+stop
+        (4, " ".join(["supercalifragilistic"] * 60)),          # fails mean_len
+    ])
+    row = filter_funnel(docs).collect()[0]
+    seq = [row.n_docs, row.after_n_words, row.after_mean_len,
+           row.after_symbol, row.after_alpha, row.after_stopwords]
+    assert seq == sorted(seq, reverse=True), seq        # funnel only narrows
+    n_pass = gopher_rules(docs).where("passes").count()
+    assert row.after_stopwords == n_pass                 # last stage == passes
+    assert abs(row.pass_rate - round(n_pass / row.n_docs, 6)) < 1e-9
+
+
+def test_vocab_coverage_full_vocab_covers_shared_terms(spark):
+    from sift_spark.operators.sampling import shard_skew_report  # noqa: F401
+    from sift_spark.operators.text_analysis import vocab_coverage
+
+    # doc 5 and 10 are held out (doc_id % 5 == 0); term 'zzz' appears
+    # ONLY in the heldout split, so it can never be covered
+    docs = _docs(spark, [
+        (1, "a b c a"), (2, "a b d"), (3, "b c"), (4, "a d"),
+        (5, "a b zzz"), (10, "c zzz zzz"),
+    ])
+    row = vocab_coverage(docs, vocab_size=100).collect()[0]
+    assert row.heldout_tokens == 6
+    assert row.covered_tokens == 3          # a, b, c covered; 3x zzz not
+    assert row.coverage == 0.5 and row.oov_rate == 0.5
+    # shrinking the vocab can only shrink coverage
+    row1 = vocab_coverage(docs, vocab_size=1).collect()[0]
+    assert row1.covered_tokens <= row.covered_tokens
+    assert row1.n_vocab == 1
