@@ -308,6 +308,12 @@ def main() -> None:
         out["vs_baseline_ratio"] = (
             round(spark_shared / duck_shared, 3) if duck_shared else None
         )
+        # the first-run aggregate against the same baseline, for
+        # transparency alongside the warm-min headline
+        cold_shared = sum(cold[q] for q in shared)
+        out["vs_baseline_ratio_cold"] = (
+            round(cold_shared / duck_shared, 3) if duck_shared else None
+        )
         if "--vs-baseline" in sys.argv:
             out["query_ratios"] = {
                 q: round(times[q] / base["queries"][q], 2)
