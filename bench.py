@@ -208,6 +208,7 @@ def main() -> None:
         "shard_skew_report",
         "filter_funnel",
         "vocab_coverage",
+        "contamination_summary",
         "ccnet_buckets",
         "hard_negatives",
         "cluster_balanced_sample",

@@ -1858,3 +1858,63 @@ def vocab_coverage(docs: DataFrame, vocab_size: int = 5000,
             ).alias("oov_rate"),
         )
     )
+
+
+def contamination_summary(docs: DataFrame, benchmark: DataFrame, n: int = 3,
+                          exact_threshold: float = 0.5,
+                          fuzzy_threshold: float = 0.5,
+                          sh: DataFrame | None = None) -> DataFrame:
+    """One-row decontamination dashboard: how much of the corpus the
+    exact n-gram screen (:func:`contamination_check` ≥
+    ``exact_threshold``) and the fuzzy MinHash screen
+    (``dedup.fuzzy_contamination`` ≥ ``fuzzy_threshold``) each flag,
+    how much they agree on, and what survives —
+    (n_corpus_docs, n_exact, n_fuzzy, n_both, n_flagged, clean_rate).
+
+    The governance line a decontamination run reports before dropping
+    anything: the two screens catch different leakage (verbatim
+    inclusion vs paraphrase), so n_both vs n_exact/n_fuzzy is the
+    overlap evidence reviewers ask for. Both screens share the same
+    broadcast-benchmark shape (the corpus side never shuffles for
+    candidates), the flag sets are collision-rate sized, and the final
+    roll-up is one full-outer join of two tiny frames plus a 1-row
+    aggregate.
+    """
+    from sift_spark.operators.dedup import fuzzy_contamination
+
+    exact = (
+        contamination_check(docs, benchmark, n, sh=sh)
+        .where(F.col("contamination") >= exact_threshold)
+        .select("doc_id", F.lit(True).alias("is_exact"))
+    )
+    fuzzy = (
+        fuzzy_contamination(docs, benchmark, n, threshold=fuzzy_threshold, sh=sh)
+        .select("doc_id", F.lit(True).alias("is_fuzzy"))
+    )
+    flags = exact.join(fuzzy, "doc_id", "full_outer")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_corpus_docs"))
+    agg = flags.agg(
+        F.coalesce(F.sum(F.when(F.col("is_exact"), 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("n_exact"),
+        F.coalesce(F.sum(F.when(F.col("is_fuzzy"), 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("n_fuzzy"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_exact") & F.col("is_fuzzy"), 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_both"),
+        F.count(F.lit(1)).alias("n_flagged"),
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(agg))
+        .select(
+            "n_corpus_docs",
+            "n_exact",
+            "n_fuzzy",
+            "n_both",
+            "n_flagged",
+            F.round(
+                (F.col("n_corpus_docs") - F.col("n_flagged")) / F.col("n_corpus_docs"),
+                6,
+            ).alias("clean_rate"),
+        )
+    )

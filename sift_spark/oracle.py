@@ -1623,3 +1623,35 @@ SELECT *,
   AND (top_4gram_frac <= 0.16) AND (dup_5gram_frac <= 0.15) AS passes
 FROM r
 """
+
+
+# contamination_summary composes the two contamination screens: reuse
+# the fuzzy oracle's CTE chain verbatim (sh → jac) so the summary twin
+# cannot drift from the component twin, then add the exact-screen flag
+# set and the one-row roll-up.
+_fz_sql = ORACLE["fuzzy_contamination"]
+_fz_prefix = _fz_sql[: _fz_sql.rindex("SELECT doc1 AS doc_id")]
+
+ORACLE["contamination_summary"] = _fz_prefix + """,
+n_doc AS (SELECT doc_id, count(*) AS n_sh FROM sh WHERE doc_id % 20 <> 0 GROUP BY doc_id),
+bset AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+n_hit AS (SELECT doc_id, count(*) AS n_c FROM sh
+          WHERE doc_id % 20 <> 0 AND shingle IN (SELECT shingle FROM bset)
+          GROUP BY doc_id),
+ex AS (SELECT d.doc_id FROM n_doc d LEFT JOIN n_hit h USING (doc_id)
+       WHERE round(coalesce(h.n_c, 0) * 1.0 / d.n_sh, 6) >= 0.5),
+fz AS (SELECT DISTINCT doc1 AS doc_id FROM jac WHERE jaccard >= 0.5),
+corp AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus_docs FROM documents WHERE doc_id % 20 <> 0),
+fl AS (SELECT coalesce(e.doc_id, f.doc_id) AS doc_id,
+              (e.doc_id IS NOT NULL) AS is_exact,
+              (f.doc_id IS NOT NULL) AS is_fuzzy
+       FROM ex e FULL OUTER JOIN fz f ON e.doc_id = f.doc_id)
+SELECT corp.n_corpus_docs,
+       CAST(coalesce(sum(CASE WHEN is_exact THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_exact,
+       CAST(coalesce(sum(CASE WHEN is_fuzzy THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_fuzzy,
+       CAST(coalesce(sum(CASE WHEN is_exact AND is_fuzzy THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both,
+       CAST(count(fl.doc_id) AS BIGINT) AS n_flagged,
+       round((corp.n_corpus_docs - count(fl.doc_id)) * 1.0 / corp.n_corpus_docs, 6) AS clean_rate
+FROM corp LEFT JOIN fl ON TRUE
+GROUP BY corp.n_corpus_docs
+"""

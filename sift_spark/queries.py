@@ -1467,6 +1467,16 @@ def q_ccnet_buckets(spark, sf_dir):
     return ccnet_buckets(_docs_tokenized(spark, sf_dir))
 
 
+def q_contamination_summary(spark, sf_dir):
+    from sift_spark.operators.text_analysis import contamination_summary
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus_sh = _docs_shingles(spark, sf_dir).where(F.col("doc_id") % 20 != 0)
+    return contamination_summary(corpus, bench, sh=corpus_sh)
+
+
 def q_filter_funnel(spark, sf_dir):
     from sift_spark.operators.text_analysis import filter_funnel
 
@@ -1523,6 +1533,7 @@ QUERIES: dict[str, QueryFn] = {
     "shard_skew_report": q_shard_skew_report,
     "filter_funnel": q_filter_funnel,
     "vocab_coverage": q_vocab_coverage,
+    "contamination_summary": q_contamination_summary,
     "corpus_tokens": q_corpus_tokens,
     "corpus_tf": q_corpus_tf,
     "corpus_shingles": q_corpus_shingles,

@@ -116,3 +116,34 @@ def test_vocab_coverage_full_vocab_covers_shared_terms(spark):
     row1 = vocab_coverage(docs, vocab_size=1).collect()[0]
     assert row1.covered_tokens <= row.covered_tokens
     assert row1.n_vocab == 1
+
+
+def test_contamination_summary_consistent_with_components(spark):
+    from sift_spark.operators.dedup import fuzzy_contamination
+    from sift_spark.operators.text_analysis import (
+        contamination_check,
+        contamination_summary,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(spark, [
+        (1, base), (2, base + " extra tail words here"),
+        (3, "completely different text with no overlap at all whatsoever"),
+        (20, base),                    # benchmark doc (doc_id % 20 == 0)
+    ])
+    corpus = docs.where("doc_id % 20 != 0")
+    bench = docs.where("doc_id % 20 = 0")
+    row = contamination_summary(corpus, bench).collect()[0]
+    assert row.n_corpus_docs == 3
+    # bounds that must hold by construction
+    assert row.n_both <= min(row.n_exact, row.n_fuzzy)
+    assert max(row.n_exact, row.n_fuzzy) <= row.n_flagged <= row.n_exact + row.n_fuzzy
+    assert abs(row.clean_rate - round((3 - row.n_flagged) / 3, 6)) < 1e-9
+    # components agree: the fuzzy count matches the standalone screen
+    nf = fuzzy_contamination(corpus, bench, threshold=0.5).count()
+    assert row.n_fuzzy == nf
+    ne = (contamination_check(corpus, bench)
+          .where("contamination >= 0.5").count())
+    assert row.n_exact == ne
+    # doc 1 verbatim-duplicates the benchmark doc: something must flag
+    assert row.n_flagged >= 1
