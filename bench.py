@@ -209,6 +209,7 @@ def main() -> None:
         "filter_funnel",
         "vocab_coverage",
         "contamination_summary",
+        "dedup_rate_by_source",
         "ccnet_buckets",
         "hard_negatives",
         "cluster_balanced_sample",

@@ -1203,3 +1203,37 @@ def doc_embedding_dup_pairs(docs: DataFrame, threshold: float = 0.9,
         .select(F.col("doc_id").alias("vec_id"), "embedding")
     )
     return embedding_dup_pairs(vec, threshold=threshold, n_blocks=n_blocks)
+
+
+def dedup_rate_by_source(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Per-source duplication dashboard: given ANY near-dup pair table
+    (minhash / simhash / embedding — anything with doc1, doc2), how
+    much of each source is involved in at least one near-dup pair —
+    (source, n_docs, n_dup_docs, dup_rate).
+
+    The report that decides which ingest feed gets a dedup budget: a
+    source at 40% duplication is re-crawled boilerplate, one at 0.5%
+    is healthy. The flagged-doc set is pair-table sized (collision
+    rate, not corpus rate); the join back onto the corpus is a plain
+    equi-join AQE sizes itself (deliberately NOT a forced broadcast —
+    a pathological corpus can flag almost every doc), and the roll-up
+    is one source-keyed aggregate.
+    """
+    dup = (
+        pairs.select(F.col("doc1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc2").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(dup, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+            F.round(
+                F.sum(F.when(F.col("is_dup"), 1).otherwise(0)) / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+    )

@@ -1655,3 +1655,21 @@ SELECT corp.n_corpus_docs,
 FROM corp LEFT JOIN fl ON TRUE
 GROUP BY corp.n_corpus_docs
 """
+
+
+# per-source dedup dashboard composes the minhash pair oracle the same
+# way dedup_incremental does — the pair CTE is the component twin
+# verbatim, so the two cannot drift
+ORACLE["dedup_rate_by_source"] = (
+    "WITH pairs AS (" + ORACLE["dedup_minhash_lsh"] + "),\n"
+    "dup AS (SELECT DISTINCT doc_id FROM (\n"
+    "  SELECT doc1 AS doc_id FROM pairs\n"
+    "  UNION ALL SELECT doc2 AS doc_id FROM pairs)),\n"
+    "fl AS (SELECT d.source, d.doc_id,\n"
+    "              (u.doc_id IS NOT NULL) AS is_dup\n"
+    "       FROM documents d LEFT JOIN dup u ON d.doc_id = u.doc_id)\n"
+    "SELECT source, count(*) AS n_docs,\n"
+    "       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,\n"
+    "       round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_rate\n"
+    "FROM fl GROUP BY source"
+)

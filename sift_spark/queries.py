@@ -1467,6 +1467,16 @@ def q_ccnet_buckets(spark, sf_dir):
     return ccnet_buckets(_docs_tokenized(spark, sf_dir))
 
 
+def q_dedup_rate_by_source(spark, sf_dir):
+    from sift_spark.operators.dedup import dedup_rate_by_source, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, n=3, threshold=0.8, sh=_docs_shingles(spark, sf_dir)
+    )
+    return dedup_rate_by_source(docs, pairs)
+
+
 def q_contamination_summary(spark, sf_dir):
     from sift_spark.operators.text_analysis import contamination_summary
 
@@ -1534,6 +1544,7 @@ QUERIES: dict[str, QueryFn] = {
     "filter_funnel": q_filter_funnel,
     "vocab_coverage": q_vocab_coverage,
     "contamination_summary": q_contamination_summary,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
     "corpus_tokens": q_corpus_tokens,
     "corpus_tf": q_corpus_tf,
     "corpus_shingles": q_corpus_shingles,

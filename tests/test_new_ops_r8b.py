@@ -147,3 +147,31 @@ def test_contamination_summary_consistent_with_components(spark):
     assert row.n_exact == ne
     # doc 1 verbatim-duplicates the benchmark doc: something must flag
     assert row.n_flagged >= 1
+
+
+def test_dedup_rate_by_source_counts(spark):
+    from sift_spark.operators.dedup import dedup_rate_by_source
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "b")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc1 long, doc2 long"
+    )
+    rows = {r.source: r for r in dedup_rate_by_source(docs, pairs).collect()}
+    assert rows["a"].n_docs == 2 and rows["a"].n_dup_docs == 2
+    assert rows["a"].dup_rate == 1.0
+    assert rows["b"].n_docs == 3 and rows["b"].n_dup_docs == 2
+    assert abs(rows["b"].dup_rate - round(2 / 3, 6)) < 1e-9
+
+
+def test_dedup_rate_by_source_dedups_multi_pair_docs(spark):
+    from sift_spark.operators.dedup import dedup_rate_by_source
+
+    docs = spark.createDataFrame([(1, "a"), (2, "a"), (3, "a")],
+                                 "doc_id long, source string")
+    # doc 1 appears in two pairs — must count once
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc1 long, doc2 long")
+    row = dedup_rate_by_source(docs, pairs).collect()[0]
+    assert row.n_dup_docs == 3 and row.dup_rate == 1.0
