@@ -39,11 +39,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         mtime = os.path.getmtime(path)
     except OSError:
-        mtime = -1.0  # non-local / missing: let spark.read raise below
-    key = (spark.sparkContext.applicationId, path, mtime)
-    df = _TABLE_CACHE.get(key)
-    if df is not None:
-        return df
+        # non-local path (s3://, hdfs://) or missing file: the mtime
+        # probe can't observe overwrites there, so NEVER cache — a
+        # stale relation on remote storage would be silent. spark.read
+        # below still raises for genuinely missing paths.
+        mtime = None
+    if mtime is not None:
+        key = (spark.sparkContext.applicationId, path, mtime)
+        df = _TABLE_CACHE.get(key)
+        if df is not None:
+            return df
     if name == "events":
         # driver testdata stores ts as timestamp[us] (plain
         # TimestampType — this conf is a no-op for it); set so a true
@@ -52,7 +57,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # either via epoch_seconds() type detection.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    _TABLE_CACHE[key] = df
+    if mtime is not None:
+        _TABLE_CACHE[(spark.sparkContext.applicationId, path, mtime)] = df
     return df
 
 
