@@ -175,3 +175,34 @@ def test_dedup_rate_by_source_dedups_multi_pair_docs(spark):
     pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc1 long, doc2 long")
     row = dedup_rate_by_source(docs, pairs).collect()[0]
     assert row.n_dup_docs == 3 and row.dup_rate == 1.0
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_vocab_coverage_plan_broadcast_semi(spark):
+    """The K-row vocab must reach the held-out postings as a broadcast
+    LEFT SEMI hash join (never a shuffle of the posting table against
+    it); the only BNLJ is the 1-row scalar injections."""
+    from sift_spark.operators.text_analysis import vocab_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(vocab_coverage(docs))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_skew_plan_single_scalar_join(spark):
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.sampling import shard_skew_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sized = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    plan = _plan(shard_skew_report(sized))
+    # exactly the one broadcast 1-row total injection, nothing else
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
