@@ -210,6 +210,7 @@ def main() -> None:
         "vocab_coverage",
         "contamination_summary",
         "dedup_rate_by_source",
+        "lsh_recall_probe",
         "ccnet_buckets",
         "hard_negatives",
         "cluster_balanced_sample",

@@ -1237,3 +1237,40 @@ def dedup_rate_by_source(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+def lsh_recall_probe(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                     sh: DataFrame | None = None) -> DataFrame:
+    """Recall audit for the MinHash-LSH banding: compare the verified
+    LSH pair set (:func:`minhash_lsh_pairs`) against the exact
+    shared-shingle ground truth (:func:`ngram_jaccard_pairs`) at the
+    same threshold — one row (n_exact, n_lsh, n_missed, recall).
+
+    The "did my banding catch enough" gate a dedup deployment runs on
+    a sample before trusting the banded path at full scale: missed
+    pairs are true near-dups whose signatures never collided in any
+    band (the S-curve's false-negative tail). Both sides share the
+    shingle artifact when passed, the miss set comes from one
+    left-anti join of two pair tables (collision-rate sized, never
+    corpus-sized), and the roll-up is three 1-row aggregates.
+    """
+    exact = ngram_jaccard_pairs(docs, n, threshold, sh=sh).select("doc1", "doc2")
+    lsh = minhash_lsh_pairs(docs, n=n, threshold=threshold, sh=sh).select(
+        "doc1", "doc2"
+    )
+    missed = exact.join(lsh, ["doc1", "doc2"], "left_anti")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    nm = missed.agg(F.count(F.lit(1)).alias("n_missed"))
+    return (
+        ne.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nm))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_missed",
+            F.round(
+                (F.col("n_exact") - F.col("n_missed")) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

@@ -1673,3 +1673,20 @@ ORACLE["dedup_rate_by_source"] = (
     "       round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_rate\n"
     "FROM fl GROUP BY source"
 )
+
+
+# LSH recall audit composes the exact-pair twin and the LSH twin the
+# same way dedup_incremental composes the LSH twin — both CTEs are the
+# component oracles verbatim
+ORACLE["lsh_recall_probe"] = (
+    "WITH ex AS (" + ORACLE["dedup_ngram_jaccard"] + "),\n"
+    "ls AS (" + ORACLE["dedup_minhash_lsh"] + "),\n"
+    "ms AS (SELECT e.doc1, e.doc2 FROM ex e LEFT JOIN ls l\n"
+    "       ON e.doc1 = l.doc1 AND e.doc2 = l.doc2 WHERE l.doc1 IS NULL),\n"
+    "a AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),\n"
+    "b AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM ls),\n"
+    "c AS (SELECT CAST(count(*) AS BIGINT) AS n_missed FROM ms)\n"
+    "SELECT n_exact, n_lsh, n_missed,\n"
+    "       round((n_exact - n_missed) * 1.0 / n_exact, 6) AS recall\n"
+    "FROM a, b, c"
+)

@@ -1467,6 +1467,15 @@ def q_ccnet_buckets(spark, sf_dir):
     return ccnet_buckets(_docs_tokenized(spark, sf_dir))
 
 
+def q_lsh_recall_probe(spark, sf_dir):
+    from sift_spark.operators.dedup import lsh_recall_probe
+
+    return lsh_recall_probe(
+        _docs(spark, sf_dir), n=3, threshold=0.8,
+        sh=_docs_shingles(spark, sf_dir),
+    )
+
+
 def q_dedup_rate_by_source(spark, sf_dir):
     from sift_spark.operators.dedup import dedup_rate_by_source, minhash_lsh_pairs
 
@@ -1545,6 +1554,7 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_coverage": q_vocab_coverage,
     "contamination_summary": q_contamination_summary,
     "dedup_rate_by_source": q_dedup_rate_by_source,
+    "lsh_recall_probe": q_lsh_recall_probe,
     "corpus_tokens": q_corpus_tokens,
     "corpus_tf": q_corpus_tf,
     "corpus_shingles": q_corpus_shingles,

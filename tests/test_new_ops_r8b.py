@@ -206,3 +206,24 @@ def test_shard_skew_plan_single_scalar_join(spark):
     # exactly the one broadcast 1-row total injection, nothing else
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_recall_probe_consistency(spark):
+    from sift_spark.operators.dedup import (
+        lsh_recall_probe,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    docs = _docs(spark, [
+        (1, base), (2, base + " eleven"),     # near-dup pair
+        (3, "totally different words in this other document here now"),
+    ])
+    row = lsh_recall_probe(docs, threshold=0.5).collect()[0]
+    assert row.n_exact == ngram_jaccard_pairs(docs, 3, 0.5).count()
+    assert row.n_lsh == minhash_lsh_pairs(docs, n=3, threshold=0.5).count()
+    # the LSH verified set is a subset of the exact set
+    assert row.n_lsh == row.n_exact - row.n_missed
+    assert 0.0 <= row.recall <= 1.0
+    assert row.n_exact >= 1          # the construction guarantees a pair
