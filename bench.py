@@ -211,6 +211,7 @@ def main() -> None:
         "contamination_summary",
         "dedup_rate_by_source",
         "lsh_recall_probe",
+        "ann_recall_report",
         "ccnet_buckets",
         "hard_negatives",
         "cluster_balanced_sample",

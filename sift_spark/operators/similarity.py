@@ -1206,3 +1206,38 @@ def label_spread(emb: DataFrame, k: int = 5, n_rounds: int = 2,
         emb.select("vec_id", "label")
         .join(labels.select("vec_id", F.col("cur").alias("pred_label")), "vec_id")
     )
+
+
+def ann_recall_report(emb: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
+    """Recall audit for the IVF index against the exact brute-force
+    ground truth at the same k — one row (n_queries, avg_recall,
+    min_recall, full_recall_frac).
+
+    The "is nprobe high enough" gate an ANN deployment runs on a
+    sample before serving: avg_recall prices the speedup, min_recall
+    exposes the worst-served query vector (a centroid-boundary
+    casualty the average hides), full_recall_frac says how many
+    queries are served exactly. Both sides are existing operators
+    (`ann_topk_bruteforce`, `ann_ivf_topk`); the comparison is a
+    semi-join of two (n·k)-row frames plus per-vector counts — tiny
+    next to either search. Run it on a sampled slice at 100 TB; the
+    report shape is identical.
+    """
+    exact = ann_topk_bruteforce(emb, k=k).select("vec_id", "neighbor_id")
+    approx = ann_ivf_topk(emb, k=k, nprobe=nprobe).select("vec_id", "neighbor_id")
+    hits = exact.join(approx, ["vec_id", "neighbor_id"], "left_semi")
+    per = exact.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_true"))
+    hit_per = hits.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    rec = per.join(hit_per, "vec_id", "left").select(
+        "vec_id",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")).alias("rec"),
+    )
+    return rec.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("rec"), 6).alias("avg_recall"),
+        F.round(F.min("rec"), 6).alias("min_recall"),
+        F.round(
+            F.sum(F.when(F.col("rec") == 1.0, 1).otherwise(0)) / F.count(F.lit(1)),
+            6,
+        ).alias("full_recall_frac"),
+    )

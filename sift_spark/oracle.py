@@ -1690,3 +1690,23 @@ ORACLE["lsh_recall_probe"] = (
     "       round((n_exact - n_missed) * 1.0 / n_exact, 6) AS recall\n"
     "FROM a, b, c"
 )
+
+
+# IVF recall audit composes the exact brute-force twin and the IVF
+# twin verbatim (same pattern as lsh_recall_probe)
+ORACLE["ann_recall_report"] = (
+    "WITH ex AS (" + ORACLE["ann_topk_bruteforce"] + "),\n"
+    "ap AS (" + ORACLE["ann_ivf_bucketed"] + "),\n"
+    "pv AS (SELECT vec_id, count(*) AS n_true FROM ex GROUP BY vec_id),\n"
+    "hv AS (SELECT e.vec_id, count(*) AS n_hit FROM ex e JOIN ap a\n"
+    "       ON e.vec_id = a.vec_id AND e.neighbor_id = a.neighbor_id\n"
+    "       GROUP BY e.vec_id),\n"
+    "r AS (SELECT p.vec_id, coalesce(h.n_hit, 0) * 1.0 / p.n_true AS rec\n"
+    "      FROM pv p LEFT JOIN hv h ON p.vec_id = h.vec_id)\n"
+    "SELECT CAST(count(*) AS BIGINT) AS n_queries,\n"
+    "       round(avg(rec), 6) AS avg_recall,\n"
+    "       round(min(rec), 6) AS min_recall,\n"
+    "       round(sum(CASE WHEN rec = 1.0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)\n"
+    "         AS full_recall_frac\n"
+    "FROM r"
+)

@@ -1467,6 +1467,12 @@ def q_ccnet_buckets(spark, sf_dir):
     return ccnet_buckets(_docs_tokenized(spark, sf_dir))
 
 
+def q_ann_recall_report(spark, sf_dir):
+    from sift_spark.operators.similarity import ann_recall_report
+
+    return ann_recall_report(_emb(spark, sf_dir), k=5, nprobe=2)
+
+
 def q_lsh_recall_probe(spark, sf_dir):
     from sift_spark.operators.dedup import lsh_recall_probe
 
@@ -1555,6 +1561,7 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_summary": q_contamination_summary,
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "lsh_recall_probe": q_lsh_recall_probe,
+    "ann_recall_report": q_ann_recall_report,
     "corpus_tokens": q_corpus_tokens,
     "corpus_tf": q_corpus_tf,
     "corpus_shingles": q_corpus_shingles,

@@ -227,3 +227,17 @@ def test_lsh_recall_probe_consistency(spark):
     assert row.n_lsh == row.n_exact - row.n_missed
     assert 0.0 <= row.recall <= 1.0
     assert row.n_exact >= 1          # the construction guarantees a pair
+
+
+def test_ann_recall_report_bounds_and_nprobe_monotonic(spark):
+    from sift_spark.operators.similarity import ann_recall_report
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    low = ann_recall_report(emb, k=5, nprobe=1).collect()[0]
+    hi = ann_recall_report(emb, k=5, nprobe=4).collect()[0]
+    for r in (low, hi):
+        assert 0.0 <= r.min_recall <= r.avg_recall <= 1.0
+        assert 0.0 <= r.full_recall_frac <= 1.0
+        assert r.n_queries > 0
+    # probing more centroids can only help recall
+    assert hi.avg_recall >= low.avg_recall
