@@ -290,6 +290,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # protocol_version 2 = warm-min headline (since r8). Version 1
+        # (r1-r7) reported cold single runs in the same fields — do NOT
+        # compare `value`/`vs_baseline_ratio` across versions; use
+        # `cold_total_sec`/`vs_baseline_ratio_cold` against v1 numbers.
+        "protocol_version": 2,
         "protocol": "warm-min of 2 in-process runs per query "
                     "(artifact build lines cold); cold_total_sec = first runs",
         "cold_total_sec": round(sum(cold.values()), 3),

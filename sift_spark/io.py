@@ -26,26 +26,54 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # driver time each) — a registry sweep loads the same ten immutable
 # tables hundreds of times, so this was a measurable slice of the
 # small-SF per-query floor. Entries are keyed on (applicationId,
-# path, source mtime): a dead session's entry is rebuilt, and an
-# overwritten table (parquet overwrite = rewrite the directory, which
-# bumps its mtime) misses the cache instead of serving a stale
-# relation. This caches ANALYSIS ONLY — no data is persisted; it is
-# the same metadata reuse a production catalog (metastore) provides.
-_TABLE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+# path, content fingerprint): the fingerprint folds in the file list,
+# total byte size, and the max mtime of every file under the path, so
+# an overwrite within the same 1s mtime tick or an in-place part-file
+# rewrite that keeps the directory entry list misses the cache instead
+# of serving a stale relation. Entries from dead sessions (a different
+# applicationId) are evicted on the next lookup, so long-lived
+# processes that cycle sessions don't accumulate entries. This caches
+# ANALYSIS ONLY — no data is persisted; it is the same metadata reuse
+# a production catalog (metastore) provides.
+_TABLE_CACHE: dict[tuple[str, str, object], DataFrame] = {}
+
+
+def _content_fingerprint(path: str):
+    """(file list hash, total bytes, max mtime) for a file or dir;
+    None when the path is remote/missing (→ never cache)."""
+    try:
+        if os.path.isdir(path):
+            names, total, mx = [], 0, 0.0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    st = os.stat(os.path.join(root, f))
+                    names.append(f)
+                    total += st.st_size
+                    mx = max(mx, st.st_mtime)
+            return (hash(tuple(sorted(names))), total, mx)
+        st = os.stat(path)
+        return (0, st.st_size, st.st_mtime)
+    except OSError:
+        # non-local path (s3://, hdfs://) or missing file: the stat
+        # probe can't observe overwrites there, so NEVER cache — a
+        # stale relation on remote storage would be silent. spark.read
+        # below still raises for genuinely missing paths.
+        return None
+
+
+def _evict_dead_sessions(live_app_id: str) -> None:
+    dead = [k for k in _TABLE_CACHE if k[0] != live_app_id]
+    for k in dead:
+        del _TABLE_CACHE[k]
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        mtime = os.path.getmtime(path)
-    except OSError:
-        # non-local path (s3://, hdfs://) or missing file: the mtime
-        # probe can't observe overwrites there, so NEVER cache — a
-        # stale relation on remote storage would be silent. spark.read
-        # below still raises for genuinely missing paths.
-        mtime = None
-    if mtime is not None:
-        key = (spark.sparkContext.applicationId, path, mtime)
+    fp = _content_fingerprint(path)
+    if fp is not None:
+        app_id = spark.sparkContext.applicationId
+        _evict_dead_sessions(app_id)
+        key = (app_id, path, fp)
         df = _TABLE_CACHE.get(key)
         if df is not None:
             return df
@@ -57,8 +85,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # either via epoch_seconds() type detection.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if mtime is not None:
-        _TABLE_CACHE[(spark.sparkContext.applicationId, path, mtime)] = df
+    if fp is not None:
+        _TABLE_CACHE[(spark.sparkContext.applicationId, path, fp)] = df
     return df
 
 

@@ -1269,8 +1269,15 @@ def lsh_recall_probe(docs: DataFrame, n: int = 3, threshold: float = 0.8,
             "n_exact",
             "n_lsh",
             "n_missed",
-            F.round(
-                (F.col("n_exact") - F.col("n_missed")) / F.col("n_exact"), 6
-            ).alias("recall"),
+            # a corpus with NO exact near-dup pairs has nothing to
+            # miss — recall is vacuously 1.0, not NULL/divide-by-zero
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(
+                    (F.col("n_exact") - F.col("n_missed")) / F.col("n_exact"), 6
+                ),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
         )
     )

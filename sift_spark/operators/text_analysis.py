@@ -1747,12 +1747,18 @@ def token_zipf_fit(docs: DataFrame, max_rank: int = 1000,
             F.log(F.col("f").cast("double")).alias("y"),
         )
     )
+    # <2 distinct ranks → var_pop(x)=0: the fit is undefined, so the
+    # guard returns NULL slope/intercept/r2 EXPLICITLY (not an engine-
+    # dependent divide-by-zero) and n_terms still reports the count
+    ok = F.var_pop("x") > 0
     slope = F.covar_pop("x", "y") / F.var_pop("x")
     return pts.agg(
         F.count(F.lit(1)).alias("n_terms"),
-        F.round(slope, 6).alias("slope"),
-        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
-        F.round(F.pow(F.corr("x", "y"), F.lit(2.0)), 6).alias("r2"),
+        F.when(ok, F.round(slope, 6)).alias("slope"),
+        F.when(ok, F.round(F.avg("y") - slope * F.avg("x"), 6)).alias(
+            "intercept"
+        ),
+        F.when(ok, F.round(F.pow(F.corr("x", "y"), F.lit(2.0)), 6)).alias("r2"),
     )
 
 
@@ -1839,10 +1845,16 @@ def vocab_coverage(docs: DataFrame, vocab_size: int = 5000,
         .select("term")
     )
     counted = heldout.join(F.broadcast(vocab), "term", "left_semi").agg(
-        F.sum("tf").cast("long").alias("covered_tokens")
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("covered_tokens")
     )
-    base = heldout.agg(F.sum("tf").cast("long").alias("heldout_tokens"))
+    base = heldout.agg(
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("heldout_tokens")
+    )
     nv = vocab.agg(F.count(F.lit(1)).alias("n_vocab"))
+    # empty held-out split → counts report 0 and the ratios are NULL
+    # EXPLICITLY (coverage of zero tokens is undefined, and a silent
+    # divide-by-zero NULL would be engine-dependent in the oracle)
+    ok = F.col("heldout_tokens") > 0
     return (
         nv.crossJoin(F.broadcast(base))
         .crossJoin(F.broadcast(counted))
@@ -1850,11 +1862,17 @@ def vocab_coverage(docs: DataFrame, vocab_size: int = 5000,
             "n_vocab",
             "heldout_tokens",
             "covered_tokens",
-            F.round(F.col("covered_tokens") / F.col("heldout_tokens"), 6).alias("coverage"),
-            F.round(
-                (F.col("heldout_tokens") - F.col("covered_tokens"))
-                / F.col("heldout_tokens"),
-                6,
+            F.when(
+                ok,
+                F.round(F.col("covered_tokens") / F.col("heldout_tokens"), 6),
+            ).alias("coverage"),
+            F.when(
+                ok,
+                F.round(
+                    (F.col("heldout_tokens") - F.col("covered_tokens"))
+                    / F.col("heldout_tokens"),
+                    6,
+                ),
             ).alias("oov_rate"),
         )
     )
@@ -1912,9 +1930,15 @@ def contamination_summary(docs: DataFrame, benchmark: DataFrame, n: int = 3,
             "n_fuzzy",
             "n_both",
             "n_flagged",
-            F.round(
-                (F.col("n_corpus_docs") - F.col("n_flagged")) / F.col("n_corpus_docs"),
-                6,
+            # empty corpus → clean_rate is NULL explicitly, not an
+            # engine-dependent divide-by-zero
+            F.when(
+                F.col("n_corpus_docs") > 0,
+                F.round(
+                    (F.col("n_corpus_docs") - F.col("n_flagged"))
+                    / F.col("n_corpus_docs"),
+                    6,
+                ),
             ).alias("clean_rate"),
         )
     )

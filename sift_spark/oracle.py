@@ -1651,7 +1651,9 @@ SELECT corp.n_corpus_docs,
        CAST(coalesce(sum(CASE WHEN is_fuzzy THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_fuzzy,
        CAST(coalesce(sum(CASE WHEN is_exact AND is_fuzzy THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both,
        CAST(count(fl.doc_id) AS BIGINT) AS n_flagged,
-       round((corp.n_corpus_docs - count(fl.doc_id)) * 1.0 / corp.n_corpus_docs, 6) AS clean_rate
+       CASE WHEN corp.n_corpus_docs > 0
+            THEN round((corp.n_corpus_docs - count(fl.doc_id)) * 1.0 / corp.n_corpus_docs, 6)
+            END AS clean_rate
 FROM corp LEFT JOIN fl ON TRUE
 GROUP BY corp.n_corpus_docs
 """
@@ -1687,7 +1689,9 @@ ORACLE["lsh_recall_probe"] = (
     "b AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM ls),\n"
     "c AS (SELECT CAST(count(*) AS BIGINT) AS n_missed FROM ms)\n"
     "SELECT n_exact, n_lsh, n_missed,\n"
-    "       round((n_exact - n_missed) * 1.0 / n_exact, 6) AS recall\n"
+    "       CASE WHEN n_exact > 0\n"
+    "            THEN round((n_exact - n_missed) * 1.0 / n_exact, 6)\n"
+    "            ELSE 1.0 END AS recall\n"
     "FROM a, b, c"
 )
 

@@ -1832,9 +1832,13 @@ rk AS (SELECT term, f,
 pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
         FROM rk WHERE r <= 1000)
 SELECT count(*) AS n_terms,
-       round(covar_pop(x, y) / var_pop(x), 6) AS slope,
-       round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6) AS intercept,
-       round(pow(corr(x, y), 2), 6) AS r2
+       CASE WHEN var_pop(x) > 0
+            THEN round(covar_pop(x, y) / var_pop(x), 6) END AS slope,
+       CASE WHEN var_pop(x) > 0
+            THEN round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6)
+            END AS intercept,
+       CASE WHEN var_pop(x) > 0
+            THEN round(pow(corr(x, y), 2), 6) END AS r2
 FROM pts
 """
 
@@ -1912,12 +1916,15 @@ v AS (SELECT term FROM (SELECT term, f,
                                row_number() OVER (ORDER BY f DESC, term ASC) AS r
                         FROM tot) WHERE r <= 5000),
 ho AS (SELECT term, tf FROM tfp WHERE doc_id % 5 = 0),
-base AS (SELECT CAST(sum(tf) AS BIGINT) AS heldout_tokens FROM ho),
-cov AS (SELECT CAST(sum(tf) AS BIGINT) AS covered_tokens FROM ho
+base AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS heldout_tokens FROM ho),
+cov AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS covered_tokens FROM ho
         WHERE term IN (SELECT term FROM v)),
 nv AS (SELECT count(*) AS n_vocab FROM v)
 SELECT n_vocab, heldout_tokens, covered_tokens,
-       round(covered_tokens * 1.0 / heldout_tokens, 6) AS coverage,
-       round((heldout_tokens - covered_tokens) * 1.0 / heldout_tokens, 6) AS oov_rate
+       CASE WHEN heldout_tokens > 0
+            THEN round(covered_tokens * 1.0 / heldout_tokens, 6) END AS coverage,
+       CASE WHEN heldout_tokens > 0
+            THEN round((heldout_tokens - covered_tokens) * 1.0 / heldout_tokens, 6)
+            END AS oov_rate
 FROM nv, base, cov
 """

@@ -4,7 +4,6 @@ shuffle partitions."""
 from __future__ import annotations
 
 import os
-import time
 
 from pyspark.sql import functions as F
 
@@ -22,17 +21,17 @@ def test_table_cache_returns_same_relation(spark, tmp_path):
 
 
 def test_table_cache_invalidates_on_overwrite(spark, tmp_path):
-    """A parquet overwrite rewrites the directory (bumping its mtime),
-    so the cache must MISS and serve the new data — the stale-relation
-    trap the mtime key exists for."""
+    """A parquet overwrite rewrites the directory contents, so the
+    cache must MISS and serve the new data — the stale-relation trap
+    the content-fingerprint key exists for. No sleep: the fingerprint
+    folds in file names + total bytes, so even a SAME-mtime-tick
+    overwrite (coarse 1s filesystems) is observed."""
     from sift_spark.io import table
 
     p = str(tmp_path / "documents.parquet")
     spark.range(3).select(F.col("id").alias("doc_id")).write.parquet(p)
     first = table(spark, str(tmp_path), "documents")
     assert first.count() == 3
-    # ensure a coarse-mtime filesystem still observes a bump
-    time.sleep(1.05)
     spark.range(7).select(F.col("id").alias("doc_id")).write.mode(
         "overwrite"
     ).parquet(p)
@@ -41,15 +40,55 @@ def test_table_cache_invalidates_on_overwrite(spark, tmp_path):
     assert second.count() == 7
 
 
-def test_shuffle_partitions_for_clamps():
+def test_table_cache_catches_inplace_rewrite(spark, tmp_path):
+    """An in-place rewrite of a part file that keeps the directory
+    entry list (and may land in the same coarse mtime tick) must still
+    miss the cache — the total-bytes + max-file-mtime fingerprint
+    observes it where a directory-mtime key could not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sift_spark.io import table
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    f = d / "part-0.parquet"
+    pq.write_table(pa.table({"doc_id": [1, 2, 3]}), f)
+    first = table(spark, str(tmp_path), "documents")
+    assert first.count() == 3
+    pq.write_table(pa.table({"doc_id": [1, 2, 3, 4]}), f)  # same name
+    second = table(spark, str(tmp_path), "documents")
+    assert second is not first
+    assert second.count() == 4
+
+
+def test_table_cache_evicts_dead_sessions(spark, tmp_path):
+    """Entries keyed on a dead applicationId are dropped at the next
+    lookup, so a long-lived process cycling sessions doesn't
+    accumulate relations forever."""
+    from sift_spark import io as sio
+
+    p = str(tmp_path / "documents.parquet")
+    spark.range(2).select(F.col("id").alias("doc_id")).write.parquet(p)
+    sio.table(spark, str(tmp_path), "documents")
+    # plant a fake entry from a session that no longer exists
+    sio._TABLE_CACHE[("app-dead-123", p, (0, 0, 0.0))] = None
+    sio.table(spark, str(tmp_path), "documents")
+    assert all(k[0] != "app-dead-123" for k in sio._TABLE_CACHE)
+
+
+def test_shuffle_partitions_for_clamps(tmp_path):
     from sift_spark.session import shuffle_partitions_for
 
-    # the driver testdata at sf0.1 is ~17 MB on disk -> floor of 8
-    assert shuffle_partitions_for("/root/testdata/sf0.1", 32) == 8
+    # ~17 MB on disk (the sf0.1 ballpark) -> floor of 8, regardless of
+    # how the shared testdata dir happens to be sized on this host
+    f = tmp_path / "blob.bin"
+    f.write_bytes(b"\0" * (17 * 1024 * 1024))
+    assert shuffle_partitions_for(str(tmp_path), 32) == 8
     # a missing dir falls back to the cpu count, never crashes
     assert shuffle_partitions_for("/nonexistent/sfX", 32) == 32
     # the floor of 8 wins below 8 cores (extra partitions just queue)
-    assert shuffle_partitions_for("/root/testdata/sf0.1", 2) == 8
+    assert shuffle_partitions_for(str(tmp_path), 2) == 8
 
 
 def test_shuffle_partitions_for_scales_with_bytes(tmp_path):
