@@ -116,6 +116,9 @@ def main() -> None:
         "knn_label_propagation",
         "ann_lsh_bucketed",
         "ann_ivf_bucketed",
+        "ivf_pq_topk",
+        "ivf_query_index",
+        "ivfpq_query_index",
         "lang_id",
         "quality_score",
         "token_stats",

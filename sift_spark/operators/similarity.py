@@ -577,8 +577,9 @@ def ivf_pq_topk(emb: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
     This is the memory-bounded scale path: candidates carry only
     their 32-bit code, the LUT is PQ_M·PQ_K floats per query, and the
     exact vectors never shuffle. Recall vs the exact top-k is
-    property-tested (ADC is an approximation — quantization error
-    shifts ranks, so this op is [t]-grade, not hash-checked)."""
+    property-tested; the ADC math itself is deterministic given the
+    literal codebooks, so since r9 the op is ALSO hash-checked against
+    a DuckDB twin (LUT-join ADC, oracle_ops._ivfpq_topk_oracle)."""
     import numpy as np
     import pandas as pd
 
@@ -741,23 +742,30 @@ def ivf_write_index(emb: DataFrame, path: str, n_iter: int = 2) -> None:
     the trained codebook. Partitioning by cell is the serving layout:
     a query that probes ``nprobe`` cells reads only those partitions'
     files — at 100 TB the scan touches nprobe/n_cells of the index,
-    enforced by static partition pruning (asserted in tests)."""
+    enforced by static partition pruning (asserted in tests).
+
+    The assigned cells are persisted across the two writes so the
+    k-means lineage (iterative collects) is paid ONCE, not once per
+    output table."""
     clusters = kmeans_clusters(emb, n_iter=n_iter)
-    cells = emb.select("vec_id", "embedding").join(clusters, "vec_id")
-    cells.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/cells")
-    cent = (
-        cells.select("cluster", F.posexplode("embedding").alias("dim", "x"))
-        .groupBy("cluster", "dim")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                lambda s: s["m"],
-            ).alias("centroid")
+    cells = emb.select("vec_id", "embedding").join(clusters, "vec_id").persist()
+    try:
+        cells.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/cells")
+        cent = (
+            cells.select("cluster", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
         )
-    )
-    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+        cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    finally:
+        cells.unpersist()
 
 
 def ivf_query_index(spark, queries: DataFrame, path: str,
@@ -769,11 +777,17 @@ def ivf_query_index(spark, queries: DataFrame, path: str,
     serving system holds in memory; cell ranking is one numpy GEMM
     per Arrow batch. The probed cell ids are collected (≤ n_cells
     ints) and pushed as a static partition filter, so the cells scan
-    reads ONLY the probed partitions."""
+    reads ONLY the probed partitions. Centroids are sorted by cluster
+    id so distance TIES break toward the lower cell deterministically
+    (parquet collect order is arbitrary; the stable argsort follows
+    row order)."""
     import numpy as np
     import pandas as pd
 
-    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cents = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cluster"],
+    )
     cids = np.array([r["cluster"] for r in cents], dtype="int32")
     C = np.stack([np.array(r["centroid"], dtype="float64") for r in cents])
     n2 = (C * C).sum(axis=1)
@@ -829,25 +843,30 @@ def ivfpq_write_index(emb: DataFrame, path: str, n_iter: int = 2) -> None:
     PQ code replaces the raw vector, so the on-disk index is ~64×
     smaller than the corpus and the scan that serves a query reads
     codes, never embeddings. Same centroids table as
-    :func:`ivf_write_index`."""
-    clusters = kmeans_clusters(emb, n_iter=n_iter)
-    cells = pq_codes(emb).join(clusters, "vec_id")
-    cells.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/cells")
-    cent = (
-        emb.select("vec_id", "embedding")
-        .join(clusters, "vec_id")
-        .select("cluster", F.posexplode("embedding").alias("dim", "x"))
-        .groupBy("cluster", "dim")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                lambda s: s["m"],
-            ).alias("centroid")
+    :func:`ivf_write_index`. The assignment is persisted so the
+    k-means lineage is paid once across the codes and centroid
+    writes."""
+    clusters = kmeans_clusters(emb, n_iter=n_iter).persist()
+    try:
+        cells = pq_codes(emb).join(clusters, "vec_id")
+        cells.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/cells")
+        cent = (
+            emb.select("vec_id", "embedding")
+            .join(clusters, "vec_id")
+            .select("cluster", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
         )
-    )
-    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+        cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    finally:
+        clusters.unpersist()
 
 
 def ivfpq_query_index(spark, queries: DataFrame, path: str,
@@ -857,13 +876,18 @@ def ivfpq_query_index(spark, queries: DataFrame, path: str,
     ``nprobe`` cells, computed from the candidates' PQ codes alone.
     Static partition pruning on the probed cells, exactly like
     :func:`ivf_query_index`; the difference is the scan payload:
-    4-byte codes instead of D-float vectors."""
+    4-byte codes instead of D-float vectors. Centroids sorted by
+    cluster id for deterministic tie-breaks, as in
+    :func:`ivf_query_index`."""
     import numpy as np
     import pandas as pd
 
     from sift_spark.functions.core import PQ_CODEBOOKS, PQ_M, PQ_SUB_DIM
 
-    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cents = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cluster"],
+    )
     cids = np.array([r["cluster"] for r in cents], dtype="int32")
     IC = np.stack([np.array(r["centroid"], dtype="float64") for r in cents])
     icn2 = (IC * IC).sum(axis=1)

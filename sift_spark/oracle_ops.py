@@ -450,6 +450,7 @@ def _scaled_ann_oracles() -> None:
 
 _scaled_ann_oracles()
 
+
 _lang_unions = "\n  UNION ALL\n".join(
     "  SELECT doc_id, '{lang}' AS lang, round(avg(CASE WHEN anchor IN ({words}) THEN 1.0 ELSE 0.0 END), 6) AS score FROM tok GROUP BY doc_id".format(
         lang=lang, words=", ".join(f"'{w}'" for w in words)
@@ -1928,3 +1929,170 @@ SELECT n_vocab, heldout_tokens, covered_tokens,
             END AS oov_rate
 FROM nv, base, cov
 """
+
+# --- ADC (asymmetric PQ distance) twins ------------------------------------
+# The PQ codebooks are module literals (one generator feeds both
+# engines), so the full IVF-PQ serving math — code assignment, cell
+# probing, per-query LUT distance — is SQL-expressible: the kernel's
+# `sum_m ||sub_m - c_{code_m}||^2` becomes a (m, code) lookup join
+# against a VALUES table plus a generated per-dim difference formula
+# in the SAME algebraic form numpy evaluates ((a-b)^2 term by term,
+# left-to-right), keeping 6dp-rounded hashes stable cross-engine.
+
+
+def _adc_ctes() -> str:
+    """CTE fragment: per-(m,code) codebook LUT + code-CSV unpack +
+    the per-subspace ADC part expression. Expects CTEs `eq` (query
+    vec_id, v, nrm) and `cdm` consumers to join lut on (m, k)."""
+    from sift_spark.functions.core import PQ_CODEBOOKS, PQ_K, PQ_M, PQ_SUB_DIM
+
+    lut_values = ", ".join(
+        f"({m}, {k}, {_plane_sql(PQ_CODEBOOKS[m][k])})"
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    )
+    ms_values = ", ".join(f"({m})" for m in range(PQ_M))
+    return lut_values, ms_values
+
+
+def _adc_part_expr() -> str:
+    from sift_spark.functions.core import PQ_SUB_DIM
+
+    return " + ".join(
+        f"(eq.v[cdm.m * {PQ_SUB_DIM} + {d}] / eq.nrm - lut.cv[{d}])"
+        f" * (eq.v[cdm.m * {PQ_SUB_DIM} + {d}] / eq.nrm - lut.cv[{d}])"
+        for d in range(1, PQ_SUB_DIM + 1)
+    )
+
+
+def _ivfpq_topk_oracle(k: int = 5, nprobe: int = 2) -> str:
+    """IVF-PQ ANN twin: literal IVF cells for coarse probing, the
+    pq_codes twin (verbatim CTE) for candidate codes, LUT-join ADC."""
+    from sift_spark.functions.core import IVF_CENTROIDS
+
+    cell_values = ", ".join(
+        "({c}, {v}, {n2!r})".format(c=c, v=_plane_sql(v), n2=sum(x * x for x in v))
+        for c, v in enumerate(IVF_CENTROIDS)
+    )
+    lut_values, ms_values = _adc_ctes()
+    return f"""
+WITH eq AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+            FROM (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings)),
+cells(cid, cv, n2) AS (VALUES {cell_values}),
+celld AS (SELECT eq.vec_id, (-2 * list_dot_product(eq.v, c.cv) + c.n2) AS d, c.cid
+          FROM eq, cells c),
+rankedc AS (SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM celld),
+assign AS (SELECT vec_id, cid FROM rankedc WHERE rn = 1),
+probes AS (SELECT vec_id, cid FROM rankedc WHERE rn <= {nprobe}),
+cd AS ({ORACLE_OPS["pq_codes"]}),
+ms(m) AS (VALUES {ms_values}),
+cdm AS (SELECT cd.vec_id AS neighbor_id, ms.m,
+               CAST(string_split(cd.codes, ',')[ms.m + 1] AS INT) AS k
+        FROM cd, ms),
+cand AS (SELECT p.vec_id, a.vec_id AS neighbor_id
+         FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id != p.vec_id),
+lut(m, k, cv) AS (VALUES {lut_values}),
+parts AS (
+  SELECT c.vec_id, c.neighbor_id, cdm.m, ({_adc_part_expr()}) AS part
+  FROM cand c
+  JOIN cdm ON cdm.neighbor_id = c.neighbor_id
+  JOIN lut ON lut.m = cdm.m AND lut.k = cdm.k
+  JOIN eq ON eq.vec_id = c.vec_id
+),
+scored AS (SELECT vec_id, neighbor_id, round(sum(part), 6) AS adc_dist
+           FROM parts GROUP BY vec_id, neighbor_id),
+r AS (SELECT vec_id, neighbor_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rank
+      FROM scored)
+SELECT vec_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= {k}
+"""
+
+
+ORACLE_OPS["ivf_pq_topk"] = _ivfpq_topk_oracle()
+
+
+def _trained_index_ctes(n_iter: int = 2) -> str:
+    """Shared serving-index twin prefix: the kmeans twin (verbatim)
+    plus the persisted index's centroid table — ivf/ivfpq_write_index
+    store the MEMBER MEAN over the final assignment a{n}, i.e. one
+    more centroid update than the assignment itself."""
+    return f"""{_kmeans_ctes(n_iter)},
+cmq AS (
+  SELECT cluster AS cid, i AS dim, avg(x) AS m
+  FROM (SELECT a.cluster, generate_subscripts(e.v, 1) AS i, unnest(e.v) AS x
+        FROM a{n_iter} a JOIN e ON e.vec_id = a.vec_id)
+  GROUP BY cluster, i
+),
+cellsq AS (SELECT cid, list(m ORDER BY dim) AS cv FROM cmq GROUP BY cid),
+celldq AS (
+  SELECT e.vec_id, (-2 * list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv)) AS d, c.cid
+  FROM e, cellsq c
+),
+rankedq AS (SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM celldq),
+probesq AS (SELECT vec_id, cid FROM rankedq WHERE rn <= 2),
+candq AS (SELECT p.vec_id, a.vec_id AS neighbor_id
+          FROM probesq p JOIN a{n_iter} a ON a.cluster = p.cid AND a.vec_id != p.vec_id)"""
+
+
+def _ivf_query_index_oracle(k: int = 5, n_iter: int = 2) -> str:
+    """ivf_write_index → ivf_query_index round-trip twin: trained
+    cells + member-mean centroids, nprobe cell probing, exact cosine
+    re-rank within the probed cells."""
+    return f"""{_trained_index_ctes(n_iter)},
+p AS (
+  SELECT c.vec_id, c.neighbor_id, round({_COS}, 6) AS sim
+  FROM candq c JOIN e a ON a.vec_id = c.vec_id JOIN e b ON b.vec_id = c.neighbor_id
+),
+r AS (
+  SELECT vec_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM p
+)
+SELECT vec_id, neighbor_id, sim, rank FROM r WHERE rank <= {k}
+"""
+
+
+ORACLE_OPS["ivf_query_index"] = _ivf_query_index_oracle()
+
+
+def _ivfpq_query_index_oracle(k: int = 5, n_iter: int = 2) -> str:
+    """ivfpq_write_index → ivfpq_query_index round-trip twin: same
+    trained probing as the IVF twin, but candidates carry only their
+    PQ code (pq_codes twin verbatim) and ranking is LUT-join ADC."""
+    lut_values, ms_values = _adc_ctes()
+    return f"""{_trained_index_ctes(n_iter)},
+eq AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+       FROM (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings)),
+cd AS ({ORACLE_OPS["pq_codes"]}),
+ms(m) AS (VALUES {ms_values}),
+cdm AS (SELECT cd.vec_id AS neighbor_id, ms.m,
+               CAST(string_split(cd.codes, ',')[ms.m + 1] AS INT) AS k
+        FROM cd, ms),
+lut(m, k, cv) AS (VALUES {lut_values}),
+parts AS (
+  SELECT c.vec_id, c.neighbor_id, cdm.m, ({_adc_part_expr()}) AS part
+  FROM candq c
+  JOIN cdm ON cdm.neighbor_id = c.neighbor_id
+  JOIN lut ON lut.m = cdm.m AND lut.k = cdm.k
+  JOIN eq ON eq.vec_id = c.vec_id
+),
+scored AS (SELECT vec_id, neighbor_id, round(sum(part), 6) AS adc_dist
+           FROM parts GROUP BY vec_id, neighbor_id),
+r AS (SELECT vec_id, neighbor_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rank
+      FROM scored)
+SELECT vec_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= {k}
+"""
+
+
+ORACLE_OPS["ivfpq_query_index"] = _ivfpq_query_index_oracle()

@@ -1473,6 +1473,69 @@ def q_ann_recall_report(spark, sf_dir):
     return ann_recall_report(_emb(spark, sf_dir), k=5, nprobe=2)
 
 
+def q_ivf_pq_topk(spark, sf_dir):
+    from sift_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(_emb(spark, sf_dir), k=5, nprobe=2)
+
+
+# Persisted-index cache for the serving round trips: an ANN index is
+# a build-once artifact — a deployment trains/writes it ONCE and then
+# serves queries against the files. The cache keys on (kind, corpus
+# fingerprint, applicationId), so within a session the FIRST call pays
+# build+serve (bench's cold column accounts it, same policy as the
+# corpus_* artifact lines) and later calls measure SERVING — while a
+# changed corpus or a new session rebuilds. mkdtemp (not a fixed path)
+# so concurrent sessions never clobber an index another session is
+# lazily reading.
+_SERVING_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _served_index(spark, sf_dir: str, kind: str, write_fn, emb) -> str:
+    import os as _os
+    import tempfile
+
+    from sift_spark.io import _content_fingerprint
+
+    key = (
+        kind,
+        _os.path.realpath(sf_dir),
+        _content_fingerprint(_os.path.join(sf_dir, "embeddings.parquet")),
+        spark.sparkContext.applicationId,
+    )
+    path = _SERVING_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=f"sift_spark_{kind}_index_")
+        write_fn(emb, path)
+        _SERVING_INDEX_CACHE[key] = path
+    return path
+
+
+def q_ivf_query_index(spark, sf_dir):
+    """Round-trip driver gate for the PERSISTED ANN serving path:
+    train + write the partitioned IVF index (once per corpus per
+    session), then probe it with the corpus itself as the query set."""
+    from sift_spark.operators.similarity import ivf_query_index, ivf_write_index
+
+    emb = _emb(spark, sf_dir)
+    path = _served_index(spark, sf_dir, "ivf", ivf_write_index, emb)
+    return ivf_query_index(spark, emb, path, k=5, nprobe=2)
+
+
+def q_ivfpq_query_index(spark, sf_dir):
+    """Round-trip driver gate for the memory-bounded serving path:
+    write the PQ-coded IVF index (once per corpus per session), then
+    ADC-probe it."""
+    from sift_spark.operators.similarity import (
+        ivfpq_query_index,
+        ivfpq_write_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = _served_index(spark, sf_dir, "ivfpq", ivfpq_write_index, emb)
+    return ivfpq_query_index(spark, emb, path, k=5, nprobe=2)
+
+
 def q_lsh_recall_probe(spark, sf_dir):
     from sift_spark.operators.dedup import lsh_recall_probe
 
@@ -1551,6 +1614,14 @@ QUERIES: dict[str, QueryFn] = {
     # queries this session rewrote (name_part_counts single-pass
     # enumeration, url_canonical_groups repartitioned map) moved IN;
     # term_vocab + tfidf_search (r7-green, untouched) moved out.
+    # r9: the persisted ANN serving path gets its first driver records
+    # — ivf_pq_topk promoted [t]→[q] (ADC is deterministic given the
+    # literal codebooks), and the write_index→query_index round trips
+    # run end-to-end inside the gate (train, persist partitioned-by-
+    # cell, probe with partition pruning, re-rank)
+    "ivf_pq_topk": q_ivf_pq_topk,
+    "ivf_query_index": q_ivf_query_index,
+    "ivfpq_query_index": q_ivfpq_query_index,
     "pii_redact": q_pii_redact,
     "profile_drift": q_profile_drift,
     # r8-continuation additions, never driver-checked — front of the line

@@ -53,6 +53,33 @@ def test_local_cluster_slice_hash_identical(spark):
         assert cluster[name]["rows"] > 0, name
 
 
+def test_multijvm_sweep_record_pins_registry():
+    """The recorded full-catalog multi-JVM sweep must cover EXACTLY
+    the current oracle-paired registry with zero mismatches. This is
+    the r8 gap class closed structurally: two audit gates registered
+    after that round's sweep had run were never proven across a
+    process boundary, and nothing failed. Now: add an oracle-paired
+    query without re-running scripts/multijvm_sweep.py and THIS test
+    fails."""
+    from sift_spark.oracle import ORACLE
+    from sift_spark.queries import QUERIES
+
+    paired = sum(1 for q in QUERIES if q in ORACLE)
+    path = os.path.join(REPO, "MULTIJVM_SWEEP.json")
+    assert os.path.exists(path), (
+        "no MULTIJVM_SWEEP.json at the repo root — run "
+        "scripts/multijvm_sweep.py (local-cluster[2,2,2048] full sweep)"
+    )
+    with open(path) as fh:
+        rec = json.load(fh)
+    assert rec["mismatches"] == [], rec["mismatches"]
+    assert rec["paired"] == paired, (
+        f"recorded sweep covered {rec['paired']} oracle-paired queries; "
+        f"the registry now has {paired} — re-run scripts/multijvm_sweep.py "
+        "so every query crosses a process boundary"
+    )
+
+
 def test_reliable_checkpoint_survives_executor_loss():
     """Chaos proof of the round-8 fault-tolerance claim: SIGKILL one
     executor JVM mid-CC-iteration on local-cluster — with
