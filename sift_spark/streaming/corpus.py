@@ -98,7 +98,9 @@ def process_corpus_batch(batch_df: DataFrame, batch_id: int, index_path: str,
 
 def stream_corpus_dedup(docs_stream: DataFrame, index_path: str,
                         pairs_path: str, n: int = 3,
-                        threshold: float = 0.8, query_name: str = "corpus_dedup"):
+                        threshold: float = 0.8, query_name: str = "corpus_dedup",
+                        trigger: dict | None = None,
+                        checkpoint: str | None = None):
     """Start the continuous-dedup query (returns the StreamingQuery).
 
     Per micro-batch: probe the standing index (old↔new pairs), check
@@ -120,18 +122,27 @@ def stream_corpus_dedup(docs_stream: DataFrame, index_path: str,
     jaccard verify. (In a sequential stream the checkpoint only
     advances after ``process`` returns, so the only possibly-
     uncommitted directory IS the current batch's.)
+
+    ``trigger`` defaults to ``{"availableNow": True}`` (drain-and-stop,
+    the test/backfill shape); a standing service passes
+    ``{"processingTime": "2 seconds"}`` — the soak
+    (scripts/streaming_soak.py) runs that shape for minutes and
+    SIGKILLs it mid-stream to prove checkpoint-resume idempotence.
+    ``checkpoint`` pins the checkpointLocation for kill+restart runs.
     """
     def process(batch_df: DataFrame, batch_id: int) -> None:
         process_corpus_batch(
             batch_df, batch_id, index_path, pairs_path, n=n, threshold=threshold
         )
 
-    return (
+    w = (
         docs_stream.writeStream.foreachBatch(process)
         .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(**(trigger or {"availableNow": True}))
     )
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
 
 
 def stream_classifier_route(docs_stream: DataFrame, weights: list[float],

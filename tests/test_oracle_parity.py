@@ -49,8 +49,11 @@ def test_all_queries_have_oracle_or_are_declared():
         # applies bpe_train's merge table (driver-resident fold chain);
         # verified vs a pure-Python encoder in test_text_analysis
         "bpe_encode",
-        # d×d eigendecomposition — not SQL-expressible; verified vs a
-        # full-data numpy PCA in test_new_ops_r3
+        # d×d eigendecomposition of a DATA-DEPENDENT covariance — not
+        # expressible as a static SQL oracle (literal components would
+        # break at other SFs and be mirroring); verified vs a full-data
+        # numpy PCA at sf0.001 (test_new_ops_r3) AND at the driver's
+        # sf0.01 plus partition-layout invariance (test_pca_r9)
         "embedding_pca",
         # hard-EM unigram tokenizer: verified exactly vs a pure-Python
         # reference in test_tokenizer
