@@ -87,11 +87,11 @@ def child(workdir: str, seconds: float, rate: int) -> None:
     t0 = time.time()
     metrics_path = f"{workdir}/metrics.jsonl"
     seen = set()
-    while time.time() - t0 < seconds:
-        time.sleep(1.0)
+
+    def poll() -> None:
         for p in q.recentProgress:
             bid = p.get("batchId")
-            if bid in seen:
+            if bid in seen or p.get("numInputRows", 0) == 0:
                 continue
             seen.add(bid)
             with open(metrics_path, "a") as fh:
@@ -105,6 +105,16 @@ def child(workdir: str, seconds: float, rate: int) -> None:
                 }) + "\n")
         if q.exception() is not None:
             raise SystemExit(f"query failed: {q.exception()}")
+
+    while time.time() - t0 < seconds:
+        time.sleep(1.0)
+        poll()
+    # under heavy ambient load a short duration can elapse before this
+    # child commits a single batch — hold on (bounded) until it has,
+    # so the restart phase always has post-restart work to verify
+    while not seen and time.time() - t0 < seconds + 240:
+        time.sleep(1.0)
+        poll()
     q.stop()
     q.awaitTermination(30)
     print("CHILD_DONE", flush=True)
@@ -128,14 +138,31 @@ def orchestrate(seconds: float, rate: int, workdir: str,
 
     phase1 = seconds * 0.45
     p = spawn(seconds)  # child would run the full duration...
-    time.sleep(phase1)  # ...but we kill it hard mid-stream
+    t0 = time.time()
+    metrics = f"{workdir}/metrics.jsonl"
+
+    def n_batches() -> int:
+        try:
+            with open(metrics) as fh:
+                return sum(1 for _ in fh)
+        except OSError:
+            return 0
+
+    # ...but we kill it hard mid-stream — AFTER it provably committed
+    # at least two batches (a fixed sleep flakes under ambient load)
+    while time.time() - t0 < max(phase1, 30) or n_batches() < 2:
+        if time.time() - t0 > seconds * 3 + 240:
+            p.send_signal(signal.SIGKILL)
+            raise AssertionError("phase-1 child never committed 2 batches")
+        time.sleep(1.0)
     p.send_signal(signal.SIGKILL)
     p.wait()
     killed_at = time.time()
-    print(f"# SIGKILLed child after {phase1:.0f}s", flush=True)
+    print(f"# SIGKILLed child after {time.time()-t0:.0f}s "
+          f"({n_batches()} batches committed)", flush=True)
 
     p = spawn(seconds * 0.55)
-    out, _ = p.communicate(timeout=seconds + 300)
+    out, _ = p.communicate(timeout=seconds * 3 + 600)
     assert "CHILD_DONE" in out, f"restarted child did not finish: {out[-500:]}"
     print(f"# restarted child finished ({time.time()-killed_at:.0f}s)", flush=True)
 

@@ -611,9 +611,13 @@ def ivf_pq_topk(emb: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
                 }
             )
 
+    # ranked feeds BOTH the assignment (rn=1) and the probe set — a
+    # tiny (vec_id, cid, rn) table; persisting it halves the corpus
+    # scans + python GEMM passes (measured 4.25→3.96s warm at sf0.1;
+    # the ADC join dominates, but the saved pass grows with corpus)
     ranked = emb.select("vec_id", "embedding").mapInPandas(
         rank_cells, "vec_id long, cid int, rn int"
-    )
+    ).persist()
     codes = pq_codes(emb)
     assign = ranked.where(F.col("rn") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cid"

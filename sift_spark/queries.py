@@ -1597,6 +1597,10 @@ def q_shard_skew_report(spark, sf_dir):
 
 
 QUERIES: dict[str, QueryFn] = {
+    # --- r9 rotation: the three new ANN serving gates enter at the
+    # very front (never driver-checked); entity_pagerank,
+    # name_part_counts and url_canonical_groups (all r8-green) slide
+    # out of the sampled-50 window to make room.
     # --- driver-sampled front block (first 50), round 8 rotation:
     # the two [t]→[q] promotions first, the artifact accounting lines
     # (tokens → tf → shingles, each build cost on its own line), then

@@ -24,7 +24,7 @@ def test_soak_sigkill_restart_exactly_once(tmp_path):
         [sys.executable, os.path.join(REPO, "scripts", "streaming_soak.py"),
          "--seconds", seconds, "--rate", "150",
          "--workdir", str(tmp_path / "soak"), "--no-record"],
-        capture_output=True, text=True, timeout=float(seconds) * 4 + 300,
+        capture_output=True, text=True, timeout=float(seconds) * 6 + 700,
         cwd=REPO,
     )
     marker = "STREAMING_SOAK "
