@@ -129,6 +129,78 @@ def _cogroup_topk(q_side: DataFrame, m_side: DataFrame, key: str, k: int) -> Dat
     )
 
 
+def _cogroup_adc_topk(q_side: DataFrame, m_side: DataFrame, key: str,
+                      k: int) -> DataFrame:
+    """Per-cell ADC local top-k via cogrouped numpy — the PQ twin of
+    :func:`_cogroup_topk`: ``q_side`` (key, vec_id, embedding) ×
+    ``m_side`` (key, neighbor_id, codes) → (vec_id, neighbor_id,
+    adc_dist), at most ``k`` per (query, cell), self-pairs excluded,
+    distances rounded 6dp half-away BEFORE ranking.
+
+    Embeddings travel once per probe and 4-byte codes once per cell —
+    never a (query, member) pair row with a replicated query vector
+    (the r9 sf1 A/B measured the pair-join form at 283s vs ~4s for
+    this shape on 20k vectors). The per-m float math is kept in the
+    reference order (diff = sub − centroid, square, sum over SD,
+    accumulate over m) so hashes match the per-pair kernel and the
+    DuckDB LUT twin exactly; queries are chunked to bound the
+    (chunk × members × SD) difference cube."""
+    import numpy as np
+    import pandas as pd
+
+    from sift_spark.functions.core import PQ_CODEBOOKS, PQ_M, PQ_SUB_DIM
+
+    C = np.array(PQ_CODEBOOKS, dtype="float64")
+    empty = pd.DataFrame(
+        {"vec_id": [], "neighbor_id": [], "adc_dist": []}
+    ).astype({"vec_id": "int64", "neighbor_id": "int64", "adc_dist": "float64"})
+
+    def fn(_key, l, r):
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        Q = np.stack(l["embedding"].to_numpy()).astype("float64")
+        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        qids = l["vec_id"].to_numpy()
+        mids = r["neighbor_id"].to_numpy()
+        codes = np.array(
+            [list(map(int, s.split(","))) for s in r["__mcodes"]], dtype="int64"
+        )
+        cm = [C[m][codes[:, m]] for m in range(PQ_M)]  # per-m (nm, SD)
+        out_q, out_m, out_d = [], [], []
+        kk = min(k, len(mids))
+        for lo in range(0, len(qids), 512):
+            Qc = Q[lo:lo + 512]
+            d = np.zeros((len(Qc), len(mids)))
+            for m in range(PQ_M):
+                sub = Qc[:, m * PQ_SUB_DIM:(m + 1) * PQ_SUB_DIM]
+                diff = sub[:, None, :] - cm[m][None, :, :]
+                d += (diff * diff).sum(axis=2)
+            d = round6_half_away(d)
+            for i in range(len(Qc)):
+                row = d[i]
+                order = np.lexsort((mids, row))
+                order = order[mids[order] != qids[lo + i]][:kk]
+                out_q.append(np.full(len(order), qids[lo + i]))
+                out_m.append(mids[order])
+                out_d.append(row[order])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_q).astype("int64"),
+                "neighbor_id": np.concatenate(out_m).astype("int64"),
+                "adc_dist": np.concatenate(out_d),
+            }
+        )
+
+    m2 = m_side.withColumnRenamed(key, "__mkey").withColumnRenamed(
+        "codes", "__mcodes"
+    )
+    return (
+        q_side.groupby(key)
+        .cogroup(m2.groupby("__mkey"))
+        .applyInPandas(fn, "vec_id long, neighbor_id long, adc_dist double")
+    )
+
+
 def lsh_bucket_table(emb: DataFrame, planes=None) -> DataFrame:
     """(vec_id, t, bucket) rows — one per LSH table.
 
@@ -458,10 +530,13 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5, n_tables: int | None = None,
     return local.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def kmeans_clusters(emb: DataFrame, n_iter: int = 2) -> DataFrame:
+def kmeans_clusters(emb: DataFrame, n_iter: int = 2,
+                    n_cells: int | None = None) -> DataFrame:
     """Lloyd's k-means over the embedding column, seeded by the
     deterministic IVF codebook (so the DuckDB oracle reproduces every
     round exactly): final hard assignment (vec_id, cluster).
+    ``n_cells`` sizes the seed codebook (``core.ivf_centroids``);
+    None keeps the 16-cell oracle default.
 
     Each round is the canonical distributed k-means step: map-side
     GEMM assignment (one numpy matmul per Arrow batch against the
@@ -476,7 +551,7 @@ def kmeans_clusters(emb: DataFrame, n_iter: int = 2) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from sift_spark.functions.core import IVF_CENTROIDS
+    from sift_spark.functions.core import IVF_CENTROIDS, ivf_centroids
 
     def assign(cids: "np.ndarray", C: "np.ndarray") -> DataFrame:
         n2 = (C * C).sum(axis=1)
@@ -496,8 +571,9 @@ def kmeans_clusters(emb: DataFrame, n_iter: int = 2) -> DataFrame:
             go, "vec_id long, cluster int"
         )
 
-    cids = np.arange(len(IVF_CENTROIDS), dtype="int32")
-    C = np.array(IVF_CENTROIDS, dtype="float64")
+    seed = ivf_centroids(n_cells) if n_cells else IVF_CENTROIDS
+    cids = np.arange(len(seed), dtype="int32")
+    C = np.array(seed, dtype="float64")
     a = assign(cids, C)
     dim = C.shape[1]
     for _ in range(n_iter):
@@ -568,31 +644,28 @@ def pq_codes(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(go, "vec_id long, codes string")
 
 
-def ivf_pq_topk(emb: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
+def ivf_pq_topk(emb: DataFrame, k: int = 5, nprobe: int = 2,
+                n_cells: int | None = None) -> DataFrame:
     """IVF-PQ ANN: IVF coarse cells generate candidates; ranking uses
     the asymmetric PQ distance (query subvector → candidate's centroid)
-    computed from a per-query lookup table instead of the raw
-    candidate vector — (vec_id, neighbor_id, adc_dist, rank).
+    computed per cell from the candidates' codes alone —
+    (vec_id, neighbor_id, adc_dist, rank).
 
     This is the memory-bounded scale path: candidates carry only
-    their 32-bit code, the LUT is PQ_M·PQ_K floats per query, and the
-    exact vectors never shuffle. Recall vs the exact top-k is
+    their 32-bit code and the exact vectors never shuffle — scoring is
+    the per-cell cogrouped ADC kernel (:func:`_cogroup_adc_topk`), the
+    same communication shape as :func:`ann_ivf_topk`'s GEMM cogroup.
+    ``n_cells`` is the same scale knob (keep ≈ nprobe·√N; None keeps
+    the 16-cell oracle default). Recall vs the exact top-k is
     property-tested; the ADC math itself is deterministic given the
     literal codebooks, so since r9 the op is ALSO hash-checked against
     a DuckDB twin (LUT-join ADC, oracle_ops._ivfpq_topk_oracle)."""
     import numpy as np
     import pandas as pd
 
-    from sift_spark.functions.core import PQ_CODEBOOKS, PQ_M, PQ_SUB_DIM
+    from sift_spark.functions.core import IVF_N_CELLS, ivf_centroids
 
-    from sift_spark.operators.similarity import ann_ivf_topk  # noqa: F401 (doc ref)
-
-    C = np.array(PQ_CODEBOOKS, dtype="float64")
-
-    # reuse the IVF cell assignment/probing from ann_ivf_topk
-    from sift_spark.functions.core import IVF_CENTROIDS
-
-    IC = np.array(IVF_CENTROIDS, dtype="float64")
+    IC = np.array(ivf_centroids(n_cells or IVF_N_CELLS), dtype="float64")
     icn2 = (IC * IC).sum(axis=1)
 
     def rank_cells(it):
@@ -613,8 +686,7 @@ def ivf_pq_topk(emb: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
 
     # ranked feeds BOTH the assignment (rn=1) and the probe set — a
     # tiny (vec_id, cid, rn) table; persisting it halves the corpus
-    # scans + python GEMM passes (measured 4.25→3.96s warm at sf0.1;
-    # the ADC join dominates, but the saved pass grows with corpus)
+    # scans + python GEMM passes
     ranked = emb.select("vec_id", "embedding").mapInPandas(
         rank_cells, "vec_id long, cid int, rn int"
     ).persist()
@@ -622,37 +694,10 @@ def ivf_pq_topk(emb: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
     assign = ranked.where(F.col("rn") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cid"
     ).join(codes.select(F.col("vec_id").alias("neighbor_id"), "codes"), "neighbor_id")
-    probes = ranked.select("vec_id", "cid").join(
+    q_side = ranked.select("vec_id", "cid").join(
         emb.select("vec_id", "embedding"), "vec_id"
     )
-    cand = probes.join(assign, "cid").where(F.col("vec_id") != F.col("neighbor_id"))
-
-    def adc(it):
-        for pdf in it:
-            n = len(pdf)
-            if n == 0:
-                continue
-            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            E = E / np.linalg.norm(E, axis=1, keepdims=True)
-            codes_arr = np.array(
-                [list(map(int, s.split(","))) for s in pdf["codes"]], dtype="int64"
-            )
-            d = np.zeros(n)
-            for m in range(PQ_M):
-                sub = E[:, m * PQ_SUB_DIM:(m + 1) * PQ_SUB_DIM]
-                diff = sub - C[m][codes_arr[:, m]]
-                d += (diff * diff).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                    "adc_dist": round6_half_away(d),
-                }
-            )
-
-    scored = cand.select("vec_id", "embedding", "neighbor_id", "codes").mapInPandas(
-        adc, "vec_id long, neighbor_id long, adc_dist double"
-    )
+    scored = _cogroup_adc_topk(q_side, assign, "cid", k)
     w = Window.partitionBy("vec_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -740,7 +785,23 @@ def embedding_dim_stats(emb: DataFrame) -> DataFrame:
     )
 
 
-def ivf_write_index(emb: DataFrame, path: str, n_iter: int = 2) -> None:
+def _auto_n_cells(emb: DataFrame, n_cells: int | None) -> int | None:
+    """The IVF sizing rule (BASELINE.md r7 study): cell population is
+    N/n_cells and per-query candidate work nprobe·N/n_cells, so a
+    FIXED codebook degrades quadratically as data grows. None →
+    n_cells ≈ 2·√N (nprobe 2), floored at the 16-cell oracle default;
+    the count is one cheap job, paid once at index BUILD time. Small
+    corpora (N ≤ 256) keep the default so test/driver-gate fixtures
+    stay on the oracle codebook."""
+    if n_cells is not None:
+        return n_cells
+    n = emb.count()
+    auto = int(2 * n ** 0.5)
+    return max(16, auto) if n > 256 else None
+
+
+def ivf_write_index(emb: DataFrame, path: str, n_iter: int = 2,
+                    n_cells: int | None = None) -> None:
     """Train and persist an IVF index: ``{path}/cells`` holds the
     vectors PARTITIONED BY their k-means cell, ``{path}/centroids``
     the trained codebook. Partitioning by cell is the serving layout:
@@ -748,10 +809,18 @@ def ivf_write_index(emb: DataFrame, path: str, n_iter: int = 2) -> None:
     files — at 100 TB the scan touches nprobe/n_cells of the index,
     enforced by static partition pruning (asserted in tests).
 
+    ``n_cells`` None auto-sizes the codebook to ≈2·√N
+    (:func:`_auto_n_cells`) — the r9 sf1 A/B measured the fixed
+    16-cell default at 65s for 20k vectors (2500-member cells →
+    50M-candidate probes) vs ~3s auto-sized. Pass an explicit value
+    to pin a configuration (the driver-gate queries pin 16 so the
+    static-SQL oracle reproduces training).
+
     The assigned cells are persisted across the two writes so the
     k-means lineage (iterative collects) is paid ONCE, not once per
     output table."""
-    clusters = kmeans_clusters(emb, n_iter=n_iter)
+    clusters = kmeans_clusters(emb, n_iter=n_iter,
+                               n_cells=_auto_n_cells(emb, n_cells))
     cells = emb.select("vec_id", "embedding").join(clusters, "vec_id").persist()
     try:
         cells.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/cells")
@@ -816,41 +885,34 @@ def ivf_query_index(spark, queries: DataFrame, path: str,
     ).persist()
     probed = sorted(r["cluster"] for r in probes.select("cluster").distinct().collect())
     cells = spark.read.parquet(f"{path}/cells").where(F.col("cluster").isin(probed))
-    cand = (
-        probes.join(
-            cells.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("b_emb"),
-                "cluster",
-            ),
-            "cluster",
-        )
-        .where(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id", "b_emb")
+    # scoring is the per-CELL GEMM cogroup, not per-pair joins — the
+    # same lesson ann_ivf_topk carries: materializing (query, member)
+    # pair rows with both embeddings shuffles O(candidates·D) and the
+    # r9 sf1 A/B measured the join form at 65s where this shape takes
+    # ~3s. Embeddings travel once per probe; per-cell local top-k rows
+    # merge into the exact global top-k (a member lives in one cell).
+    q_side = probes.join(queries.select("vec_id", "embedding"), "vec_id")
+    m_side = cells.select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "cluster"
     )
-    from sift_spark.functions.core import cosine_sim
-
-    scored = cand.join(
-        queries.select("vec_id", F.col("embedding").alias("a_emb")), "vec_id"
-    ).select(
-        "vec_id",
-        "neighbor_id",
-        F.round(cosine_sim(F.col("a_emb"), F.col("b_emb")), 6).alias("sim"),
-    )
+    celled = _cogroup_topk(q_side, m_side, "cluster", k)
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return celled.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def ivfpq_write_index(emb: DataFrame, path: str, n_iter: int = 2) -> None:
+def ivfpq_write_index(emb: DataFrame, path: str, n_iter: int = 2,
+                      n_cells: int | None = None) -> None:
     """Persist the memory-bounded ANN index: cells partitioned by
     trained k-means cluster carry ONLY (vec_id, codes) — the 32-bit
     PQ code replaces the raw vector, so the on-disk index is ~64×
     smaller than the corpus and the scan that serves a query reads
     codes, never embeddings. Same centroids table as
-    :func:`ivf_write_index`. The assignment is persisted so the
-    k-means lineage is paid once across the codes and centroid
-    writes."""
-    clusters = kmeans_clusters(emb, n_iter=n_iter).persist()
+    :func:`ivf_write_index`, same ``n_cells`` auto-√N sizing rule.
+    The assignment is persisted so the k-means lineage is paid once
+    across the codes and centroid writes."""
+    clusters = kmeans_clusters(
+        emb, n_iter=n_iter, n_cells=_auto_n_cells(emb, n_cells)
+    ).persist()
     try:
         cells = pq_codes(emb).join(clusters, "vec_id")
         cells.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/cells")
@@ -886,8 +948,6 @@ def ivfpq_query_index(spark, queries: DataFrame, path: str,
     import numpy as np
     import pandas as pd
 
-    from sift_spark.functions.core import PQ_CODEBOOKS, PQ_M, PQ_SUB_DIM
-
     cents = sorted(
         spark.read.parquet(f"{path}/centroids").collect(),
         key=lambda r: r["cluster"],
@@ -895,7 +955,6 @@ def ivfpq_query_index(spark, queries: DataFrame, path: str,
     cids = np.array([r["cluster"] for r in cents], dtype="int32")
     IC = np.stack([np.array(r["centroid"], dtype="float64") for r in cents])
     icn2 = (IC * IC).sum(axis=1)
-    C = np.array(PQ_CODEBOOKS, dtype="float64")
 
     def rank_cells(it):
         for pdf in it:
@@ -917,40 +976,13 @@ def ivfpq_query_index(spark, queries: DataFrame, path: str,
     ).persist()
     probed = sorted(r["cluster"] for r in probes.select("cluster").distinct().collect())
     cells = spark.read.parquet(f"{path}/cells").where(F.col("cluster").isin(probed))
-    cand = (
-        probes.join(
-            cells.select(F.col("vec_id").alias("neighbor_id"), "codes", "cluster"),
-            "cluster",
-        )
-        .where(F.col("vec_id") != F.col("neighbor_id"))
-        .join(queries.select("vec_id", "embedding"), "vec_id")
-        .select("vec_id", "embedding", "neighbor_id", "codes")
+    # per-cell cogrouped ADC — never a (query, member) pair row with a
+    # replicated query vector (see _cogroup_adc_topk)
+    q_side = probes.join(queries.select("vec_id", "embedding"), "vec_id")
+    m_side = cells.select(
+        F.col("vec_id").alias("neighbor_id"), "codes", "cluster"
     )
-
-    def adc(it):
-        for pdf in it:
-            n = len(pdf)
-            if n == 0:
-                continue
-            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            E = E / np.linalg.norm(E, axis=1, keepdims=True)
-            codes_arr = np.array(
-                [list(map(int, s.split(","))) for s in pdf["codes"]], dtype="int64"
-            )
-            d = np.zeros(n)
-            for m in range(PQ_M):
-                sub = E[:, m * PQ_SUB_DIM:(m + 1) * PQ_SUB_DIM]
-                diff = sub - C[m][codes_arr[:, m]]
-                d += (diff * diff).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                    "adc_dist": round6_half_away(d),
-                }
-            )
-
-    scored = cand.mapInPandas(adc, "vec_id long, neighbor_id long, adc_dist double")
+    scored = _cogroup_adc_topk(q_side, m_side, "cluster", k)
     w = Window.partitionBy("vec_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )

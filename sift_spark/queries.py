@@ -1514,25 +1514,35 @@ def _served_index(spark, sf_dir: str, kind: str, write_fn, emb) -> str:
 def q_ivf_query_index(spark, sf_dir):
     """Round-trip driver gate for the PERSISTED ANN serving path:
     train + write the partitioned IVF index (once per corpus per
-    session), then probe it with the corpus itself as the query set."""
+    session), then probe it with the corpus itself as the query set.
+    n_cells is PINNED to the 16-cell oracle codebook so the static-SQL
+    twin reproduces training; deployments leave n_cells=None for the
+    auto-√N sizing (see similarity._auto_n_cells)."""
     from sift_spark.operators.similarity import ivf_query_index, ivf_write_index
 
     emb = _emb(spark, sf_dir)
-    path = _served_index(spark, sf_dir, "ivf", ivf_write_index, emb)
+    path = _served_index(
+        spark, sf_dir, "ivf",
+        lambda e, p: ivf_write_index(e, p, n_cells=16), emb,
+    )
     return ivf_query_index(spark, emb, path, k=5, nprobe=2)
 
 
 def q_ivfpq_query_index(spark, sf_dir):
     """Round-trip driver gate for the memory-bounded serving path:
     write the PQ-coded IVF index (once per corpus per session), then
-    ADC-probe it."""
+    ADC-probe it. n_cells pinned to the oracle codebook, as in
+    q_ivf_query_index."""
     from sift_spark.operators.similarity import (
         ivfpq_query_index,
         ivfpq_write_index,
     )
 
     emb = _emb(spark, sf_dir)
-    path = _served_index(spark, sf_dir, "ivfpq", ivfpq_write_index, emb)
+    path = _served_index(
+        spark, sf_dir, "ivfpq",
+        lambda e, p: ivfpq_write_index(e, p, n_cells=16), emb,
+    )
     return ivfpq_query_index(spark, emb, path, k=5, nprobe=2)
 
 
