@@ -119,6 +119,7 @@ def main() -> None:
         "ivf_pq_topk",
         "ivf_query_index",
         "ivfpq_query_index",
+        "ivf_recall_report",
         "lang_id",
         "quality_score",
         "token_stats",

@@ -1268,6 +1268,39 @@ def label_spread(emb: DataFrame, k: int = 5, n_rounds: int = 2,
     )
 
 
+def ivf_recall_report(spark, emb: DataFrame, path: str, k: int = 5,
+                      nprobe: int = 2) -> DataFrame:
+    """Recall audit for the PERSISTED serving index
+    (:func:`ivf_query_index`) against the exact brute-force ground
+    truth — same one-row report shape as :func:`ann_recall_report`
+    (n_queries, avg_recall, min_recall, full_recall_frac), but the
+    approximate side is the index a deployment actually serves from
+    (trained member-mean centroids, partition-pruned probe), so this
+    is the gate to run AFTER a build/retrain, before flipping serving
+    traffic to the new index. Sample the query slice at 100 TB; the
+    report shape is identical."""
+    exact = ann_topk_bruteforce(emb, k=k).select("vec_id", "neighbor_id")
+    approx = ivf_query_index(spark, emb, path, k=k, nprobe=nprobe).select(
+        "vec_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["vec_id", "neighbor_id"], "left_semi")
+    per = exact.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_true"))
+    hit_per = hits.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    rec = per.join(hit_per, "vec_id", "left").select(
+        "vec_id",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")).alias("rec"),
+    )
+    return rec.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("rec"), 6).alias("avg_recall"),
+        F.round(F.min("rec"), 6).alias("min_recall"),
+        F.round(
+            F.sum(F.when(F.col("rec") == 1.0, 1).otherwise(0)) / F.count(F.lit(1)),
+            6,
+        ).alias("full_recall_frac"),
+    )
+
+
 def ann_recall_report(emb: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
     """Recall audit for the IVF index against the exact brute-force
     ground truth at the same k — one row (n_queries, avg_recall,
