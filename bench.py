@@ -120,6 +120,7 @@ def main() -> None:
         "ivf_query_index",
         "ivfpq_query_index",
         "ivf_recall_report",
+        "ivfpq_recall_report",
         "lang_id",
         "quality_score",
         "token_stats",

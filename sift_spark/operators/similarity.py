@@ -1301,6 +1301,38 @@ def ivf_recall_report(spark, emb: DataFrame, path: str, k: int = 5,
     )
 
 
+def ivfpq_recall_report(spark, emb: DataFrame, path: str, k: int = 5,
+                        nprobe: int = 2) -> DataFrame:
+    """Recall audit for the PQ-coded serving index
+    (:func:`ivfpq_query_index`) against the exact ground truth — same
+    report shape as :func:`ivf_recall_report`, but this one prices a
+    DIFFERENT error source: on top of cell-probing misses, ADC ranks
+    by quantized distance, so even a full probe is approximate
+    (quantization error reorders near-ties). A deployment reads the
+    two reports together: ivf_recall_report isolates the nprobe knob,
+    this one adds the code-budget (PQ_M × PQ_K) knob."""
+    exact = ann_topk_bruteforce(emb, k=k).select("vec_id", "neighbor_id")
+    approx = ivfpq_query_index(spark, emb, path, k=k, nprobe=nprobe).select(
+        "vec_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["vec_id", "neighbor_id"], "left_semi")
+    per = exact.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_true"))
+    hit_per = hits.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    rec = per.join(hit_per, "vec_id", "left").select(
+        "vec_id",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")).alias("rec"),
+    )
+    return rec.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("rec"), 6).alias("avg_recall"),
+        F.round(F.min("rec"), 6).alias("min_recall"),
+        F.round(
+            F.sum(F.when(F.col("rec") == 1.0, 1).otherwise(0)) / F.count(F.lit(1)),
+            6,
+        ).alias("full_recall_frac"),
+    )
+
+
 def ann_recall_report(emb: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
     """Recall audit for the IVF index against the exact brute-force
     ground truth at the same k — one row (n_queries, avg_recall,

@@ -1716,6 +1716,27 @@ ORACLE["ann_recall_report"] = (
 )
 
 
+# recall audit for the PQ-coded serving index: brute-force twin vs
+# the trained ADC round-trip twin (prices quantization loss on top of
+# probing loss — the ivf_recall_report pattern with the ivfpq twin)
+ORACLE["ivfpq_recall_report"] = (
+    "WITH ex AS (" + ORACLE["ann_topk_bruteforce"] + "),\n"
+    "ap AS (" + ORACLE["ivfpq_query_index"] + "),\n"
+    "pv AS (SELECT vec_id, count(*) AS n_true FROM ex GROUP BY vec_id),\n"
+    "hv AS (SELECT e.vec_id, count(*) AS n_hit FROM ex e JOIN ap a\n"
+    "       ON e.vec_id = a.vec_id AND e.neighbor_id = a.neighbor_id\n"
+    "       GROUP BY e.vec_id),\n"
+    "r AS (SELECT p.vec_id, coalesce(h.n_hit, 0) * 1.0 / p.n_true AS rec\n"
+    "      FROM pv p LEFT JOIN hv h ON p.vec_id = h.vec_id)\n"
+    "SELECT CAST(count(*) AS BIGINT) AS n_queries,\n"
+    "       round(avg(rec), 6) AS avg_recall,\n"
+    "       round(min(rec), 6) AS min_recall,\n"
+    "       round(sum(CASE WHEN rec = 1.0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)\n"
+    "         AS full_recall_frac\n"
+    "FROM r"
+)
+
+
 # recall audit for the PERSISTED serving index: composes the
 # brute-force twin with the trained-index round-trip twin verbatim
 # (same pattern as ann_recall_report)

@@ -1542,6 +1542,22 @@ def q_ivf_recall_report(spark, sf_dir):
     return ivf_recall_report(spark, emb, path, k=5, nprobe=2)
 
 
+def q_ivfpq_recall_report(spark, sf_dir):
+    """Quantization-loss audit: the PQ serving index scored against
+    the exact ground truth. n_cells pinned to the oracle codebook."""
+    from sift_spark.operators.similarity import (
+        ivfpq_recall_report,
+        ivfpq_write_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = _served_index(
+        spark, sf_dir, "ivfpq",
+        lambda e, p: ivfpq_write_index(e, p, n_cells=16), emb,
+    )
+    return ivfpq_recall_report(spark, emb, path, k=5, nprobe=2)
+
+
 def q_ivfpq_query_index(spark, sf_dir):
     """Round-trip driver gate for the memory-bounded serving path:
     write the PQ-coded IVF index (once per corpus per session), then
@@ -1651,6 +1667,7 @@ QUERIES: dict[str, QueryFn] = {
     "ivf_query_index": q_ivf_query_index,
     "ivfpq_query_index": q_ivfpq_query_index,
     "ivf_recall_report": q_ivf_recall_report,
+    "ivfpq_recall_report": q_ivfpq_recall_report,
     "pii_redact": q_pii_redact,
     "profile_drift": q_profile_drift,
     # r8-continuation additions, never driver-checked — front of the line

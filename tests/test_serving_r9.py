@@ -29,3 +29,36 @@ def test_ivf_recall_full_probe_is_exact_and_monotone(spark, tmp_path):
     # measures ~0.35 — the gate's job is to REPORT that, not hide it;
     # assert it's nonzero and meaningfully below the full probe
     assert 0.1 < r2 < r16
+
+
+def test_ivfpq_recall_prices_quantization_loss(spark, tmp_path):
+    """ADC ranks by quantized distance, so recall is capped by the
+    code budget — and, unlike the exact-rank IVF report, it is NOT
+    probe-monotone: raising nprobe admits more quantization-favored
+    imposters that can displace true neighbors from the fixed-k cut
+    (measured on this fixture: recall@nprobe=2 ≈ 0.068 >
+    recall@nprobe=16 ≈ 0.044). That non-monotonicity is exactly the
+    deployment hazard the gate exists to expose — assert the contract
+    that IS guaranteed: quantization strictly costs recall vs the
+    exact-rank report at the same nprobe, and the report covers every
+    query."""
+    from sift_spark.operators.similarity import (
+        ivf_recall_report,
+        ivf_write_index,
+        ivfpq_recall_report,
+        ivfpq_write_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pq_idx = str(tmp_path / "ivfpq")
+    ivfpq_write_index(emb, pq_idx, n_cells=16)
+    iv_idx = str(tmp_path / "ivf")
+    ivf_write_index(emb, iv_idx, n_cells=16)
+
+    pq = ivfpq_recall_report(spark, emb, pq_idx, k=5, nprobe=2).collect()[0]
+    iv = ivf_recall_report(spark, emb, iv_idx, k=5, nprobe=2).collect()[0]
+    assert pq.n_queries == iv.n_queries == emb.count()
+    assert 0.0 < pq.avg_recall <= 1.0
+    # same candidate cells, ADC vs exact ranking: quantization can
+    # only lose true neighbors on this near-random fixture
+    assert pq.avg_recall < iv.avg_recall
