@@ -55,6 +55,11 @@ UNICODE_SNIPPETS = [
 def _title(i: int) -> str:
     if i % 97 == 0:
         return f"Tōpic (disambiguation) №{i}"
+    if i % 89 == 0:
+        # quote-bearing titles ("Heroes", "Weird Al" Yankovic) — the r9
+        # fuzz finding: quotes in link titles must survive the
+        # anchored-text round-trip (sift_spark/corpora/wikipedia.py)
+        return f'"Quoted" Topic {i}'
     return f"Topic {i}"
 
 
@@ -129,6 +134,13 @@ def _article_text(rng: random.Random, i: int, n_pages: int, huge: bool) -> str:
                 "{{unclosed template param|a=b",
                 "stray closers }} ]] |}",
                 "[[Broken [[nested [[link",
+                # r10 additions — the fuzz-found classes
+                '[["]]',
+                "[[x\"y|'''bold display''']]",
+                "'''[[Bold wrapped|link]]''' lead",
+                "stray <a open and <<a run",
+                '<a href="evil">page-text anchor</a>',
+                "[[angle<in>title]] and literal %22 escape",
             ]))
         secs.append(f"== Section {s} ==\n" + "\n\n".join(body))
     secs.append("== See also ==\n* [[%s]]\n* [[%s]]" % (

@@ -49,6 +49,37 @@ _CATEGORY = re.compile(r"\[\[Category:[^\[\]]*\]\]")
 _FILE_IMAGE = re.compile(r"\[\[(?:[fF]ile|[iI]mage):[^\[\]]*(?:\[\[[^\]]*\]\][^\[\]]*)*\]\]")
 _BOLD_ITAL = re.compile(r"'{2,5}")
 _ANCHOR = re.compile(r'<a href="([^"]*)">(.*?)</a>', re.DOTALL)
+# Internal link representation while markup passes run: \x01 target
+# \x02 display \x03. Control chars never occur in real wikitext (they
+# are stripped from input), so link spans are unforgeable by page
+# content — unlike the previous raw ``<a href>`` interleaving, where a
+# quote/angle-bracket in a title or a stray ``<a `` in page text could
+# truncate or spoof an anchor (r9 fuzz finding, minimal input [["]]).
+_SENT_OPEN, _SENT_MID, _SENT_CLOSE = "\x01", "\x02", "\x03"
+_SENT_STRIP = re.compile("[\x01\x02\x03]")
+_SENT_LINK = re.compile("\x01([^\x01\x02\x03]*)\x02([^\x01\x02\x03]*)\x03", re.DOTALL)
+# an open+target orphaned by nested links (its display swallowed an
+# inner link): drop the target text with the markers, keep the display
+_SENT_ORPHAN_OPEN = re.compile("\x01[^\x01\x02\x03]*\x02", re.DOTALL)
+# stray unterminated "<a " the tag stripper could not consume (no
+# closing ">" exists after it) — drop the "<" run so it cannot read as
+# an anchor open once real anchors are emitted around it ("<+" so
+# "<<a " cannot re-expose a new "<a " after one removal)
+_STRAY_ANCHOR_OPEN = re.compile(r"<+(?=a\s)")
+
+
+def _href_escape(s: str) -> str:
+    """Percent-encode the chars that would break the ``<a href="…">``
+    round-trip ('%' first so the encoding is reversible)."""
+    return (
+        s.replace("%", "%25").replace('"', "%22").replace("<", "%3C").replace(">", "%3E")
+    )
+
+
+def _href_unescape(s: str) -> str:
+    return (
+        s.replace("%22", '"').replace("%3C", "<").replace("%3E", ">").replace("%25", "%")
+    )
 _LANGLINKS = re.compile(r"(\n\[\[[a-z][a-z][\w-]*:[^:\]]+\]\])+$")
 # table formatting (reference wikicorpus.py:30-31,82-83 RE_P12/RE_P13
 # semantics): structure lines ({| / |- / |}) drop whole, cell/caption
@@ -114,7 +145,18 @@ def strip_templates(text: str) -> str:
 
 
 def wiki_to_anchored_text(uri: str, text: str) -> str:
-    """Markup → plain text with links as ``<a href>`` anchors."""
+    """Markup → plain text with links as ``<a href>`` anchors.
+
+    Links are carried through the markup passes as control-char
+    sentinels and only rendered to ``<a href>`` at the end, with the
+    href percent-encoded (see ``_href_escape``). Consequences the r9
+    fuzzer demanded: a quote/angle bracket in a link title can no
+    longer truncate the href; a bold span nested in a link display (or
+    vice versa) resolves to the inner link instead of leaking ``<a ``
+    fragments; pre-existing ``<a>`` tags in page text are stripped
+    like any other HTML tag rather than masquerading as our anchors.
+    """
+    text = _SENT_STRIP.sub("", text)  # page text can never forge a sentinel
     text = _LANGLINKS.sub("", text)
     text = strip_templates(text)
     text = _COMMENT.sub("", text)
@@ -126,15 +168,36 @@ def wiki_to_anchored_text(uri: str, text: str) -> str:
     text = _CATEGORY.sub("", text)
     text = _HEADING.sub(r"\2", text)
     # first bolded span names the article entity (wiki convention,
-    # mirrors wikicorpus.py:72)
-    m = re.search(r"'''(.*?)'''", text)
-    if m:
-        text = text[: m.start()] + f'<a href="{uri}">{m.group(1)}</a>' + text[m.end() :]
+    # mirrors wikicorpus.py:72). Skip bolds inside wikilink brackets —
+    # [[T|'''b''']] is a bold DISPLAY for a link to T, not a
+    # self-mention (the [[ / ]] balance test is exact here because
+    # nested bracket forms — files, images — were stripped above).
+    for m in re.finditer(r"'''(.*?)'''", text):
+        prefix = text[: m.start()]
+        if prefix.count("[[") == prefix.count("]]"):
+            text = (
+                text[: m.start()]
+                + f"{_SENT_OPEN}{uri}{_SENT_MID}{m.group(1)}{_SENT_CLOSE}"
+                + text[m.end() :]
+            )
+            break
     text = _URL_LINK.sub(lambda mm: mm.group(2) or "", text)
-    text = _PIPED_LINK.sub(lambda mm: f'<a href="{WIKI_PREFIX}{mm.group(1)}">{mm.group(2)}</a>', text)
-    text = _PLAIN_LINK.sub(lambda mm: f'<a href="{WIKI_PREFIX}{mm.group(1)}">{mm.group(1)}</a>', text)
+    text = _PIPED_LINK.sub(
+        lambda mm: f"{_SENT_OPEN}{WIKI_PREFIX}{mm.group(1)}{_SENT_MID}{mm.group(2)}{_SENT_CLOSE}",
+        text,
+    )
+    text = _PLAIN_LINK.sub(
+        lambda mm: f"{_SENT_OPEN}{WIKI_PREFIX}{mm.group(1)}{_SENT_MID}{mm.group(1)}{_SENT_CLOSE}",
+        text,
+    )
     text = _BOLD_ITAL.sub("", text)
-    text = _TAG.sub(lambda mm: mm.group(0) if mm.group(0).startswith("<a ") or mm.group(0) == "</a>" else "", text)
+    text = _TAG.sub("", text)
+    text = _STRAY_ANCHOR_OPEN.sub("", text)
+    text = _SENT_LINK.sub(
+        lambda mm: f'<a href="{_href_escape(mm.group(1))}">{mm.group(2)}</a>', text
+    )
+    text = _SENT_ORPHAN_OPEN.sub("", text)  # imbalanced nesting leftovers
+    text = _SENT_STRIP.sub("", text)
     return text.strip()
 
 
@@ -160,7 +223,13 @@ def extract_anchored_links(text: str):
         anchor = m.group(2)
         target = m.group(1)
         if target.startswith(WIKI_PREFIX):
-            target = WIKI_PREFIX + normalise_wikilink(target[len(WIKI_PREFIX) :])
+            # wiki targets were href-escaped by wiki_to_anchored_text;
+            # decode before normalizing. (Gated on the prefix so WARC
+            # HTML hrefs — real URLs with their own %-encodings — pass
+            # through untouched.)
+            target = WIKI_PREFIX + normalise_wikilink(
+                _href_unescape(target[len(WIKI_PREFIX) :])
+            )
         links.append((target, plain_len, plain_len + len(anchor)))
         out.append(anchor)
         plain_len += len(anchor)

@@ -32,6 +32,10 @@ _FRAGMENTS = st.sampled_from([
     "<math>x^2</math>", "<nowiki>[[raw]]</nowiki>", "<br/>", "</div>",
     "<a href=\"evil\">pre-existing anchor</a>",
     "[http://x.com label]", "[http://x.com]",
+    # r10 hardening atoms: quote/angle titles, stray anchor opens,
+    # bold-link nesting, literal percent-escapes (VERDICT r9 #1)
+    '"', "<a ", "<<a ", "</a>", '[["]]', "[[x\"y|'''q''']]", "%22", "%",
+    "<", ">", "'''[[N|m]]'''", "[[a<b|c>d]]", 'href="', "'''",
 ])
 
 _TEXT = st.text(
@@ -53,6 +57,49 @@ def test_markup_pipeline_never_crashes_and_offsets_consistent(soup):
     assert "<a " not in plain  # every anchor consumed
     for _target, start, stop in links:
         assert 0 <= start <= stop <= len(plain)
+
+
+def test_quote_and_angle_titles_roundtrip():
+    """r9 fuzz regression (minimal input ``[["]]``): quotes/angles in
+    link titles must not truncate hrefs or shift later offsets."""
+    soup = '[["Weird Al" Yankovic]] recorded [["Heroes"|the song]] and [[a<b>c]].'
+    plain, links = extract_anchored_links(
+        wiki_to_anchored_text('en.wikipedia.org/wiki/"Fuzz"', soup)
+    )
+    assert "<a " not in plain
+    assert [t for t, _, _ in links] == [
+        'en.wikipedia.org/wiki/"Weird_Al"_Yankovic',
+        'en.wikipedia.org/wiki/"Heroes"',
+        "en.wikipedia.org/wiki/Ac",
+    ]
+    for t, s, e in links:
+        assert plain[s:e]  # every span lands inside plain
+    assert plain[links[0][1] : links[0][2]] == '"Weird Al" Yankovic'
+    assert plain[links[1][1] : links[1][2]] == "the song"
+
+
+def test_nested_bold_and_link_resolve_to_inner_link():
+    """Bold span inside a link display (and vice versa) must resolve
+    to one clean anchor — previously leaked ``<a `` fragments."""
+    for soup, want_target, want_anchor in [
+        ("[[T|'''b''']]", "en.wikipedia.org/wiki/T", "b"),
+        ("'''[[T|x]]'''", "en.wikipedia.org/wiki/T", "x"),
+    ]:
+        plain, links = extract_anchored_links(
+            wiki_to_anchored_text("en.wikipedia.org/wiki/Fuzz", soup)
+        )
+        assert "<a " not in plain, (soup, plain)
+        assert "wiki/Fuzz" not in plain  # orphaned href text must not leak
+        (target, s, e) = links[-1]
+        assert target == want_target and plain[s:e] == want_anchor, (soup, plain, links)
+
+
+def test_literal_percent_in_title_survives_escape_roundtrip():
+    plain, links = extract_anchored_links(
+        wiki_to_anchored_text("en.wikipedia.org/wiki/Fuzz", "pre [[x%22y]]")
+    )
+    assert links == [("en.wikipedia.org/wiki/X%22y", 4, 9)]
+    assert plain == "pre x%22y"
 
 
 @given(st.lists(st.tuples(_TEXT, _TEXT), max_size=8), _TEXT)
