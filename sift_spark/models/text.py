@@ -153,7 +153,34 @@ def term_vocab(docs: DataFrame, max_rank: int | None = 10000, min_rank: int | No
         # TakeOrderedAndProject: the rank window below then runs on
         # ≤ max_rank rows, never the full term vocabulary
         dfs = dfs.orderBy(*order).limit(max_rank)
-    m = dfs.withColumn("rank", F.row_number().over(Window.orderBy(*order)) - 1)
+        m = dfs.withColumn("rank", F.row_number().over(Window.orderBy(*order)) - 1)
+    else:
+        # full-vocab ranking WITHOUT a global window (r10: previously
+        # this path single-tasked the whole vocabulary): rank =
+        # rows-before-my-df-group + row_number within my group. The
+        # within-group window is partitioned by df; the only global
+        # window runs over the DISTINCT-df-VALUE table (≤ N_docs
+        # values, heavy-tailed in practice — orders of magnitude
+        # smaller than the vocabulary itself). Same (df desc,
+        # term asc) total order, bit-identical ranks.
+        sizes = dfs.groupBy("df").agg(F.count(F.lit(1)).alias("__n"))
+        prior = (
+            Window.orderBy(F.col("df").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = sizes.select(
+            "df", F.coalesce(F.sum("__n").over(prior), F.lit(0)).alias("__off")
+        )
+        within = F.row_number().over(
+            Window.partitionBy("df").orderBy(F.col("term").asc())
+        )
+        m = (
+            dfs.withColumn("__rn", within)
+            .join(offsets, "df")
+            .withColumn("rank", (F.col("__off") + F.col("__rn") - 1).cast("int"))
+            .drop("__rn", "__off")
+            .select("term", "df", "rank")
+        )
     if min_rank is not None:
         m = m.where(F.col("rank") >= min_rank)
     return m

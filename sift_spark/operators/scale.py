@@ -12,6 +12,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Above this many rows, operators with an exact global-window quantile
+# path and an approx percentile path auto-select approx (rfm_segments,
+# ccnet_buckets). 10M rows is well inside one executor's window budget;
+# tests force both sides through the conf. Same size-gated split as
+# spark.sift.cc.driverEdgeLimit.
+QUANTILE_EXACT_LIMIT_CONF = "spark.sift.quantile.exactRowLimit"
+QUANTILE_EXACT_LIMIT = 10_000_000
+
+
+def quantile_exact_limit(spark) -> int:
+    return int(spark.conf.get(QUANTILE_EXACT_LIMIT_CONF, str(QUANTILE_EXACT_LIMIT)))
+
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
                       fmt: str = "parquet") -> None:

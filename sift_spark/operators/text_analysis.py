@@ -1168,7 +1168,7 @@ def quality_bins(docs: DataFrame) -> DataFrame:
     )
 
 
-def ccnet_buckets(docs: DataFrame, approx: bool = False,
+def ccnet_buckets(docs: DataFrame, approx: bool | None = None,
                   accuracy: int = 10000) -> DataFrame:
     """CCNet-style language-model quality bucketing (Wenzek et al.
     2020): score every document with the corpus-bigram LM
@@ -1179,18 +1179,26 @@ def ccnet_buckets(docs: DataFrame, approx: bool = False,
     have no LM score and drop out, exactly as in the SQL twin.
 
     Two cutoff strategies (the rfm_segments pattern):
-    - exact (default, the oracle-checked path): per-lang rank with a
-      total ordering (rounded score DESC, doc_id) and integer
-      third-boundaries ``3·rn <= n`` / ``3·rn <= 2n`` — no float
-      boundary can flip a bucket cross-engine. The rank window
-      partitions by lang, whose per-key row count scales with the
-      corpus — fine at test SF, single-task-per-lang at 100 TB.
+    - ``approx=False`` (the oracle-checked path, pinned by every
+      registered query): per-lang rank with a total ordering (rounded
+      score DESC, doc_id) and integer third-boundaries ``3·rn <= n``
+      / ``3·rn <= 2n`` — no float boundary can flip a bucket
+      cross-engine. The rank window partitions by lang, whose per-key
+      row count scales with the corpus — fine at test SF,
+      single-task-per-lang on a big-enough corpus.
     - ``approx=True`` (the scale path): per-lang approx_percentile
       cutoffs on the score (one small aggregate, langs × 2 rows)
       broadcast back and applied by comparison — no ranked window
       anywhere; ≤ one-bucket disagreement vs exact is unit-tested.
+    - ``approx=None`` (default — auto, r10): the scored table is
+      materialized anyway (see below), so the gate reads its exact
+      row count for free and flips to approx above
+      ``spark.sift.quantile.exactRowLimit`` (both sides forced in
+      tests via the conf).
     """
     from pyspark.sql import Window
+
+    from sift_spark.operators.scale import quantile_exact_limit
 
     # doc-sized (doc_id, lang, score) — persisted because both the
     # per-lang counts and the rank consume it, and recomputing it
@@ -1198,7 +1206,9 @@ def ccnet_buckets(docs: DataFrame, approx: bool = False,
     scored = bigram_logprob(docs).join(
         docs.select("doc_id", "lang"), "doc_id"
     ).persist()
-    scored.count()  # materialize: the two consumers race a lazy cache
+    n_scored = scored.count()  # materialize: the two consumers race a lazy cache
+    if approx is None:
+        approx = n_scored > quantile_exact_limit(docs.sparkSession)
     if approx:
         cuts = scored.groupBy("lang").agg(
             F.percentile_approx("avg_bigram_logprob", 2.0 / 3.0, accuracy).alias("c_head"),
@@ -1718,12 +1728,12 @@ def token_zipf_fit(docs: DataFrame, max_rank: int = 1000,
 
     Shape: one term aggregate (branches from the shared tf posting
     artifact when passed — zero corpus passes), a top-``max_rank``
-    rank (single-partition window over the vocab-sized frequency
-    table — at web scale the vocabulary is ~1e7 rows, still one
-    executor's work; the corpus itself is never globally sorted),
-    then one 1-row OLS aggregate (covar/var partials, map-side
-    combined). Ties rank deterministically (freq desc, term asc) in
-    both engines.
+    selection planned as TakeOrderedAndProject (per-partition top-k +
+    one k·P-row merge — the full vocabulary, 1e8-1e9 terms for a web
+    corpus, never lands on one task; rank is assigned post-limit over
+    ≤``max_rank`` rows), then one 1-row OLS aggregate (covar/var
+    partials, map-side combined). Ties rank deterministically
+    (freq desc, term asc) in both engines.
     """
     from pyspark.sql import Window
 
@@ -1738,10 +1748,12 @@ def token_zipf_fit(docs: DataFrame, max_rank: int = 1000,
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("f"))
         )
-    w = Window.orderBy(F.col("f").desc(), F.col("term").asc())
+    order = (F.col("f").desc(), F.col("term").asc())
+    w = Window.orderBy(*order)  # bounded: runs over ≤max_rank rows
     pts = (
-        totals.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= max_rank)
+        totals.orderBy(*order)
+        .limit(max_rank)
+        .withColumn("r", F.row_number().over(w))
         .select(
             F.log(F.col("r").cast("double")).alias("x"),
             F.log(F.col("f").cast("double")).alias("y"),
@@ -1819,11 +1831,11 @@ def vocab_coverage(docs: DataFrame, vocab_size: int = 5000,
 
     Branches from the shared tf posting artifact when passed (zero
     corpus passes). The vocab is K rows → broadcast semi-join onto the
-    held-out postings; the rank window is vocab-sized, the corpus is
-    never globally sorted.
+    held-out postings; the top-K selection plans as
+    TakeOrderedAndProject (per-partition top-k + one k·P-row merge —
+    the full train vocabulary never lands on one task), and the corpus
+    is never globally sorted.
     """
-    from pyspark.sql import Window
-
     from sift_spark.models.text import with_tokens
 
     if tf is None:
@@ -1838,10 +1850,9 @@ def vocab_coverage(docs: DataFrame, vocab_size: int = 5000,
     train = tf.where(F.col("doc_id") % heldout_mod != 0)
     heldout = tf.where(F.col("doc_id") % heldout_mod == 0)
     totals = train.groupBy("term").agg(F.sum("tf").alias("f"))
-    w = Window.orderBy(F.col("f").desc(), F.col("term").asc())
     vocab = (
-        totals.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= vocab_size)
+        totals.orderBy(F.col("f").desc(), F.col("term").asc())
+        .limit(vocab_size)
         .select("term")
     )
     counted = heldout.join(F.broadcast(vocab), "term", "left_semi").agg(

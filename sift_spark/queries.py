@@ -962,7 +962,9 @@ def q_retention_cohorts(spark, sf_dir):
 
 
 def q_rfm_segments(spark, sf_dir):
-    return R.rfm_segments(table(spark, sf_dir, "orders"))
+    # approx=False pins the oracle-checked exact path regardless of
+    # the spark.sift.quantile.exactRowLimit auto-gate
+    return R.rfm_segments(table(spark, sf_dir, "orders"), approx=False)
 
 
 def q_comention_triangles(spark, sf_dir):
@@ -1464,7 +1466,9 @@ def q_hard_negatives(spark, sf_dir):
 def q_ccnet_buckets(spark, sf_dir):
     from sift_spark.operators.text_analysis import ccnet_buckets
 
-    return ccnet_buckets(_docs_tokenized(spark, sf_dir))
+    # approx=False pins the oracle-checked exact path regardless of
+    # the spark.sift.quantile.exactRowLimit auto-gate
+    return ccnet_buckets(_docs_tokenized(spark, sf_dir), approx=False)
 
 
 def q_ann_recall_report(spark, sf_dir):
@@ -1505,7 +1509,14 @@ def _served_index(spark, sf_dir: str, kind: str, write_fn, emb) -> str:
     )
     path = _SERVING_INDEX_CACHE.get(key)
     if path is None:
+        import atexit
+        import shutil
+
         path = tempfile.mkdtemp(prefix=f"sift_spark_{kind}_index_")
+        # each (kind, corpus, session) key materializes a full on-disk
+        # index copy — reclaim it at interpreter exit so long-lived
+        # hosts running many sessions/corpus mutations don't leak tmp
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         write_fn(emb, path)
         _SERVING_INDEX_CACHE[key] = path
     return path
@@ -1637,32 +1648,65 @@ def q_shard_skew_report(spark, sf_dir):
 
 
 QUERIES: dict[str, QueryFn] = {
-    # --- r9 rotation: the three new ANN serving gates enter at the
-    # very front (never driver-checked); entity_pagerank,
-    # name_part_counts and url_canonical_groups (all r8-green) slide
-    # out of the sampled-50 window to make room.
-    # --- driver-sampled front block (first 50), round 8 rotation:
-    # the two [t]→[q] promotions first, the artifact accounting lines
-    # (tokens → tf → shingles, each build cost on its own line), then
-    # every query this round's changes touched — the CC driver gate
-    # family (clusters/star/apply/stats + entity_components), the
-    # IRLS-gated quality_classifier, dsir_weights + unigram_logprob
-    # (oracles reverted to the independent per-token form), the
-    # tf-guarded term family (idfs/vocab/df/collocations/top_terms/
-    # datacard), fuzzy_name_pairs (O(m)-row pair expansion),
-    # filtered_corpus (cut via lineage helper) — plus the standing
-    # HEAVY canaries (ANN + trainers). Rotated OUT (r7-green,
-    # untouched): bigram_logprob, ccnet_buckets, event_transitions,
-    # heldout_backoff_logprob, doc_entropy, contamination_check,
-    # similar_docs, doc_novelty. r8-continuation rotation: the two
-    # queries this session rewrote (name_part_counts single-pass
-    # enumeration, url_canonical_groups repartitioned map) moved IN;
-    # term_vocab + tfidf_search (r7-green, untouched) moved out.
-    # r9: the persisted ANN serving path gets its first driver records
-    # — ivf_pq_topk promoted [t]→[q] (ADC is deterministic given the
-    # literal codebooks), and the write_index→query_index round trips
-    # run end-to-end inside the gate (train, persist partitioned-by-
-    # cell, probe with partition pruning, re-rank)
+    # --- r10 rotation (VERDICT r9 #4): the driver samples the FIRST
+    # 50 entries at sf0.01. Union of rounds 1-9 driver records already
+    # covers all 195 oracle-paired queries at least once; this round
+    # the front block is the 50 LEAST-often-sampled names (each
+    # driver-checked exactly once, none of them in the r9 sample), so
+    # repeat coverage accrues evenly. The r9 front block (serving
+    # gates, dedup family, trainers — all r9-green) slides behind it;
+    # relative order below the fold is unchanged.
+    "block_dedup": q_block_dedup,
+    "gopher_rules": q_gopher_rules,
+    "gopher_repetition": q_gopher_repetition,
+    "embedding_outliers": q_embedding_outliers,
+    "pack_sequences_sharded": q_pack_sequences_sharded,
+    "entity_pmi": q_entity_pmi,
+    "q20_dominant_suppliers": q_q20_dominant_suppliers,
+    "q21_waiting_suppliers": q_q21_waiting_suppliers,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "events_sliding": q_events_sliding,
+    "events_histogram": q_events_histogram,
+    "lineitem_stats": q_lineitem_stats,
+    "parts_above_brand_avg": q_parts_above_brand_avg,
+    "daily_revenue_spine": q_daily_revenue_spine,
+    "order_priority_unpivot": q_order_priority_unpivot,
+    "customer_ntile": q_customer_ntile,
+    "churned_customers": q_churned_customers,
+    "repeat_customers": q_repeat_customers,
+    "events_funnel": q_events_funnel,
+    "events_sessionize": q_events_sessionize,
+    "resolve_redirects": q_resolve_redirects,
+    "map_redirects": q_map_redirects,
+    "redirect_documents": q_redirect_documents,
+    "events_anomaly": q_events_anomaly,
+    "events_seasonality": q_events_seasonality,
+    "comention_degrees": q_comention_degrees,
+    "retention_cohorts": q_retention_cohorts,
+    "rfm_segments": q_rfm_segments,
+    "comention_triangles": q_comention_triangles,
+    "events_mad": q_events_mad,
+    "events_interarrival": q_events_interarrival,
+    "basket_pairs": q_basket_pairs,
+    "revenue_growth": q_revenue_growth,
+    "user_streaks": q_user_streaks,
+    "price_band_join": q_price_band_join,
+    "anchor_ambiguity": q_anchor_ambiguity,
+    "skipgram_embeddings": q_skipgram_embeddings,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frame_stats": q_multimodal_frame_stats,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "user_status_history": q_user_status_history,
+    "pq_codes": q_pq_codes,
+    "kmeans_clusters": q_kmeans_clusters,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "repetition_stats": q_repetition_stats,
+    "source_quota_sample": q_source_quota_sample,
+    "text_normalize": q_text_normalize,
+    "doc_chunks": q_doc_chunks,
+    # --- below the driver-sampled fold ---
     "ivf_pq_topk": q_ivf_pq_topk,
     "ivf_query_index": q_ivf_query_index,
     "ivfpq_query_index": q_ivfpq_query_index,
@@ -1670,7 +1714,6 @@ QUERIES: dict[str, QueryFn] = {
     "ivfpq_recall_report": q_ivfpq_recall_report,
     "pii_redact": q_pii_redact,
     "profile_drift": q_profile_drift,
-    # r8-continuation additions, never driver-checked — front of the line
     "token_zipf_fit": q_token_zipf_fit,
     "shard_skew_report": q_shard_skew_report,
     "filter_funnel": q_filter_funnel,
@@ -1731,46 +1774,6 @@ QUERIES: dict[str, QueryFn] = {
     "entity_mention_tf": q_entity_mention_tf,
     "contamination_check": q_contamination_check,
     "bigram_logprob": q_bigram_logprob,
-    "block_dedup": q_block_dedup,
-    # --- previously driver-verified (r1-r5 green) ---
-    "gopher_rules": q_gopher_rules,
-    "gopher_repetition": q_gopher_repetition,
-    "embedding_outliers": q_embedding_outliers,
-    "pack_sequences_sharded": q_pack_sequences_sharded,
-    "entity_pmi": q_entity_pmi,
-    "q20_dominant_suppliers": q_q20_dominant_suppliers,
-    "q21_waiting_suppliers": q_q21_waiting_suppliers,
-    "q6_forecast_revenue": q_q6_forecast_revenue,
-    "events_sliding": q_events_sliding,
-    "events_histogram": q_events_histogram,
-    "lineitem_stats": q_lineitem_stats,
-    "parts_above_brand_avg": q_parts_above_brand_avg,
-    "daily_revenue_spine": q_daily_revenue_spine,
-    "order_priority_unpivot": q_order_priority_unpivot,
-    "customer_ntile": q_customer_ntile,
-    "churned_customers": q_churned_customers,
-    "repeat_customers": q_repeat_customers,
-    "events_funnel": q_events_funnel,
-    "events_sessionize": q_events_sessionize,
-    "resolve_redirects": q_resolve_redirects,
-    "map_redirects": q_map_redirects,
-    "redirect_documents": q_redirect_documents,
-    "events_anomaly": q_events_anomaly,
-    "events_seasonality": q_events_seasonality,
-    "comention_degrees": q_comention_degrees,
-    "retention_cohorts": q_retention_cohorts,
-    "rfm_segments": q_rfm_segments,
-    "comention_triangles": q_comention_triangles,
-    "events_mad": q_events_mad,
-    "events_interarrival": q_events_interarrival,
-    "basket_pairs": q_basket_pairs,
-    "revenue_growth": q_revenue_growth,
-    "user_streaks": q_user_streaks,
-    "price_band_join": q_price_band_join,
-    "anchor_ambiguity": q_anchor_ambiguity,
-    "skipgram_embeddings": q_skipgram_embeddings,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_frame_stats": q_multimodal_frame_stats,
     "embedding_pca": q_embedding_pca,
     "bpe_pair_counts": q_bpe_pair_counts,
     "dedup_exact": q_dedup_exact,
@@ -1778,20 +1781,9 @@ QUERIES: dict[str, QueryFn] = {
     "token_stats": q_token_stats,
     "pack_sequences": q_pack_sequences,
     "quality_bins": q_quality_bins,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
     "customer_profile": q_customer_profile,
     "orders_checks": q_orders_checks,
     "user_type_entropy": q_user_type_entropy,
-    "user_status_history": q_user_status_history,
-    "pq_codes": q_pq_codes,
-    "kmeans_clusters": q_kmeans_clusters,
-    "embedding_dim_stats": q_embedding_dim_stats,
-    "quality_score": q_quality_score,
-    "doc_fingerprint": q_doc_fingerprint,
-    "repetition_stats": q_repetition_stats,
-    "source_quota_sample": q_source_quota_sample,
-    "text_normalize": q_text_normalize,
-    "doc_chunks": q_doc_chunks,
     "similar_docs": q_similar_docs,
     "lang_confusion": q_lang_confusion,
     "corpus_mix_report": q_corpus_mix_report,
@@ -1868,4 +1860,5 @@ QUERIES: dict[str, QueryFn] = {
     "q12_late_shipments": q_q12_late_shipments,
     "q16_supplier_diversity": q_q16_supplier_diversity,
 }
+
 

@@ -437,6 +437,62 @@ def test_operators_tolerate_empty_input(spark):
     assert bpe_train(docs).count() == 0
 
 
+def test_quantile_auto_gate_selects_by_size(spark):
+    """approx=None (the default) must pick the exact ntile path below
+    spark.sift.quantile.exactRowLimit and the windowless approx path
+    above it — both sides forced through the conf (VERDICT r9 #7)."""
+    from tests.conftest import SF_SMOKE
+    from sift_spark.io import table
+    from sift_spark.operators.relational import rfm_segments
+    from sift_spark.operators.scale import QUANTILE_EXACT_LIMIT_CONF
+
+    orders = table(spark, SF_SMOKE, "orders")
+    old = spark.conf.get(QUANTILE_EXACT_LIMIT_CONF, None)
+    try:
+        spark.conf.set(QUANTILE_EXACT_LIMIT_CONF, "0")  # force approx
+        plan = rfm_segments(orders)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, "limit=0 must select the windowless approx path"
+
+        spark.conf.set(QUANTILE_EXACT_LIMIT_CONF, str(10**12))  # force exact
+        df = rfm_segments(orders)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ntile" in plan, "huge limit must select the exact ntile path"
+        pinned = rfm_segments(orders, approx=False)
+        assert df.exceptAll(pinned).count() == 0 and pinned.exceptAll(df).count() == 0
+    finally:
+        if old is None:
+            spark.conf.unset(QUANTILE_EXACT_LIMIT_CONF)
+        else:
+            spark.conf.set(QUANTILE_EXACT_LIMIT_CONF, old)
+
+
+def test_ccnet_auto_gate_selects_by_size(spark):
+    """Same two-sided gate check for ccnet_buckets: its gate reads the
+    already-materialized scored-table count (no extra job)."""
+    from tests.conftest import SF_SMOKE
+    from sift_spark.io import table
+    from sift_spark.operators.scale import QUANTILE_EXACT_LIMIT_CONF
+    from sift_spark.operators.text_analysis import ccnet_buckets
+
+    docs = table(spark, SF_SMOKE, "documents")
+    old = spark.conf.get(QUANTILE_EXACT_LIMIT_CONF, None)
+    try:
+        spark.conf.set(QUANTILE_EXACT_LIMIT_CONF, "0")  # force approx
+        plan = ccnet_buckets(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "row_number" not in plan, "limit=0 must select the rankless approx path"
+
+        spark.conf.set(QUANTILE_EXACT_LIMIT_CONF, str(10**12))  # force exact
+        auto = ccnet_buckets(docs)
+        assert "row_number" in auto._jdf.queryExecution().executedPlan().toString()
+        pinned = ccnet_buckets(docs, approx=False)
+        assert auto.exceptAll(pinned).count() == 0 and pinned.exceptAll(auto).count() == 0
+    finally:
+        if old is None:
+            spark.conf.unset(QUANTILE_EXACT_LIMIT_CONF)
+        else:
+            spark.conf.set(QUANTILE_EXACT_LIMIT_CONF, old)
+
+
 def test_rfm_approx_matches_exact_within_one_tile(spark):
     """The approx-percentile scale path must agree with exact ntile up
     to quantile-boundary epsilon (≤1 tile per metric) and must not plan
