@@ -675,21 +675,29 @@ def ivf_pq_topk(emb: DataFrame, k: int = 5, nprobe: int = 2,
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             D = -2.0 * (E @ IC.T) + icn2
-            order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+            # clamp: nprobe larger than the codebook must probe every
+            # cell, not crash the repeat/tile length match
+            p = min(nprobe, D.shape[1])
+            order = np.argsort(D, axis=1, kind="stable")[:, :p]
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), p),
                     "cid": order.reshape(-1).astype("int32"),
-                    "rn": np.tile(np.arange(1, nprobe + 1, dtype="int32"), n),
+                    "rn": np.tile(np.arange(1, p + 1, dtype="int32"), n),
                 }
             )
 
     # ranked feeds BOTH the assignment (rn=1) and the probe set — a
     # tiny (vec_id, cid, rn) table; persisting it halves the corpus
-    # scans + python GEMM passes
+    # scans + python GEMM passes. MEMORY_ONLY deliberately: the caller
+    # can't unpersist (the result is lazy), so long sessions running
+    # many probes accumulate these blocks — memory-only blocks are
+    # LRU-evicted (eviction = recompute) and never pile up on disk.
+    from pyspark import StorageLevel
+
     ranked = emb.select("vec_id", "embedding").mapInPandas(
         rank_cells, "vec_id long, cid int, rn int"
-    ).persist()
+    ).persist(StorageLevel.MEMORY_ONLY)
     codes = pq_codes(emb)
     assign = ranked.where(F.col("rn") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cid"
@@ -872,17 +880,24 @@ def ivf_query_index(spark, queries: DataFrame, path: str,
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             D = -2.0 * (E @ C.T) + n2
-            order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+            # clamp: nprobe beyond the trained cell count probes all
+            p = min(nprobe, D.shape[1])
+            order = np.argsort(D, axis=1, kind="stable")[:, :p]
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), p),
                     "cluster": cids[order.reshape(-1)],
                 }
             )
 
+    # MEMORY_ONLY: same bounded-cache policy as ivf_pq_topk's ranked
+    # table — probe tables from long serving sessions LRU-evict
+    # (eviction = recompute) instead of accumulating on disk
+    from pyspark import StorageLevel
+
     probes = queries.select("vec_id", "embedding").mapInPandas(
         rank_cells, "vec_id long, cluster int"
-    ).persist()
+    ).persist(StorageLevel.MEMORY_ONLY)
     probed = sorted(r["cluster"] for r in probes.select("cluster").distinct().collect())
     cells = spark.read.parquet(f"{path}/cells").where(F.col("cluster").isin(probed))
     # scoring is the per-CELL GEMM cogroup, not per-pair joins — the
@@ -963,17 +978,24 @@ def ivfpq_query_index(spark, queries: DataFrame, path: str,
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             D = -2.0 * (E @ IC.T) + icn2
-            order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+            # clamp: nprobe beyond the trained cell count probes all
+            p = min(nprobe, D.shape[1])
+            order = np.argsort(D, axis=1, kind="stable")[:, :p]
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), p),
                     "cluster": cids[order.reshape(-1)],
                 }
             )
 
+    # MEMORY_ONLY: same bounded-cache policy as ivf_pq_topk's ranked
+    # table — probe tables from long serving sessions LRU-evict
+    # (eviction = recompute) instead of accumulating on disk
+    from pyspark import StorageLevel
+
     probes = queries.select("vec_id", "embedding").mapInPandas(
         rank_cells, "vec_id long, cluster int"
-    ).persist()
+    ).persist(StorageLevel.MEMORY_ONLY)
     probed = sorted(r["cluster"] for r in probes.select("cluster").distinct().collect())
     cells = spark.read.parquet(f"{path}/cells").where(F.col("cluster").isin(probed))
     # per-cell cogrouped ADC — never a (query, member) pair row with a

@@ -2003,7 +2003,14 @@ parts AS (
   JOIN lut ON lut.m = cdm.m AND lut.k = cdm.k
   JOIN eq ON eq.vec_id = c.vec_id
 ),
-scored AS (SELECT vec_id, neighbor_id, round(sum(part), 6) AS adc_dist
+-- list_sum over an m-ORDERED list pins DuckDB's accumulation order
+-- (a bare sum() depends on per-group row arrival order). Accepted
+-- residual risk, as for every float aggregate rounded at the edge:
+-- numpy's pairwise summation on the Spark side could still differ in
+-- the last ulp from this sequential fold, flipping only values that
+-- sit exactly on a 6dp rounding boundary.
+scored AS (SELECT vec_id, neighbor_id,
+                  round(list_sum(list(part ORDER BY m)), 6) AS adc_dist
            FROM parts GROUP BY vec_id, neighbor_id),
 r AS (SELECT vec_id, neighbor_id, adc_dist,
              CAST(row_number() OVER (PARTITION BY vec_id
@@ -2085,7 +2092,14 @@ parts AS (
   JOIN lut ON lut.m = cdm.m AND lut.k = cdm.k
   JOIN eq ON eq.vec_id = c.vec_id
 ),
-scored AS (SELECT vec_id, neighbor_id, round(sum(part), 6) AS adc_dist
+-- list_sum over an m-ORDERED list pins DuckDB's accumulation order
+-- (a bare sum() depends on per-group row arrival order). Accepted
+-- residual risk, as for every float aggregate rounded at the edge:
+-- numpy's pairwise summation on the Spark side could still differ in
+-- the last ulp from this sequential fold, flipping only values that
+-- sit exactly on a 6dp rounding boundary.
+scored AS (SELECT vec_id, neighbor_id,
+                  round(list_sum(list(part ORDER BY m)), 6) AS adc_dist
            FROM parts GROUP BY vec_id, neighbor_id),
 r AS (SELECT vec_id, neighbor_id, adc_dist,
              CAST(row_number() OVER (PARTITION BY vec_id

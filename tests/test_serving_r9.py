@@ -62,3 +62,29 @@ def test_ivfpq_recall_prices_quantization_loss(spark, tmp_path):
     # same candidate cells, ADC vs exact ranking: quantization can
     # only lose true neighbors on this near-random fixture
     assert pq.avg_recall < iv.avg_recall
+
+
+def test_nprobe_beyond_cell_count_clamps_to_full_probe(spark, tmp_path):
+    """nprobe larger than the (auto-sized or partially-empty) codebook
+    must probe every cell, not raise a pandas length-mismatch in
+    rank_cells (r9 ADVICE #1) — and an all-cells probe of the
+    persisted index must reproduce the exact brute-force top-k."""
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_query_index,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(200)
+    # in-session ADC path: fixed 16-cell codebook, nprobe >> 16
+    assert ivf_pq_topk(emb, k=3, nprobe=10**6).count() > 0
+
+    idx = str(tmp_path / "ivf_clamp")
+    ivf_write_index(emb, idx, n_cells=8)
+    full = ivf_query_index(spark, emb, idx, k=3, nprobe=10**6)
+    norm = ivf_query_index(spark, emb, idx, k=3, nprobe=8)
+    # probing one-million "cells" == probing all 8: identical results
+    assert full.exceptAll(norm).count() == 0 and norm.exceptAll(full).count() == 0
+    assert full.groupBy("vec_id").count().agg(F.max("count")).collect()[0][0] <= 3
