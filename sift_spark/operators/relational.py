@@ -1070,8 +1070,16 @@ def basket_pairs(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
     # guard runs per BASKET, not per pair (r10): ps is sorted, so
     # ps[1] >= 0, ps[-1] < 2^32 and ps[-2] < 2^31 bound every (i<j)
     # pair — three checks replace 2·|basket|² CASE branches inside
-    # the quadratic expansion (measured ~25% off the explode stage
-    # at sf2).
+    # the quadratic expansion. Measured effect is small (~3% warm-min
+    # at sf2 — the explode stage is only ~0.3s of the 4.5s total);
+    # kept for the cleaner shape. The sf2 profile that retires the
+    # two-level-aggregate idea: 23.92M of 24.0M pair keys are DISTINCT
+    # (TPC-H co-occurrence is sparse), so map-side partials cannot
+    # shrink the pair shuffle; the wall is the basket collect_set
+    # shuffle (~2.3s) + the ~24M-unique-key hash aggregate (~1.9s),
+    # both of which parallelize by key at cluster scale. A lineitem
+    # layout bucketed by l_orderkey (operators.scale.write_bucketed)
+    # removes the basket shuffle entirely for standing deployments.
     guarded = F.expr(
         "CASE WHEN element_at(ps, 1) < 0 "
         "OR element_at(ps, -1) >= 4294967296 "
