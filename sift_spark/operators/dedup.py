@@ -1240,7 +1240,8 @@ def dedup_rate_by_source(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def lsh_recall_probe(docs: DataFrame, n: int = 3, threshold: float = 0.8,
-                     sh: DataFrame | None = None) -> DataFrame:
+                     sh: DataFrame | None = None,
+                     sample_mod: int = 1) -> DataFrame:
     """Recall audit for the MinHash-LSH banding: compare the verified
     LSH pair set (:func:`minhash_lsh_pairs`) against the exact
     shared-shingle ground truth (:func:`ngram_jaccard_pairs`) at the
@@ -1253,7 +1254,22 @@ def lsh_recall_probe(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     shingle artifact when passed, the miss set comes from one
     left-anti join of two pair tables (collision-rate sized, never
     corpus-sized), and the roll-up is three 1-row aggregates.
+
+    ``sample_mod`` IS the scale lever the docstring's "on a sample"
+    promises (r10, after the sf5 study measured the exact ground-truth
+    side quadratic on duplicate-heavy corpora — every engine pays
+    that, the oracle DNFs first): ``sample_mod=s`` audits the
+    deterministic 1/s hash-slice of documents (same xxhash-membership
+    family as the sampling operators, layout-invariant), shrinking the
+    exact side ~s² while recall over the slice's pairs estimates
+    corpus recall (band collisions are i.i.d. per pair). Default 1 =
+    full audit, pinned by the registered oracle query.
     """
+    if sample_mod > 1:
+        from sift_spark.operators.sampling import hash_bucket
+
+        docs = docs.where(hash_bucket(F.col("doc_id"), "lshprobe", sample_mod) == 0)
+        sh = None  # the shared shingle artifact covers the FULL corpus
     exact = ngram_jaccard_pairs(docs, n, threshold, sh=sh).select("doc1", "doc2")
     lsh = minhash_lsh_pairs(docs, n=n, threshold=threshold, sh=sh).select(
         "doc1", "doc2"

@@ -66,3 +66,23 @@ def test_contamination_summary_empty_corpus_null_clean_rate(spark):
     row = contamination_summary(docs, bench).collect()[0]
     assert row.n_corpus_docs == 0
     assert row.clean_rate is None
+
+
+def test_lsh_recall_probe_sample_mod_equals_prefiltered_probe(spark):
+    """sample_mod=s must equal running the FULL probe on the
+    deterministic 1/s hash-slice — the audit gate's scale lever
+    (r10, added after the sf5 study measured the exact side
+    quadratic on duplicate-heavy corpora)."""
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.dedup import lsh_recall_probe
+    from sift_spark.operators.sampling import hash_bucket
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sampled = lsh_recall_probe(docs, n=3, threshold=0.8, sample_mod=3).collect()[0]
+    slice_docs = docs.where(hash_bucket(F.col("doc_id"), "lshprobe", 3) == 0)
+    manual = lsh_recall_probe(slice_docs, n=3, threshold=0.8).collect()[0]
+    assert sampled == manual
+    full = lsh_recall_probe(docs, n=3, threshold=0.8).collect()[0]
+    assert sampled.n_exact <= full.n_exact  # the slice audits fewer pairs
