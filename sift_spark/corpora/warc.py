@@ -44,14 +44,20 @@ def extract_main_content(html: str, min_words: int = 8,
     link density (anchor-text chars / text chars). A block is CONTENT
     when it has ≥ ``min_words`` words and link density ≤
     ``max_link_density`` — nav bars, footers and tag clouds are
-    nearly-all link text and fail, article prose passes. ``<a href>``
-    anchors inside kept blocks survive as anchors (same contract as
-    :func:`html_to_text`, so the offset-link extraction downstream is
-    unchanged). If NO block qualifies (tiny page), all blocks are
-    kept — density filtering needs a signal to act on.
+    nearly-all link text and fail, article prose passes. Block FUSION
+    (the boilerpipe heuristic, r10 — measured +4pt recall on the
+    labeled eval, BOILERPLATE_EVAL.json): a short low-link-density
+    block ADJACENT to a content block is pulled in too, transitively —
+    headings and content list items are short blocks surrounded by the
+    prose they belong to, while nav/footer/tag-cloud neighbors stay
+    excluded by their link density. ``<a href>`` anchors inside kept
+    blocks survive as anchors (same contract as :func:`html_to_text`,
+    so the offset-link extraction downstream is unchanged). If NO
+    block qualifies (tiny page), all blocks are kept — density
+    filtering needs a signal to act on.
     """
     html = _SCRIPT_RE.sub(" ", _COMMENT_RE.sub(" ", html))
-    kept, fallback = [], []
+    blocks = []  # (anchored, qualifies, fusable)
     for blk in _BLOCK_SPLIT_RE.split(html):
         plain = _WS_RE.sub(" ", _TAG_RE.sub(" ", blk)).strip()
         if not plain:
@@ -68,10 +74,21 @@ def extract_main_content(html: str, min_words: int = 8,
             blk,
         )
         anchored = _WS_RE.sub(" ", _TAG_RE.sub(" ", prot)).strip()
-        fallback.append(anchored)
-        if len(plain.split()) >= min_words and density <= max_link_density:
-            kept.append(anchored)
-    out = " ".join(kept if kept else fallback)
+        qualifies = len(plain.split()) >= min_words and density <= max_link_density
+        blocks.append([anchored, qualifies, density <= max_link_density])
+    if any(q for _, q, _ in blocks):
+        # transitive fusion: sweep forward then backward so a chain of
+        # short low-density blocks (a content <ul>'s items) all join
+        for i in range(1, len(blocks)):
+            if blocks[i][2] and blocks[i - 1][1]:
+                blocks[i][1] = True
+        for i in range(len(blocks) - 2, -1, -1):
+            if blocks[i][2] and blocks[i + 1][1]:
+                blocks[i][1] = True
+        kept = [a for a, q, _ in blocks if q]
+    else:
+        kept = [a for a, _, _ in blocks]
+    out = " ".join(kept)
     out = out.replace("\x01", '<a href="').replace("\x02", '">').replace("\x03", "</a>")
     return _WS_RE.sub(" ", out).strip()
 
