@@ -216,6 +216,8 @@ def main() -> None:
         "contamination_summary",
         "dedup_rate_by_source",
         "lsh_recall_probe",
+        "minhash_band_tuning",
+        "tokenizer_fertility",
         "ann_recall_report",
         "ccnet_buckets",
         "hard_negatives",

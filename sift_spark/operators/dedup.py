@@ -1297,3 +1297,47 @@ def lsh_recall_probe(docs: DataFrame, n: int = 3, threshold: float = 0.8,
             .alias("recall"),
         )
     )
+
+
+def minhash_band_tuning(spark, k: int | None = None,
+                        threshold: float = 0.8,
+                        low: float | None = None) -> DataFrame:
+    """S-curve design table for MinHash-LSH banding: for every (bands,
+    rows_per_band) factorization of the ``k``-permutation signature,
+    the collision probability 1−(1−s^r)^b at the dedup threshold, at a
+    ``low`` similarity (spurious-candidate rate), the curve midpoint
+    s₅₀ = (1−0.5^(1/b))^(1/r), and the false-negative rate at the
+    threshold. One row per factorization:
+    (bands, rows_per_band, collide_at_threshold, collide_at_low,
+    s_curve_midpoint, fn_at_threshold).
+
+    The companion DESIGN tool to :func:`lsh_recall_probe`'s measured
+    audit (Leskovec/Rajaraman/Ullman ch.3 banding analysis): the probe
+    tells you what recall the deployed banding ACHIEVED; this table
+    tells you what any banding WOULD give before you spend a corpus
+    pass. Pure analytic math over a ≤d(k)-row literal frame — no scan,
+    no shuffle; ``low`` defaults to threshold/2.
+    """
+    from sift_spark.functions.core import MINHASH_K
+
+    k = k or MINHASH_K
+    factorizations = [(b, k // b) for b in range(1, k + 1) if k % b == 0]
+    df = spark.createDataFrame(factorizations, "bands int, rows_per_band int")
+    lo = threshold / 2 if low is None else low
+
+    def collide(s: float):
+        return 1 - F.pow(
+            1 - F.pow(F.lit(float(s)), F.col("rows_per_band")), F.col("bands")
+        )
+
+    midpoint = F.pow(
+        1 - F.pow(F.lit(0.5), 1.0 / F.col("bands")), 1.0 / F.col("rows_per_band")
+    )
+    return df.select(
+        "bands",
+        "rows_per_band",
+        F.round(collide(threshold), 6).alias("collide_at_threshold"),
+        F.round(collide(lo), 6).alias("collide_at_low"),
+        F.round(midpoint, 6).alias("s_curve_midpoint"),
+        F.round(1 - collide(threshold), 6).alias("fn_at_threshold"),
+    ).orderBy("bands")

@@ -1953,3 +1953,38 @@ def contamination_summary(docs: DataFrame, benchmark: DataFrame, n: int = 3,
             ).alias("clean_rate"),
         )
     )
+
+
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Per-language subword fertility report — the tokenizer-sizing
+    gate a multilingual training pipeline reads before fixing a vocab:
+    (lang, n_docs, total_words, total_subwords, fertility,
+    chars_per_subword), fertility = subwords per whitespace word
+    (≈1 for well-covered languages, inflating for scripts the subword
+    inventory covers poorly) and chars_per_subword = the compression
+    rate. Subwords use :func:`token_stats`'s deterministic
+    ceil(len/4) estimate, so the report is oracle-hashable (the
+    BPE-trained fertility is the [r]-row variant via bpe_encode).
+
+    Shape: composes the token_stats map-side array kernels (no
+    shuffle) with ONE lang-keyed aggregate (lang cardinality is tiny);
+    the corpus never shuffles. Zero-word/zero-subword languages report
+    NULL ratios explicitly rather than an engine-dependent
+    divide-by-zero.
+    """
+    st = token_stats(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    words = F.sum("n_tokens")
+    subwords = F.sum("n_subwords")
+    return (
+        st.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            words.cast("long").alias("total_words"),
+            subwords.cast("long").alias("total_subwords"),
+            F.when(words > 0, F.round(subwords / words, 6)).alias("fertility"),
+            F.when(subwords > 0, F.round(F.sum("n_chars") / subwords, 6)).alias(
+                "chars_per_subword"
+            ),
+        )
+        .orderBy("lang")
+    )

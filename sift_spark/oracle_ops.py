@@ -2110,3 +2110,44 @@ SELECT vec_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= {k}
 
 
 ORACLE_OPS["ivfpq_query_index"] = _ivfpq_query_index_oracle()
+
+
+def _band_tuning_oracle(k: int = 16, threshold: float = 0.8) -> str:
+    """Twin of dedup.minhash_band_tuning: same factorization list as
+    VALUES, and the SAME expression TREE (1 − (1 − (1−t^r)^b)) for
+    fn — algebraically pow(...) alone, but floating-point 1−(1−x) can
+    differ from x in the last ulp, so both engines compute the
+    identical shape before the 6dp edge round."""
+    lo = threshold / 2
+    vals = ", ".join(f"({b}, {k // b})" for b in range(1, k + 1) if k % b == 0)
+    collide = "(1 - pow(1 - pow({s}, rows_per_band), bands))"
+    ct = collide.format(s=threshold)
+    cl = collide.format(s=lo)
+    return f"""
+WITH br(bands, rows_per_band) AS (VALUES {vals})
+SELECT bands, rows_per_band,
+       round({ct}, 6) AS collide_at_threshold,
+       round({cl}, 6) AS collide_at_low,
+       round(pow(1 - pow(0.5, 1.0 / bands), 1.0 / rows_per_band), 6)
+         AS s_curve_midpoint,
+       round(1 - {ct}, 6) AS fn_at_threshold
+FROM br ORDER BY bands
+"""
+
+
+ORACLE_OPS["minhash_band_tuning"] = _band_tuning_oracle()
+
+ORACLE_OPS["tokenizer_fertility"] = f"""
+WITH ts AS ({ORACLE_OPS["token_stats"]})
+SELECT d.lang, count(*) AS n_docs,
+       CAST(sum(ts.n_tokens) AS BIGINT) AS total_words,
+       CAST(sum(ts.n_subwords) AS BIGINT) AS total_subwords,
+       CASE WHEN sum(ts.n_tokens) > 0
+            THEN round(sum(ts.n_subwords) * 1.0 / sum(ts.n_tokens), 6) END
+         AS fertility,
+       CASE WHEN sum(ts.n_subwords) > 0
+            THEN round(sum(ts.n_chars) * 1.0 / sum(ts.n_subwords), 6) END
+         AS chars_per_subword
+FROM ts JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""

@@ -1647,6 +1647,18 @@ def q_shard_skew_report(spark, sf_dir):
     return shard_skew_report(sized, n_shards=8)
 
 
+def q_minhash_band_tuning(spark, sf_dir):
+    from sift_spark.operators.dedup import minhash_band_tuning
+
+    return minhash_band_tuning(spark)
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    from sift_spark.operators.text_analysis import tokenizer_fertility
+
+    return tokenizer_fertility(_docs_tokenized(spark, sf_dir))
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r10 rotation (VERDICT r9 #4): the driver samples the FIRST
     # 50 entries at sf0.01. Union of rounds 1-9 driver records already
@@ -1656,6 +1668,9 @@ QUERIES: dict[str, QueryFn] = {
     # repeat coverage accrues evenly. The r9 front block (serving
     # gates, dedup family, trainers — all r9-green) slides behind it;
     # relative order below the fold is unchanged.
+    # r10 additions, never driver-checked — front of the line
+    "minhash_band_tuning": q_minhash_band_tuning,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "block_dedup": q_block_dedup,
     "gopher_rules": q_gopher_rules,
     "gopher_repetition": q_gopher_repetition,
