@@ -61,11 +61,14 @@ _SENT_LINK = re.compile("\x01([^\x01\x02\x03]*)\x02([^\x01\x02\x03]*)\x03", re.D
 # an open+target orphaned by nested links (its display swallowed an
 # inner link): drop the target text with the markers, keep the display
 _SENT_ORPHAN_OPEN = re.compile("\x01[^\x01\x02\x03]*\x02", re.DOTALL)
-# stray unterminated "<a " the tag stripper could not consume (no
-# closing ">" exists after it) — drop the "<" run so it cannot read as
-# an anchor open once real anchors are emitted around it ("<+" so
-# "<<a " cannot re-expose a new "<a " after one removal)
-_STRAY_ANCHOR_OPEN = re.compile(r"<+(?=a\s)")
+# stray unterminated "<a href…" the tag stripper could not consume
+# (no closing ">" exists after it) — drop the "<" run so it cannot
+# read as an anchor open once real anchors are emitted around it
+# ("<+" so "<<a href" cannot re-expose a new open after one removal).
+# Requires the href attribute so ordinary prose like "x <a threshold"
+# survives: the emitted-anchor parser only ever matches '<a href="',
+# so an attribute-less "<a " can never spoof a mention (r10 advice).
+_STRAY_ANCHOR_OPEN = re.compile(r"<+(?=a\s+href)")
 
 
 def _href_escape(s: str) -> str:

@@ -1263,7 +1263,11 @@ def lsh_recall_probe(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     family as the sampling operators, layout-invariant), shrinking the
     exact side ~s² while recall over the slice's pairs estimates
     corpus recall (band collisions are i.i.d. per pair). Default 1 =
-    full audit, pinned by the registered oracle query.
+    full audit, pinned by the registered oracle query. When sampling,
+    a caller-provided ``sh`` is DISCARDED and shingles recompute from
+    the sliced docs — the artifact covers the full corpus, so reusing
+    it would silently un-sample the audit; pre-slice your own artifact
+    on the same hash bucket if you need to amortize it (r10 advice).
     """
     if sample_mod > 1:
         from sift_spark.operators.sampling import hash_bucket

@@ -763,12 +763,22 @@ def rfm_segments(orders: DataFrame, n_tiles: int = 4, approx: bool | None = None
       shuffle of the data) estimates the customer cardinality; above
       ``spark.sift.quantile.exactRowLimit`` (default 10M — well inside
       one executor's window budget) the approx path is selected. Both
-      sides are forced in tests via the conf."""
+      sides are forced in tests via the conf.
+
+      NOTE (r11, advice): auto mode runs that estimate EAGERLY — one
+      Spark job fires at DataFrame-construction time, unlike the two
+      pinned modes which stay fully lazy. And because the HLL estimate
+      carries ~5% rsd, the gate compares against ``0.9 × limit``
+      (hysteresis toward the approx side): a corpus whose true
+      cardinality sits within the estimator's error band of the limit
+      picks the scale-safe path deterministically instead of flipping
+      between plans across runs. Callers who need a specific plan pin
+      ``approx=`` explicitly — every registered query does."""
     if approx is None:
         est = orders.agg(
             F.approx_count_distinct("o_custkey").alias("n")
         ).collect()[0]["n"]
-        approx = est > quantile_exact_limit(orders.sparkSession)
+        approx = est > 0.9 * quantile_exact_limit(orders.sparkSession)
     per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.max(F.to_date("o_orderdate")).alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),

@@ -2112,7 +2112,7 @@ SELECT vec_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= {k}
 ORACLE_OPS["ivfpq_query_index"] = _ivfpq_query_index_oracle()
 
 
-def _band_tuning_oracle(k: int = 16, threshold: float = 0.8) -> str:
+def _band_tuning_oracle(k: int = MINHASH_K, threshold: float = 0.8) -> str:
     """Twin of dedup.minhash_band_tuning: same factorization list as
     VALUES, and the SAME expression TREE (1 − (1 − (1−t^r)^b)) for
     fn — algebraically pow(...) alone, but floating-point 1−(1−x) can
@@ -2150,4 +2150,88 @@ SELECT d.lang, count(*) AS n_docs,
          AS chars_per_subword
 FROM ts JOIN documents d USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+# --- multimodal twins (r11, VERDICT r10 "what's wrong" #5) -------------------
+# The synth payloads are a closed form of doc_id (multimodal.py
+# SYNTH_* constants, imported so the twin can't drift), so DuckDB can
+# regenerate every expected PIXEL with generate_series and demand
+# EXACT integer checksum equality against what Spark actually
+# inflated from the zlib SRAW/SVID payloads. Integer sums (not 6dp
+# floats) — no cross-engine rounding-tie hazard; the position weight
+# in the frame twin catches pixel permutations a plain sum would miss.
+from sift_spark.operators.multimodal import (  # noqa: E402
+    SYNTH_C_MUL,
+    SYNTH_DID_MUL,
+    SYNTH_FRAME_STEP,
+    SYNTH_N_FRAMES,
+    SYNTH_X_MUL,
+    SYNTH_Y_MUL,
+)
+
+_MM_PX = f"""mmpx AS (
+  SELECT d.doc_id AS media_id, y.y AS y, x.x AS x, c.c AS c,
+         (d.doc_id * {SYNTH_DID_MUL} + y.y * {SYNTH_Y_MUL}
+          + x.x * {SYNTH_X_MUL} + c.c * {SYNTH_C_MUL}) % 256 AS pv
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 15)) AS y) y,
+       (SELECT unnest(generate_series(0, 15)) AS x) x,
+       (SELECT unnest(generate_series(0, 2)) AS c) c
+)"""
+
+ORACLE_OPS["multimodal_features"] = f"""
+WITH {_MM_PX}
+SELECT media_id, 'image' AS kind, 16 AS width, 16 AS height, 3 AS channels,
+       CAST(sum(pv) AS BIGINT) AS px_sum,
+       CAST(sum(pv * pv) AS BIGINT) AS px_sumsq
+FROM mmpx GROUP BY media_id
+"""
+
+ORACLE_OPS["multimodal_frame_stats"] = f"""
+WITH {_MM_PX},
+fpx AS (
+  SELECT media_id, f.f AS frame_idx,
+         (pv + {SYNTH_FRAME_STEP} * f.f) % 256 AS fv,
+         (y * 16 + x) * 3 + c + 1 AS wgt
+  FROM mmpx, (SELECT unnest(generate_series(0, {SYNTH_N_FRAMES - 1})) AS f) f
+),
+pmf AS (
+  SELECT media_id, frame_idx, sum(fv) AS ps, sum(fv * wgt) AS pw
+  FROM fpx GROUP BY media_id, frame_idx
+)
+SELECT CAST(frame_idx AS INT) AS frame_idx, count(*) AS n_frames,
+       CAST(sum(ps) AS BIGINT) AS px_sum_total,
+       CAST(sum(pw) AS BIGINT) AS px_wsum_total
+FROM pmf GROUP BY frame_idx
+"""
+
+# Independent SQL re-implementation of the 2x2 area-mean resize,
+# INCLUDING numpy's round-half-to-even tie rule: block sum s of 4
+# uint8s → mean s/4 → ties (s%4 == 2) round toward the even quotient.
+ORACLE_OPS["multimodal_resize_checksums"] = f"""
+WITH blk AS (
+  SELECT d.doc_id AS media_id, y2.y2 AS y2, x2.x2 AS x2, c.c AS c,
+         sum((d.doc_id * {SYNTH_DID_MUL} + (2 * y2.y2 + dy.dy) * {SYNTH_Y_MUL}
+              + (2 * x2.x2 + dx.dx) * {SYNTH_X_MUL}
+              + c.c * {SYNTH_C_MUL}) % 256) AS s
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 7)) AS y2) y2,
+       (SELECT unnest(generate_series(0, 7)) AS x2) x2,
+       (SELECT unnest(generate_series(0, 2)) AS c) c,
+       (SELECT unnest(generate_series(0, 1)) AS dy) dy,
+       (SELECT unnest(generate_series(0, 1)) AS dx) dx
+  GROUP BY d.doc_id, y2.y2, x2.x2, c.c
+),
+rp AS (
+  SELECT media_id,
+         (s // 4) + (CASE WHEN s % 4 = 3 THEN 1
+                          WHEN s % 4 = 2 AND (s // 4) % 2 = 1 THEN 1
+                          ELSE 0 END) AS v2
+  FROM blk
+)
+SELECT media_id, 8 AS width, 8 AS height, 3 AS channels,
+       CAST(sum(v2) AS BIGINT) AS px_sum,
+       CAST(sum(v2 * v2) AS BIGINT) AS px_sumsq
+FROM rp GROUP BY media_id
 """

@@ -493,6 +493,64 @@ def test_ccnet_auto_gate_selects_by_size(spark):
             spark.conf.set(QUANTILE_EXACT_LIMIT_CONF, old)
 
 
+def test_profile_auto_gate_and_approx_tolerance(spark):
+    """column_profile's distinct-count gate (VERDICT r10 #1): the
+    approx path must plan WITHOUT an Expand (the exact multi-DISTINCT
+    plan replicates the input once per column), the auto gate must
+    flip on spark.sift.quantile.exactRowLimit, and the HLL distincts
+    must land within ~3×rsd of exact on every column."""
+    from tests.conftest import SF_SMOKE
+    from sift_spark.io import table
+    from sift_spark.operators.scale import QUANTILE_EXACT_LIMIT_CONF
+    from sift_spark.operators.validation import column_profile
+
+    cust = table(spark, SF_SMOKE, "customer")
+    numeric = ("c_acctbal",)
+
+    exact_plan = (
+        column_profile(cust, numeric, approx=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan, "exact multi-DISTINCT should plan an Expand"
+    approx_plan = (
+        column_profile(cust, numeric, approx=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in approx_plan, "HLL path must be Expand-free"
+
+    old = spark.conf.get(QUANTILE_EXACT_LIMIT_CONF, None)
+    try:
+        spark.conf.set(QUANTILE_EXACT_LIMIT_CONF, "0")  # force approx
+        plan = (
+            column_profile(cust, numeric)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Expand" not in plan, "limit=0 must auto-select the HLL path"
+        spark.conf.set(QUANTILE_EXACT_LIMIT_CONF, str(10**12))  # force exact
+        plan = (
+            column_profile(cust, numeric)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Expand" in plan, "huge limit must auto-select the exact path"
+    finally:
+        if old is None:
+            spark.conf.unset(QUANTILE_EXACT_LIMIT_CONF)
+        else:
+            spark.conf.set(QUANTILE_EXACT_LIMIT_CONF, old)
+
+    exact = {r["column"]: r for r in column_profile(cust, numeric, approx=False).collect()}
+    approx = {r["column"]: r for r in column_profile(cust, numeric, approx=True).collect()}
+    assert set(exact) == set(approx)
+    for c, er in exact.items():
+        ar = approx[c]
+        # nulls / rows / numeric stats are agg-identical on both paths
+        assert (ar["n_rows"], ar["n_nulls"]) == (er["n_rows"], er["n_nulls"])
+        assert ar["mean_v"] == er["mean_v"]
+        if er["n_distinct"]:
+            rel = abs(ar["n_distinct"] - er["n_distinct"]) / er["n_distinct"]
+            assert rel <= 0.15, f"{c}: HLL off by {rel:.1%} (>3×rsd)"
+
+
 def test_rfm_approx_matches_exact_within_one_tile(spark):
     """The approx-percentile scale path must agree with exact ntile up
     to quantile-boundary epsilon (≤1 tile per metric) and must not plan

@@ -41,9 +41,9 @@ def test_all_queries_have_oracle_or_are_declared():
     # queries without oracle must be the explicitly-declared [r] set
     declared_rows_only = {
         "skipgram_embeddings",
-        # binary codec work (zlib SRAW/SVID decode) — not SQL-expressible
-        "multimodal_features",
-        "multimodal_frame_stats",
+        # (r11: the multimodal family moved OUT of this set — synth
+        # payloads are a closed form of doc_id, so generate_series
+        # twins verify the decode/resize/frame kernels hash-exactly)
         # iterative driver-argmax loop; verified vs a Python reference
         "bpe_train",
         # applies bpe_train's merge table (driver-resident fold chain);

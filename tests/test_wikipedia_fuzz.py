@@ -54,7 +54,11 @@ def markup_soup(draw):
 def test_markup_pipeline_never_crashes_and_offsets_consistent(soup):
     anchored = wiki_to_anchored_text("en.wikipedia.org/wiki/Fuzz", soup)
     plain, links = extract_anchored_links(anchored)
-    assert "<a " not in plain  # every anchor consumed
+    # The anchor parser only ever matches '<a href="…">', so THAT is
+    # the spoofable token; a bare "<a " in prose ("x <a threshold") is
+    # inert and must SURVIVE into plain text (r10 advice — the old
+    # blanket '"<a " not in plain' invariant was deleting user prose).
+    assert "<a href" not in plain  # every parseable anchor consumed
     for _target, start, stop in links:
         assert 0 <= start <= stop <= len(plain)
 
@@ -118,3 +122,14 @@ def test_offsets_roundtrip_for_wellformed_anchors(pairs, tail):
     assert len(links) == len(expect)
     for (_t, s, e), want in zip(links, expect):
         assert plain[s:e] == want
+
+
+def test_prose_less_than_a_survives():
+    """r10 advice regression: ordinary prose containing "<a " (a
+    comparison, not markup) must survive markup stripping verbatim —
+    only the spoofable "<a href" opens get consumed."""
+    plain, links = extract_anchored_links(
+        wiki_to_anchored_text("en.wikipedia.org/wiki/Fuzz", "x <a threshold and b<a c")
+    )
+    assert plain == "x <a threshold and b<a c"
+    assert links == []
