@@ -108,6 +108,22 @@ def _long_comment(rng) -> str:
     return f"<div class='comment'>{_sentence(rng, BOILER_WORDS + CONTENT_WORDS, 12, 25)}</div>"
 
 
+def _stealth_banner(rng) -> str:
+    # cookie banner with NO class hint — only the lexical filter can
+    # see it (stress section; partially caught by design)
+    return ("<div>we use cookie technology to improve your experience "
+            "and measure audience this website stores settings "
+            f"{_sentence(rng, BOILER_WORDS, 10, 18)} accept or manage preferences</div>")
+
+
+def _stealth_comment(rng) -> str:
+    # prose-shaped comment with NO class hint: indistinguishable from
+    # content without rendering context — the DOCUMENTED residual
+    # failure mode (kept in the stress section so the eval stays
+    # honest about what the extractor cannot do)
+    return f"<div>{_sentence(rng, BOILER_WORDS + CONTENT_WORDS, 12, 25)}</div>"
+
+
 def _content_heading(rng, gold: Counter) -> str:
     s = _sentence(rng, CONTENT_WORDS, 2, 5)  # short: below min_words
     gold.update(_WORD_RE.findall(s))
@@ -172,6 +188,14 @@ def make_page(rng: random.Random, archetype: str):
         for _ in range(rng.randint(3, 8)):
             parts += [b(_long_comment(rng))]
         parts += [b(_footer(rng))]
+    elif archetype == "stealth":
+        # stress: boilerplate with NO class/id hints at all
+        parts += [b(_nav(rng)), b(_stealth_banner(rng))]
+        parts += [_content_heading(rng, gold)]
+        parts += [_content_para(rng, gold) for _ in range(rng.randint(3, 6))]
+        for _ in range(rng.randint(2, 4)):
+            parts += [b(_stealth_comment(rng))]
+        parts += [b(_footer(rng))]
     parts.append("</body></html>")
     return "".join(parts), gold, boiler
 
@@ -205,6 +229,15 @@ def main() -> None:
             "f1": round(sum(t[2] for t in triples) / n, 4),
         }
 
+    # stress pages (SEPARATE from the headline aggregate, so the r10→
+    # r11 comparison stays apples-to-apples): boilerplate with no
+    # class/id hints — documents what the extractor still cannot do
+    stress_rows = []
+    for _ in range(12):
+        html, gold, boiler = make_page(rng, "stealth")
+        pred = Counter(_WORD_RE.findall(re.sub(r"<[^>]*>", " ", extract_main_content(html)).lower()))
+        stress_rows.append(("stealth", score(pred, gold), score(gold + boiler, gold)))
+
     result = {
         "n_pages": len(rows),
         "extractor": agg([r[1] for r in rows]),
@@ -213,6 +246,14 @@ def main() -> None:
             a: {"extractor": agg([r[1] for r in v]), "fulltext": agg([r[2] for r in v]),
                 "n": len(v)}
             for a, v in sorted(per_arch.items())
+        },
+        "stress_no_class_hints": {
+            "extractor": agg([r[1] for r in stress_rows]),
+            "fulltext": agg([r[2] for r in stress_rows]),
+            "n": len(stress_rows),
+            "note": "unclassed cookie banner (lexical filter partially catches) "
+                    "+ unclassed prose comments (indistinguishable from content "
+                    "without rendering context — the documented residual failure mode)",
         },
     }
     with open(os.path.join(REPO, "BOILERPLATE_EVAL.json"), "w") as fh:
