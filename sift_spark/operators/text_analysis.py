@@ -1033,7 +1033,12 @@ def gopher_rules(docs: DataFrame, min_words: int = 50, max_words: int = 100_000,
     fuses with, which is exactly what a 100 TB rule-filter pass must
     be. All ratios are k/n integer divisions rounded at 6dp, so the
     DuckDB oracle agrees bit-for-bit."""
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+    from sift_spark.models.text import tokens_col
+
+    # artifact-aware (r11): reuses the session token artifact when the
+    # caller passes it (the composed pipeline does) — identical values
+    # either way, tokens() is the fallback
+    toks = docs.select("doc_id", tokens_col(docs).alias("toks")).where(
         F.size("toks") > 0
     )
     n = F.size("toks")

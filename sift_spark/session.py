@@ -45,7 +45,12 @@ def shuffle_partitions_for(data_dir: str, cpus: int | None = None) -> int:
     return int(max(8, min(cpus, total // (4 * 1024 * 1024))))
 
 
-def get_spark(app_name: str = "sift_spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(app_name: str = "sift_spark", shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """``extra_conf`` overlays builder configs LAST (so a caller can
+    re-enable the UI for REST stage-metrics accounting, point the
+    warehouse elsewhere, etc.). Builder-time only: ``getOrCreate`` on
+    an already-live session ignores it, like any Spark config."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     if shuffle_partitions is None:
         shuffle_partitions = cpus
@@ -88,6 +93,8 @@ def get_spark(app_name: str = "sift_spark", shuffle_partitions: int | None = Non
         # erroring — operators type-detect via epoch_seconds()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if not master.startswith("local["):
