@@ -47,7 +47,8 @@ def entity_name_counts(links: DataFrame, lowercase: bool = False, prefix: str | 
     )
 
 
-def name_part_counts(links: DataFrame, docs_tokens: DataFrame, max_ngram: int = 2) -> DataFrame:
+def name_part_counts(links: DataFrame, docs_tokens: DataFrame, max_ngram: int = 2,
+                     tf: DataFrame | None = None) -> DataFrame:
     """Span-position counts for anchor ngrams (reference links.py:79
     ``NamePartCounts``): 'B'egin/'E'nd/'I'nside counts from anchors,
     'O'utside counts from corpus ngrams with count > 1; keep terms
@@ -55,6 +56,16 @@ def name_part_counts(links: DataFrame, docs_tokens: DataFrame, max_ngram: int = 
 
     ``docs_tokens`` is the full token table (pos-exploded documents).
     Output flat: (term, spantype, count).
+
+    ``tf`` (r11, the sf1 profile fix): the session's (doc_id, term,
+    tf) posting artifact. The 'O' branch is a plain corpus term count
+    — per-term ``sum(tf)`` over the artifact is identical to counting
+    the exploded token table (A/B-verified equal hashes), but shuffles
+    the tf-sized table (distinct doc×term pairs) instead of the
+    token-sized explode, and skips the whole explode scan when the
+    artifact is already materialized for the tf-idf family. Callers
+    must pass a tf derived from the SAME corpus as ``docs_tokens``
+    (the registered query passes both from one artifact chain).
     """
     from sift_spark.models.text import _ngrams_n
 
@@ -102,13 +113,21 @@ def name_part_counts(links: DataFrame, docs_tokens: DataFrame, max_ngram: int = 
         ).alias("e")
     ).select(F.col("e.term").alias("term"), F.col("e.spantype").alias("spantype"))
     bie = all_parts.groupBy("term", "spantype").agg(F.count(F.lit(1)).alias("count"))
-    outside = (
-        docs_tokens.select(F.col("anchor").alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("count"))
-        .where(F.col("count") > 1)
-        .select("term", F.lit("O").alias("spantype"), "count")
-    )
+    if tf is not None:
+        outside = (
+            tf.groupBy("term")
+            .agg(F.sum("tf").alias("count"))
+            .where(F.col("count") > 1)
+            .select("term", F.lit("O").alias("spantype"), "count")
+        )
+    else:
+        outside = (
+            docs_tokens.select(F.col("anchor").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .where(F.col("count") > 1)
+            .select("term", F.lit("O").alias("spantype"), "count")
+        )
     all_counts = bie.unionByName(outside)
     # keep terms with an O count and at least one other span type
     keeps = (

@@ -191,7 +191,12 @@ def q_name_disambig_baseline(spark, sf_dir):
 
 def q_name_part_counts(spark, sf_dir):
     docs = _docs_tokenized(spark, sf_dir)
-    return L.name_part_counts(wikify_links(docs), token_pos_table(docs), max_ngram=2)
+    # tf artifact feeds the 'O' branch (identical counts, tf-sized
+    # shuffle instead of a token-sized explode — r11 sf1 profile fix)
+    return L.name_part_counts(
+        wikify_links(docs), token_pos_table(docs), max_ngram=2,
+        tf=_docs_tf(spark, sf_dir),
+    )
 
 
 def q_entity_inlinks(spark, sf_dir):
