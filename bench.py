@@ -180,6 +180,7 @@ def main() -> None:
         "cms_heavy_hitters",
         "multimodal_features",
         "multimodal_frame_stats",
+        "multimodal_resize_checksums",
         "duplicate_spans",
         "dedup_jaccard_prefix",
         "events_attribution",
