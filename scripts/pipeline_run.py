@@ -78,11 +78,21 @@ def _session(sf_dir: str):
     return spark
 
 
-def _budget(spark, sf_dir: str) -> int:
-    # ~60% of the raw corpus: the mix stage demonstrably downsamples
+def _params(spark, sf_dir: str) -> dict:
+    """Scale-aware knobs. Budget ≈ 60% of the corpus so the mix stage
+    demonstrably downsamples. The eval slice is FIXED-SIZE (~200
+    docs), like a real benchmark — a corpus-PROPORTIONAL slice at sf5
+    (5k docs over a small synthetic vocabulary) saturates the 3-gram
+    space and the contamination screen rightly drops everything
+    (measured: decontaminated=0 with the 2% slice), which is the
+    screen working, but makes a useless pipeline artifact."""
     from sift_spark.io import table
 
-    return int(table(spark, sf_dir, "documents").count() * 0.6)
+    n = table(spark, sf_dir, "documents").count()
+    return {
+        "temp_budget": int(n * 0.6),
+        "eval_fraction": min(0.02, 200.0 / max(n, 1)),
+    }
 
 
 def run_staged(sf_dir: str, out_dir: str) -> dict:
@@ -94,12 +104,12 @@ def run_staged(sf_dir: str, out_dir: str) -> dict:
 
     spark = _session(sf_dir)
     t0 = time.time()
-    budget = _budget(spark, sf_dir)
+    params = _params(spark, sf_dir)
     before = _metrics_snapshot(spark)
     tc = time.time()
     # construction materializes the shared token/shingle artifacts and
     # the eager MinHash band table — a real cost, attributed here
-    stages = llm_training_pipeline(spark, sf_dir, temp_budget=budget)
+    stages = llm_training_pipeline(spark, sf_dir, **params)
     after = _metrics_snapshot(spark)
     acct = [{"stage": "artifact_build", "rows": None,
              "wall_s": round(time.time() - tc, 2), **_delta(before, after)}]
@@ -124,7 +134,8 @@ def run_staged(sf_dir: str, out_dir: str) -> dict:
             "stages": acct, "manifest": man}
 
 
-def run_composed(sf_dir: str, out_dir: str, share: bool) -> dict:
+def run_composed(sf_dir: str, out_dir: str, share: bool,
+                 persist: bool = True) -> dict:
     from sift_spark.pipeline import (
         llm_training_pipeline,
         shard_manifest,
@@ -132,16 +143,18 @@ def run_composed(sf_dir: str, out_dir: str, share: bool) -> dict:
     )
 
     spark = _session(sf_dir)
-    budget = _budget(spark, sf_dir)
+    params = _params(spark, sf_dir)
     before = _metrics_snapshot(spark)
     t0 = time.time()
-    stages = llm_training_pipeline(spark, sf_dir, temp_budget=budget,
-                                   share_artifacts=share)
+    stages = llm_training_pipeline(spark, sf_dir, share_artifacts=share,
+                                   persist_boundaries=persist, **params)
     write_pipeline_shards(stages, out_dir)
     wall = time.time() - t0
     after = _metrics_snapshot(spark)
     man = shard_manifest(spark, out_dir)
-    return {"variant": "composed" if share else "no_share",
+    variant = "no_share" if not share else (
+        "composed" if persist else "composed_no_persist")
+    return {"variant": variant,
             "total_wall_s": round(wall, 2), **_delta(before, after),
             "manifest": man}
 
@@ -154,7 +167,14 @@ def main() -> None:
         if variant == "staged":
             res = run_staged(sf_dir, out_dir)
         else:
-            res = run_composed(sf_dir, out_dir, share=(variant == "composed"))
+            res = run_composed(
+                sf_dir, out_dir,
+                share=(variant != "no_share"),
+                # no_share keeps boundary persists so it isolates the
+                # ARTIFACT effect; composed_no_persist isolates the
+                # boundary-recompute effect
+                persist=(variant != "composed_no_persist"),
+            )
         print("PIPELINE_RESULT " + json.dumps(res))
         return
 
@@ -165,7 +185,7 @@ def main() -> None:
         out_json = args[args.index("--out") + 1]
 
     results = {}
-    for variant in ("staged", "composed", "no_share"):
+    for variant in ("staged", "composed", "composed_no_persist", "no_share"):
         out_dir = f"/tmp/pipeline_shards_{variant}"
         t0 = time.time()
         proc = subprocess.run(
@@ -185,14 +205,17 @@ def main() -> None:
 
     # the three variants must agree byte-for-byte on the output shards
     m0 = results["staged"]["manifest"]
-    for v in ("composed", "no_share"):
+    for v in ("composed", "composed_no_persist", "no_share"):
         assert results[v]["manifest"] == m0, f"{v} manifest diverges from staged"
 
     record = {
         "sf_dir": sf_dir,
-        "note": "manifests identical across all three variants (asserted); "
-                "wall includes JVM-fresh artifact builds — no cross-variant "
-                "cache warmth",
+        "note": "manifests identical across all variants (asserted); wall "
+                "includes JVM-fresh artifact builds — no cross-variant cache "
+                "warmth. composed = fused single action with lazy boundary "
+                "persists (the production form); composed_no_persist "
+                "measures what boundary recompute costs; no_share measures "
+                "what the token/shingle artifacts buy",
         **results,
     }
     with open(os.path.join(REPO, out_json), "w") as fh:

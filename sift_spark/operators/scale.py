@@ -81,19 +81,46 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
     """Deterministic global shuffle + shard export for training data.
 
     Rows are assigned a pseudorandom-but-deterministic order key
-    (xxhash64 of ``shuffle_col`` + seed), range-partitioned into
-    ``n_shards`` and sorted within each shard — a stable global
-    shuffle of the corpus (same rows + seed → identical shards on any
-    cluster size). Exactly one shuffle; optionally split large shards
-    into bounded files for loader parallelism."""
+    (xxhash64 of ``shuffle_col`` + seed) and bucketed into
+    ``n_shards`` EXPLICIT equal-width ranges of the hash space
+    (shard = high bits of the order key — xxhash64 is uniform, so
+    shards balance without sampling), then sorted within each shard —
+    a stable global shuffle of the corpus: same rows + seed →
+    identical shard CONTENTS on any cluster size or input layout.
+
+    Why explicit buckets and not ``repartitionByRange(__ord)`` (r11):
+    range partitioning picks its boundaries from a SAMPLE of the
+    input, and the sample depends on the upstream partition layout —
+    the composed-pipeline manifest gate caught two runs of the same
+    row set splitting files differently (persisted vs unpersisted
+    upstream); and range-partitioning the BUCKET value is no better
+    (few discrete values make the cumulative-weight walk merge
+    adjacent buckets — observed 3 files for n_shards=4). The only
+    sampling-free layout is ``partitionBy``: shards are written as
+    ``__shard=K/`` directories, the shuffle is a plain hash
+    repartition ON THE SHARD VALUE (each shard lands wholly in one
+    task — a pure function of K, no sampling), and each directory
+    holds exactly one file with the shard's rows in ``__ord`` order.
+    Bucket = leading bits of ``__ord``, so per-shard hash ranges are
+    disjoint and increasing with K. Exactly one shuffle; reading the
+    export back recovers ``__shard`` as a partition column (training
+    loaders get the shard id for free). ``max_records_per_file``
+    splits a large shard's directory into bounded files for loader
+    parallelism."""
+    two63 = F.lit(str(1 << 63)).cast("decimal(38,0)")
+    width = F.lit(str(((1 << 64) + n_shards - 1) // n_shards)).cast("decimal(38,0)")
     keyed = df.withColumn(
         "__ord", F.xxhash64(F.col(shuffle_col).cast("string"), F.lit(seed))
+    ).withColumn(
+        "__shard",
+        F.floor((F.col("__ord").cast("decimal(38,0)") + two63) / width).cast("int"),
     )
     w = (
-        keyed.repartitionByRange(n_shards, "__ord")
-        .sortWithinPartitions("__ord")
+        keyed.repartition(n_shards, "__shard")
+        .sortWithinPartitions("__shard", "__ord")
         .drop("__ord")
         .write.mode("overwrite")
+        .partitionBy("__shard")
     )
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)

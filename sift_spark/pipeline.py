@@ -66,6 +66,7 @@ def llm_training_pipeline(
     n_shards: int = DEFAULTS["n_shards"],
     max_tokens: int = DEFAULTS["max_tokens"],
     share_artifacts: bool = True,
+    persist_boundaries: bool = False,
 ) -> dict[str, DataFrame]:
     """Build the lazy stage graph; returns a dict of stage frames.
 
@@ -81,6 +82,16 @@ def llm_training_pipeline(
       raw, eval_set, train, filtered, deduped, decontaminated,
       mixed, packed, export (packed joined back to text — the frame
       ``write_training_shards`` exports).
+
+    ``persist_boundaries=True`` marks each stage-survivor frame
+    persisted (LAZY — no extra job; the cache fills inside the one
+    export action). Without it the fused graph RECOMPUTES shared
+    stage sub-plans wherever two downstream branches reference the
+    same stage (measured at sf5: 139s fused-cold vs 69s with
+    boundaries materialized — PIPELINE_sf5.json); with it the single
+    action reuses each boundary like the staged run does. Off by
+    default only because a caller who materializes stages themselves
+    (the staged accounting run) would double-persist.
     """
     from sift_spark.io import table
     from sift_spark.operators.dedup import dedup_apply, dedup_exact, minhash_lsh_pairs
@@ -128,6 +139,8 @@ def llm_training_pipeline(
     filtered = train.join(g_keep, "doc_id", "left_semi").join(
         q_keep, "doc_id", "left_semi"
     )
+    if persist_boundaries:
+        filtered = filtered.persist()
 
     # --- stage 2: exact dedup + banded MinHash near-dedup ---------------
     d1 = dedup_exact(filtered)  # keeps the lowest doc_id per distinct text
@@ -139,11 +152,15 @@ def llm_training_pipeline(
         "doc_id",
         "left_semi",
     )
+    if persist_boundaries:
+        deduped = deduped.persist()
 
     # --- stage 3: contamination screen vs the held-out eval set ---------
     cont = contamination_check(deduped, eval_set, sh=_sh(deduped))
     c_keep = cont.where(F.col("contamination") <= contamination_max).select("doc_id")
     decontaminated = deduped.join(c_keep, "doc_id", "left_semi")
+    if persist_boundaries:
+        decontaminated = decontaminated.persist()
 
     # --- stage 4: temperature source mix --------------------------------
     mixed = decontaminated.join(
@@ -153,6 +170,8 @@ def llm_training_pipeline(
         "doc_id",
         "left_semi",
     )
+    if persist_boundaries:
+        mixed = mixed.persist()
 
     # --- stage 5: per-shard greedy packing ------------------------------
     from sift_spark.models.text import tokens_col
@@ -199,12 +218,11 @@ def shard_manifest(spark: SparkSession, path: str) -> list[dict]:
     match, regardless of task scheduling."""
     df = (
         spark.read.parquet(path)
-        # key on the part INDEX, not the filename — part files embed a
-        # per-write UUID, and the manifest must compare across runs
-        .withColumn(
-            "__file",
-            F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1).cast("int"),
-        )
+        # key on the __shard partition column the export layout
+        # recovers — a pure function of the row's hash, stable across
+        # runs (filenames embed per-write UUIDs; part indexes would be
+        # hash-permuted)
+        .withColumn("__file", F.col("__shard").cast("int"))
         .withColumn(
             "__h",
             F.xxhash64(

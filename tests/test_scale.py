@@ -125,9 +125,10 @@ def test_stream_dedup(spark, tmp_path):
 
 
 def test_write_training_shards(spark, tmp_path):
-    """Shards: exact count, no row lost, deterministic order (each
-    shard internally sorted by the hash order key, shard ranges
-    disjoint and increasing with file index)."""
+    """Shards: exact count (one ``__shard=K`` dir per shard, one file
+    each), no row lost, deterministic order (each shard internally
+    sorted by the hash order key, per-shard hash ranges disjoint and
+    increasing with the shard id)."""
     import glob
 
     from sift_spark.operators.scale import write_training_shards
@@ -135,15 +136,18 @@ def test_write_training_shards(spark, tmp_path):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     path = str(tmp_path / "shards")
     write_training_shards(docs, path, n_shards=4)
-    files = sorted(glob.glob(f"{path}/part-*.parquet"))
-    assert len(files) == 4
+    dirs = sorted(glob.glob(f"{path}/__shard=*"),
+                  key=lambda d: int(d.rsplit("=", 1)[1]))
+    assert [int(d.rsplit("=", 1)[1]) for d in dirs] == [0, 1, 2, 3]
+    for d in dirs:
+        assert len(glob.glob(f"{d}/part-*.parquet")) == 1, "one file per shard"
     back = spark.read.parquet(path)
     assert sorted(r.doc_id for r in back.collect()) == sorted(r.doc_id for r in docs.collect())
     prev_max = None
-    for f in files:
+    for d in dirs:
         ords = [
             r.o
-            for r in spark.read.parquet(f)
+            for r in spark.read.parquet(d)
             .select(F.xxhash64(F.col("doc_id").cast("string"), F.lit(42)).alias("o"))
             .collect()
         ]
@@ -152,6 +156,33 @@ def test_write_training_shards(spark, tmp_path):
             assert ords[0] > prev_max, "disjoint increasing shard ranges"
         if ords:
             prev_max = ords[-1]
+
+
+def test_write_training_shards_layout_invariant(spark, tmp_path):
+    """Same rows, different upstream partition layouts → byte-equal
+    per-file row sets. The r11 regression: sampled range boundaries
+    split the same corpus differently depending on the input layout
+    (caught by the composed-pipeline manifest gate); explicit
+    equal-width hash buckets must not."""
+    import glob
+
+    from sift_spark.operators.scale import write_training_shards
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    layouts = {
+        "a": docs.coalesce(1),
+        "b": docs.repartition(7, "lang"),
+    }
+    per_file: dict = {}
+    for name, df in layouts.items():
+        path = str(tmp_path / name)
+        write_training_shards(df, path, n_shards=4)
+        per_file[name] = [
+            sorted(r.doc_id for r in spark.read.parquet(d).collect())
+            for d in sorted(glob.glob(f"{path}/__shard=*"),
+                            key=lambda d: int(d.rsplit("=", 1)[1]))
+        ]
+    assert per_file["a"] == per_file["b"]
 
 
 def test_pii_redact(spark):
