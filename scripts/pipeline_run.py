@@ -90,7 +90,7 @@ def _params(spark, sf_dir: str) -> dict:
 
     n = table(spark, sf_dir, "documents").count()
     return {
-        "temp_budget": int(n * 0.6),
+        "temp_budget": int(n * 0.4),
         "eval_fraction": min(0.02, 200.0 / max(n, 1)),
     }
 

@@ -96,9 +96,9 @@ def llm_training_pipeline(
     from sift_spark.io import table
     from sift_spark.operators.dedup import dedup_apply, dedup_exact, minhash_lsh_pairs
     from sift_spark.operators.sampling import (
+        hash_bucket,
         pack_sequences_sharded,
         temperature_sample,
-        train_test_split,
     )
     from sift_spark.operators.text_analysis import (
         contamination_check,
@@ -107,7 +107,13 @@ def llm_training_pipeline(
     )
 
     raw = table(spark, sf_dir, "documents")
-    train, eval_set = train_test_split(raw, "doc_id", eval_fraction)
+    # ppm-granularity split (same keyed-hash family as
+    # train_test_split, which cuts at PERCENT granularity — too coarse
+    # for the fixed-size eval slice a big corpus wants: 200/250k docs
+    # is 0.08%, which a percent cut rounds to an EMPTY eval set)
+    ppm = F.lit(max(1, round(eval_fraction * 1_000_000)))
+    bucket = hash_bucket(F.col("doc_id"), "split", 1_000_000)
+    train, eval_set = raw.where(bucket >= ppm), raw.where(bucket < ppm)
 
     if share_artifacts:
         from sift_spark.queries import corpus_artifacts
