@@ -87,11 +87,13 @@ def llm_training_pipeline(
     persisted (LAZY — no extra job; the cache fills inside the one
     export action). Without it the fused graph RECOMPUTES shared
     stage sub-plans wherever two downstream branches reference the
-    same stage (measured at sf5: 139s fused-cold vs 69s with
-    boundaries materialized — PIPELINE_sf5.json); with it the single
-    action reuses each boundary like the staged run does. Off by
-    default only because a caller who materializes stages themselves
-    (the staged accounting run) would double-persist.
+    same stage (measured at sf5, fresh JVMs: 31.9s fused-with-
+    persists vs 55.7s without — PIPELINE_sf5.json; the no-artifact
+    variant lands at 56.5s, so boundary persistence and artifact
+    sharing each buy ~40%); with it the single action reuses each
+    boundary like the staged run does. Off by default only because a
+    caller who materializes stages themselves (the staged accounting
+    run) would double-persist.
     """
     from sift_spark.io import table
     from sift_spark.operators.dedup import dedup_apply, dedup_exact, minhash_lsh_pairs
