@@ -735,3 +735,86 @@ def test_windowed_pmi_counts_and_sign(spark):
     assert ("x", "z") not in got  # distance 6 > window
     # attraction beyond independence: PMI(x,y) > 0
     assert got[("x", "y")][1] > 0
+
+
+def test_hard_negatives_ivf_scale_path(spark):
+    """method='ivf' (r11, the 100 TB path): every output row crosses
+    labels, ranks are contiguous top-k on sims, and on the fixture
+    corpus the IVF mining recovers a solid share of the exact miner's
+    neighbor sets (bounded by IVF recall, not exactness)."""
+    from collections import defaultdict
+
+    from sift_spark.io import table
+    from sift_spark.operators.similarity import hard_negatives
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    lab = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+
+    def mine(nprobe):
+        got = defaultdict(list)
+        for r in hard_negatives(emb, k=3, method="ivf", nprobe=nprobe).collect():
+            assert lab[r["vec_id"]] != lab[r["neighbor_id"]]
+            got[r["vec_id"]].append((r["rank"], r["neighbor_id"], r["sim"]))
+        for v, rs in got.items():
+            rs.sort()
+            assert [r[0] for r in rs] == list(range(1, len(rs) + 1))
+            sims = [r[2] for r in rs]
+            assert sims == sorted(sims, reverse=True)
+        return got
+
+    exact = defaultdict(set)
+    for r in hard_negatives(emb, k=3).collect():
+        exact[r["vec_id"]].add(r["neighbor_id"])
+
+    def recall(got):
+        o = [
+            len(exact[v] & {n for _, n, _ in got.get(v, [])}) / max(len(exact[v]), 1)
+            for v in exact
+        ]
+        return sum(o) / len(o)
+
+    r2, r8 = recall(mine(2)), recall(mine(8))
+    # recall is the nprobe knob's job: more probes → strictly better
+    # mining recall, and a wide probe recovers most of the exact sets
+    assert r8 > r2, (r2, r8)
+    assert r8 >= 0.3, f"IVF mining recall collapsed ({r8:.2f})"
+
+
+def test_label_spread_ivf_agrees_with_exact(spark):
+    """On WELL-SEPARATED clusters the IVF kNN graph recovers the
+    exact graph's propagation outcome, including flipping a lone
+    mislabeled vector. Separated data is the right target: on a
+    noisy corpus 2 rounds of hard majority votes are chaotic in the
+    edge set (measured agreement 0.39 on the random-label smoke
+    embeddings for ANY two slightly different graphs), so agreement
+    there tests noise, not the operator. (The IVF path requires
+    EMBED_DIM vectors — the codebook is the deterministic 64-dim
+    constant — so the clusters are built in 64-d, not a 2-d hand
+    graph.)"""
+    from sift_spark.operators.similarity import label_spread
+
+    dim = 64
+    rows = []
+    for i in range(20):  # cluster A along axis 0; vec 3 mislabeled
+        v = [0.0] * dim
+        v[0], v[1] = 1.0, 0.001 * i
+        rows.append((i, v, 1 if i == 3 else 0))
+    for i in range(20, 40):  # cluster B along axis 2
+        v = [0.0] * dim
+        v[2], v[3] = 1.0, 0.001 * i
+        rows.append((i, v, 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    exact = {
+        r["vec_id"]: r["pred_label"]
+        for r in label_spread(emb, k=5, n_rounds=2).collect()
+    }
+    ivf = {
+        r["vec_id"]: r["pred_label"]
+        for r in label_spread(emb, k=5, n_rounds=2, method="ivf",
+                              nprobe=8, n_cells=16).collect()
+    }
+    assert set(ivf) == set(exact)
+    assert ivf == exact, "IVF propagation diverged on separated clusters"
+    assert ivf[3] == 0, "mislabeled vector should adopt its cluster's label"
