@@ -79,7 +79,19 @@ def name_part_counts(links: DataFrame, docs_tokens: DataFrame, max_ngram: int = 
     # (flatten absorbs the single-part B+E double emission), the
     # arrays concat, and a single explode feeds the aggregate — one
     # anchor scan and one shuffle instead of a union of per-n scans.
-    anchors = links.select(F.split(F.col("anchor"), " ").alias("toks"))
+    #
+    # r11 (the sf1 profile found the per-link gram enumeration IS the
+    # floor): enumerate over the DISTINCT anchor texts weighted by
+    # occurrence count — the same distinct-vocab trick the BPE
+    # trainer uses. Anchor text is vocabulary-sized (sublinear in the
+    # corpus), so the gram transform/flatten/explode runs on ~|vocab|
+    # rows instead of every link occurrence, and the aggregate sums
+    # the weights: sum over occurrences of [term in position] ==
+    # sum over distinct anchors of weight·[term in position].
+    # Identical counts by commutativity.
+    anchors = links.groupBy("anchor").agg(F.count(F.lit(1)).alias("w")).select(
+        F.split(F.col("anchor"), " ").alias("toks"), "w"
+    )
     gram_cols = {}
     for n in range(1, max_ngram + 1):
         # materialize the gram array and its length as columns: a
@@ -108,11 +120,12 @@ def name_part_counts(links: DataFrame, docs_tokens: DataFrame, max_ngram: int = 
         )
 
     all_parts = anchors.select(
+        "w",
         F.explode(
             F.concat(*[_entries(g, np_) for g, np_ in gram_cols.values()])
-        ).alias("e")
-    ).select(F.col("e.term").alias("term"), F.col("e.spantype").alias("spantype"))
-    bie = all_parts.groupBy("term", "spantype").agg(F.count(F.lit(1)).alias("count"))
+        ).alias("e"),
+    ).select(F.col("e.term").alias("term"), F.col("e.spantype").alias("spantype"), "w")
+    bie = all_parts.groupBy("term", "spantype").agg(F.sum("w").alias("count"))
     if tf is not None:
         outside = (
             tf.groupBy("term")
@@ -283,6 +296,11 @@ def entity_pagerank(links: DataFrame, damping: float = 0.85, n_iter: int = 5) ->
             "_n",
         )
     )
+    # NOTE (r11 optimization round): hoisting the loop-invariant
+    # edges ⨝ deg join into a persisted (src, dst, deg) table was
+    # A/B-measured and REVERTED — the extra cache materialization cost
+    # more than the saved per-iteration join at every tested SF
+    # (interleaved min: 1.35s HEAD vs 1.48s hoisted at sf0.1).
     for _ in range(n_iter):
         contrib = (
             edges.join(deg, "src")

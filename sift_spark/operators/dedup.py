@@ -977,13 +977,18 @@ def duplicate_spans(docs: DataFrame, l: int = 5) -> DataFrame:
         "pos",
         F.array_join(F.slice("toks", F.col("pos") + 1, F.lit(l)), " ").alias("gram"),
     )
-    dup_grams = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
+    # corpus-wide occurrence count as a gram-partitioned window (r11):
+    # the former groupBy+self-join shuffled the SAME gram-keyed rows
+    # twice and recomputed the explode pass for the join probe side —
+    # the window computes n_occ on the one shuffled copy (identical
+    # partitioning, so no new skew exposure: the join's probe side
+    # shuffled every gram row on the same key).
+    wg = Window.partitionBy("gram")
+    hits = (
+        grams.withColumn("n_occ", F.count(F.lit(1)).over(wg))
         .where(F.col("n_occ") >= 2)
-        .select("gram")
+        .select("doc_id", "pos")
     )
-    hits = grams.join(dup_grams, "gram").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = hits.withColumn(
         "new_island",
@@ -1187,20 +1192,24 @@ def doc_embedding_dup_pairs(docs: DataFrame, threshold: float = 0.9,
 
     ``tf``: optional shared (doc_id, term, tf) posting artifact,
     passed through to the SRP stage (see doc_srp_embeddings)."""
-    from sift_spark.operators.text_analysis import doc_srp_embeddings
+    from sift_spark.operators.text_analysis import _doc_srp_wide
 
-    srp = doc_srp_embeddings(docs, tf=tf)
+    # r11: read the wide per-doc SRP row directly — the long-format
+    # (doc_id, dim, v) round-trip (map-side stack unpivot, then a
+    # doc-keyed collect_list re-assembly) cost one full exchange over
+    # d× the rows for values that were already per-doc columns.
+    # Identical vectors: dims are emitted in index order either way,
+    # and the zero-norm filter is the same sum of squares.
+    d = 16
+    wide = _doc_srp_wide(docs, d=d, tf=tf)
+    norm2 = sum((F.col(f"v{i}") * F.col(f"v{i}") for i in range(1, d)),
+                F.col("v0") * F.col("v0"))
     vec = (
-        srp.groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "v"))),
-                lambda s: s["v"],
-            ).alias("embedding"),
-            F.sum(F.col("v") * F.col("v")).alias("_norm2"),
+        wide.where(norm2 > 0)
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.array(*[F.col(f"v{i}") for i in range(d)]).alias("embedding"),
         )
-        .where(F.col("_norm2") > 0)
-        .select(F.col("doc_id").alias("vec_id"), "embedding")
     )
     return embedding_dup_pairs(vec, threshold=threshold, n_blocks=n_blocks)
 
@@ -1274,11 +1283,34 @@ def lsh_recall_probe(docs: DataFrame, n: int = 3, threshold: float = 0.8,
 
         docs = docs.where(hash_bucket(F.col("doc_id"), "lshprobe", sample_mod) == 0)
         sh = None  # the shared shingle artifact covers the FULL corpus
-    exact = ngram_jaccard_pairs(docs, n, threshold, sh=sh).select("doc1", "doc2")
-    lsh = minhash_lsh_pairs(docs, n=n, threshold=threshold, sh=sh).select(
-        "doc1", "doc2"
+    if sh is None:
+        sh = shingles(docs, n).select("doc_id", "shingle", "h").persist()
+        sh.count()  # materialize: exact join + signature agg race a lazy cache
+    # r11: the LSH side needs NO verify pass of its own — a verified
+    # LSH pair is by definition a band-colliding pair whose exact
+    # jaccard ≥ t, and the exact side already computes jaccard for
+    # EVERY shared-shingle pair (a superset of band collisions, same
+    # formula, same 6dp rounding). So: build only the band-candidate
+    # pair set and intersect it with the exact pair set (semi/anti
+    # join) instead of running minhash_lsh_pairs' whole
+    # _jaccard_verify chain (two more persisted intermediates + three
+    # joins + a second scan family) — identical n_lsh/n_missed at any
+    # scale, one verify instead of two.
+    exact = ngram_jaccard_pairs(docs, n, threshold, sh=sh).select("doc1", "doc2").persist()
+    exact.count()  # materialize: three consumers (count, semi, anti) race
+    bt = _bands_from_signatures(_minhash_from_shingles(sh)).persist()
+    bt.count()  # materialize: the self-join's two input stages race
+    cand = (
+        bt.alias("l")
+        .join(bt.alias("r"), (F.col("l.band") == F.col("r.band")) & (F.col("l.sig") == F.col("r.sig")))
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
+        .distinct()
+        .persist()
     )
-    missed = exact.join(lsh, ["doc1", "doc2"], "left_anti")
+    cand.count()  # materialize: semi + anti consumers race
+    lsh = exact.join(cand, ["doc1", "doc2"], "left_semi")
+    missed = exact.join(cand, ["doc1", "doc2"], "left_anti")
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
     nm = missed.agg(F.count(F.lit(1)).alias("n_missed"))

@@ -414,7 +414,9 @@ def doc_entropy(docs: DataFrame) -> DataFrame:
 
     Two keyed aggregations, both on doc-local keys (doc_id, tok) then
     doc_id — no corpus-wide state, so it scales with the scan."""
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    from sift_spark.models.text import tokens_col
+
+    tok = docs.select("doc_id", F.explode(tokens_col(docs)).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     return tf.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"),
@@ -487,7 +489,9 @@ def bpe_pair_counts(docs: DataFrame, min_count: int = 2) -> DataFrame:
     on the *vocabulary* (distinct tokens), not the corpus — the heavy
     side is the tf aggregate; everything after is vocab-sized. Pairs
     are 2-char substrings (no char-array materialization)."""
-    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    from sift_spark.models.text import tokens_col
+
+    tok = docs.select(F.explode(tokens_col(docs)).alias("tok"))
     tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     prs = tf.where(F.length("tok") >= 2).select(
         "tf",
@@ -816,7 +820,9 @@ def bpe_train(docs: DataFrame, n_merges: int = 10, min_count: int = 2,
     Python in the loop; ``localCheckpoint`` per round keeps plans
     flat (same lesson as ``duplicate_clusters``).
     """
-    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    from sift_spark.models.text import tokens_col
+
+    tok = docs.select(F.explode(tokens_col(docs)).alias("tok"))
     tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
 
     # Fast path: the merge loop needs only the word-frequency DICT,
@@ -956,7 +962,7 @@ def bpe_encode(docs: DataFrame, merges: DataFrame) -> DataFrame:
     Spark's planner decides from stats). The merge table itself is
     driver-resident — that is what a deployed tokenizer is; it is
     bounded by the merge count, not the data."""
-    from sift_spark.models.text import with_tokens
+    from sift_spark.models.text import tokens_col, with_tokens
 
     ranked = [
         (r["left"], r["right"], r["merged"])
@@ -976,7 +982,7 @@ def bpe_encode(docs: DataFrame, merges: DataFrame) -> DataFrame:
             ).otherwise(F.concat(acc, F.array(x))),
         )
 
-    vocab = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    vocab = docs.select(F.explode(tokens_col(docs)).alias("tok")).distinct()
     syms = F.filter(F.split(F.col("tok"), "(?!^)"), lambda s: s != F.lit(""))
     for left, right, merged in ranked:
         syms = _merge_fold(syms, left, right, merged)
@@ -1251,9 +1257,14 @@ def ccnet_buckets(docs: DataFrame, approx: bool | None = None,
 
 
 @guards_tf
-def doc_srp_embeddings(docs: DataFrame, d: int = 16, min_df: int = 2,
-                       tf: DataFrame | None = None) -> DataFrame:
-    """Deterministic document embeddings: signed random projection
+def _doc_srp_wide(docs: DataFrame, d: int = 16, min_df: int = 2,
+                  tf: DataFrame | None = None) -> DataFrame:
+    """Wide-format SRP document vectors (doc_id, v0..v{d-1}) — the
+    computation behind :func:`doc_srp_embeddings`, exposed for vector
+    consumers that want the per-doc row WITHOUT the long-format
+    unpivot/regroup round-trip.
+
+    Deterministic document embeddings: signed random projection
     (Achlioptas 2003 / SimHash-style) of each doc's tf-idf vector into
     ``d`` dims — the classical pre-neural doc representation, and the
     bridge from the text pipeline into the vector one (feeds
@@ -1261,7 +1272,7 @@ def doc_srp_embeddings(docs: DataFrame, d: int = 16, min_df: int = 2,
     synthetic embeddings table). Projection signs come from
     hash31(term:dim), so the "random" matrix is a pure function —
     no stored model, bit-identical on any engine or cluster layout.
-    Output long-format (doc_id, dim, v) with v rounded 6dp.
+    Output wide (doc_id, v0..v{d-1}) with each v rounded 6dp.
 
     Shape: ONE corpus pass — the (doc, term, tf) aggregate — with
     everything vocab-sized derived FROM it: df = per-term row count
@@ -1327,12 +1338,23 @@ def doc_srp_embeddings(docs: DataFrame, d: int = 16, min_df: int = 2,
         (F.col("tf") * F.col("idf")).alias("w"),
         *[f"s{i}" for i in range(d)],
     )
-    wide = joined.groupBy("doc_id").agg(
+    return joined.groupBy("doc_id").agg(
         *[
             F.round(F.sum(F.col("w") * F.col(f"s{i}")), 6).alias(f"v{i}")
             for i in range(d)
         ]
     )
+
+
+def doc_srp_embeddings(docs: DataFrame, d: int = 16, min_df: int = 2,
+                       tf: DataFrame | None = None) -> DataFrame:
+    """Long-format (doc_id, dim, v) SRP embeddings — the registered
+    query contract. See :func:`_doc_srp_wide` for the computation;
+    the unpivot here is map-side (stack). Vector consumers
+    (doc_embedding_dup_pairs) read the wide frame directly instead of
+    regrouping these rows (r11: the unpivot + doc-keyed re-assembly
+    round-trip was a full extra exchange over d× the rows)."""
+    wide = _doc_srp_wide(docs, d, min_df, tf)
     stack = ", ".join(f"{i}, v{i}" for i in range(d))
     return wide.select(
         "doc_id", F.expr(f"stack({d}, {stack}) AS (dim, v)")

@@ -114,6 +114,34 @@ def _docs_tf(spark, sf_dir):
     return df
 
 
+# The verified near-dup pair table at the catalog's standard banding
+# (n=3 shingles, jaccard ≥ 0.8) — the fourth shared artifact (r11):
+# the dedup graph family (clusters, clusters_star, apply,
+# cluster_stats, rate_by_source) each re-ran the IDENTICAL
+# minhash_lsh_pairs build (signature aggregate + band self-join +
+# exact verify) from the shingle artifact. A production dedup
+# pipeline materializes the pair table once and feeds every
+# downstream consumer from it. Registered as the ``dedup_minhash_lsh``
+# query, which bench.py accounts as a COLD artifact line (like the
+# corpus_* lines) so the build cost stays visible.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _docs_pairs(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PAIRS_CACHE.get(key)
+    if df is None:
+        from sift_spark.operators.dedup import minhash_lsh_pairs
+
+        df = minhash_lsh_pairs(
+            _docs(spark, sf_dir), n=3, threshold=0.8,
+            sh=_docs_shingles(spark, sf_dir),
+        ).persist()
+        df.count()  # materialize once; consumers branch from the cache
+        _PAIRS_CACHE[key] = df
+    return df
+
+
 class CorpusArtifacts:
     """Public lifecycle handle for one dataset's shared session
     artifacts (token table, posting/tf table, shingle tables).
@@ -150,7 +178,7 @@ class CorpusArtifacts:
         in any order."""
         app = self._spark.sparkContext.applicationId
         released = 0
-        for cache in (_SHINGLE_CACHE, _TF_CACHE, _TOKENS_CACHE):
+        for cache in (_PAIRS_CACHE, _SHINGLE_CACHE, _TF_CACHE, _TOKENS_CACHE):
             for key in [k for k in cache if k[0] == app and k[1] == self._sf_dir]:
                 cache.pop(key).unpersist()
                 released += 1
@@ -627,30 +655,19 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    from sift_spark.operators.dedup import minhash_lsh_pairs
-
-    return minhash_lsh_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.8, sh=_docs_shingles(spark, sf_dir)
-    )
+    return _docs_pairs(spark, sf_dir)
 
 
 def q_dedup_clusters(spark, sf_dir):
-    from sift_spark.operators.dedup import duplicate_clusters, minhash_lsh_pairs
+    from sift_spark.operators.dedup import duplicate_clusters
 
-    return duplicate_clusters(
-        minhash_lsh_pairs(
-            _docs(spark, sf_dir), n=3, threshold=0.8, sh=_docs_shingles(spark, sf_dir)
-        )
-    )
+    return duplicate_clusters(_docs_pairs(spark, sf_dir))
 
 
 def q_dedup_apply(spark, sf_dir):
-    from sift_spark.operators.dedup import dedup_apply, minhash_lsh_pairs
+    from sift_spark.operators.dedup import dedup_apply
 
-    docs = _docs(spark, sf_dir)
-    return dedup_apply(
-        docs, minhash_lsh_pairs(docs, sh=_docs_shingles(spark, sf_dir))
-    )
+    return dedup_apply(_docs(spark, sf_dir), _docs_pairs(spark, sf_dir))
 
 
 def q_cms_heavy_hitters(spark, sf_dir):
@@ -674,16 +691,9 @@ def q_similar_docs(spark, sf_dir):
 
 
 def q_dedup_clusters_star(spark, sf_dir):
-    from sift_spark.operators.dedup import (
-        duplicate_clusters_star,
-        minhash_lsh_pairs,
-    )
+    from sift_spark.operators.dedup import duplicate_clusters_star
 
-    return duplicate_clusters_star(
-        minhash_lsh_pairs(
-            _docs(spark, sf_dir), n=3, threshold=0.8, sh=_docs_shingles(spark, sf_dir)
-        )
-    )
+    return duplicate_clusters_star(_docs_pairs(spark, sf_dir))
 
 
 def q_dedup_incremental(spark, sf_dir):
@@ -713,7 +723,7 @@ def q_bpe_train(spark, sf_dir):
     # 6 rounds: each round is one Spark job (driver argmax), so the
     # query's wall time is round-count × job latency — 6 keeps it
     # inside the per-query bench/check budget at sf0.1
-    return bpe_train(_docs(spark, sf_dir), n_merges=6)
+    return bpe_train(_docs_tokenized(spark, sf_dir), n_merges=6)
 
 
 def q_semantic_dedup(spark, sf_dir):
@@ -1046,7 +1056,7 @@ def q_train_test_split(spark, sf_dir):
 def q_doc_entropy(spark, sf_dir):
     from sift_spark.operators.text_analysis import doc_entropy
 
-    return doc_entropy(_docs(spark, sf_dir))
+    return doc_entropy(_docs_tokenized(spark, sf_dir))
 
 
 def q_bigram_logprob(spark, sf_dir):
@@ -1058,7 +1068,7 @@ def q_bigram_logprob(spark, sf_dir):
 def q_bpe_pair_counts(spark, sf_dir):
     from sift_spark.operators.text_analysis import bpe_pair_counts
 
-    return bpe_pair_counts(_docs(spark, sf_dir), min_count=2)
+    return bpe_pair_counts(_docs_tokenized(spark, sf_dir), min_count=2)
 
 
 def q_filtered_corpus(spark, sf_dir):
@@ -1223,7 +1233,9 @@ def q_entity_hits(spark, sf_dir):
 def q_bpe_encode(spark, sf_dir):
     from sift_spark.operators.text_analysis import bpe_encode, bpe_train
 
-    docs = _docs(spark, sf_dir)
+    # token artifact feeds all three corpus passes (train tf, encode
+    # vocab, posting explode) — zero re-tokenization (r11)
+    docs = _docs_tokenized(spark, sf_dir)
     return bpe_encode(docs, bpe_train(docs, n_merges=10, min_count=2))
 
 
@@ -1286,11 +1298,9 @@ def q_events_forecast(spark, sf_dir):
 
 
 def q_dedup_cluster_stats(spark, sf_dir):
-    from sift_spark.operators.dedup import duplicate_cluster_stats, minhash_lsh_pairs
+    from sift_spark.operators.dedup import duplicate_cluster_stats
 
-    return duplicate_cluster_stats(
-        minhash_lsh_pairs(_docs(spark, sf_dir), sh=_docs_shingles(spark, sf_dir))
-    )
+    return duplicate_cluster_stats(_docs_pairs(spark, sf_dir))
 
 
 def q_user_type_entropy(spark, sf_dir):
@@ -1644,13 +1654,9 @@ def q_lsh_recall_probe(spark, sf_dir):
 
 
 def q_dedup_rate_by_source(spark, sf_dir):
-    from sift_spark.operators.dedup import dedup_rate_by_source, minhash_lsh_pairs
+    from sift_spark.operators.dedup import dedup_rate_by_source
 
-    docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_pairs(
-        docs, n=3, threshold=0.8, sh=_docs_shingles(spark, sf_dir)
-    )
-    return dedup_rate_by_source(docs, pairs)
+    return dedup_rate_by_source(_docs(spark, sf_dir), _docs_pairs(spark, sf_dir))
 
 
 def q_contamination_summary(spark, sf_dir):

@@ -329,17 +329,20 @@ def test_url_canonical_all_builtin_expressions(spark):
 
 
 def test_duplicate_spans_single_gram_shuffle(spark):
-    """duplicate_spans: the only wide exchanges are the gram-count
-    aggregate + gram re-join and the per-doc window — no cartesian
-    anything, and the gram aggregate must have a map-side partial
-    (count splits into partial_count/merge_count)."""
+    """duplicate_spans (r11 shape): exactly TWO wide exchanges — the
+    gram-partitioned occurrence-count window and the per-doc islands
+    window — no cartesian anything, and a single explode pass (the
+    former groupBy+re-join shuffled the gram rows twice and ran the
+    explode subtree twice; the span aggregate must reuse the doc_id
+    partitioning rather than add a third exchange)."""
     from sift_spark.operators.dedup import duplicate_spans
     from sift_spark.io import table
 
     df = duplicate_spans(table(spark, SF_SMOKE, "documents"), l=5)
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Generate explode") == 1
 
 
 def test_temperature_sample_broadcasts_rates(spark):
