@@ -210,7 +210,8 @@ def entity_relatedness(links: DataFrame, min_inlinks: int = 1) -> DataFrame:
     Candidates are entity pairs sharing ≥1 inlinking document (a
     keyed self-join on doc_id), so disconnected pairs are never
     materialized. Output: (e1, e2, relatedness)."""
-    il = links.select("doc_id", "target").distinct()
+    il = links.select("doc_id", "target").distinct().persist()
+    il.count()  # materialize: self-join sides + size aggregate race
     sizes = il.groupBy("target").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         il.alias("l")
@@ -333,7 +334,8 @@ def entity_pmi(links: DataFrame, min_pair_count: int = 1) -> DataFrame:
     a keyed self-join on doc_id (never a cross join), marginals join
     back per side, the document count rides in as a broadcast 1-row
     aggregate. Output (e1, e2, pair_count, pmi)."""
-    il = links.select("doc_id", "target").distinct()
+    il = links.select("doc_id", "target").distinct().persist()
+    il.count()  # materialize: four consumers (n_docs, marginals, join sides) race
     n_docs = il.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
     marg = il.groupBy("target").agg(F.count(F.lit(1)).alias("c"))
     pairs = (
@@ -378,7 +380,9 @@ def comention_triangles(links: DataFrame) -> DataFrame:
         .where(F.col("l.target") < F.col("r.target"))
         .select(F.col("l.target").alias("a"), F.col("r.target").alias("b"))
         .distinct()
+        .persist()
     )
+    edges.count()  # materialize: three wedge-join consumers race a lazy cache
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -404,7 +408,9 @@ def comention_degrees(links: DataFrame) -> DataFrame:
         .where(F.col("l.target") < F.col("r.target"))
         .select(F.col("l.target").alias("a"), F.col("r.target").alias("b"))
         .distinct()
+        .persist()
     )
+    e.count()  # materialize: the symmetric union's two branches race
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("target")).agg(F.count(F.lit(1)).alias("degree"))
     nd = il.groupBy("target").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -1036,10 +1036,16 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
         sh.count()  # materialize: df-agg, prefix join and verify race a lazy cache
     else:
         sh = sh.select("doc_id", "shingle")
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(df_counts, "shingle")
     from pyspark.sql import Window
 
+    # document frequency as a shingle-partitioned window count (r11):
+    # the former groupBy + join re-shuffled the shingle table twice on
+    # the same key (once into the aggregate, once as the join probe);
+    # the window computes df on the one shuffled copy — identical
+    # partitioning, one less exchange and no join operator.
+    ranked = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
     sized = ranked.withColumn("rn", F.row_number().over(w)).withColumn(
         "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))

@@ -172,7 +172,19 @@ def synth_media(docs: DataFrame, kind: str = "image",
                          "meta_width", "meta_height", "meta_duration_ms"],
             )
 
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    # repartition the 8-byte id projection to the session's sized
+    # shuffle parallelism (r11): the documents scan is a single split
+    # at bench scale, so every downstream encode/decode/resize/frame
+    # Python kernel ran in ONE worker. A ~free shuffle of ids buys a
+    # parallel Python stage for the whole multimodal family. The
+    # size-adaptive shuffle-partition count (not the raw core count)
+    # is deliberate: each extra partition costs a live Python worker
+    # (fork + numpy import + Arrow buffers), and 32 concurrent
+    # workers on the 17 MB bench corpus measured SLOWER than 8
+    # (worker startup dominated the kernels).
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ids = docs.select("doc_id").repartition(n_part)
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
 
 
 # --- kernels -----------------------------------------------------------------

@@ -1601,14 +1601,19 @@ def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
     from sift_spark.models.text import with_tokens
 
     # only the first sign_dims projections are consumed — compute just
-    # those (per-dim values are independent, so this is exact)
-    srp = doc_srp_embeddings(docs, d=sign_dims, tf=tf).where(F.col("dim") < sign_dims)
+    # those (per-dim values are independent, so this is exact). r11:
+    # read the WIDE per-doc SRP row and sign-pack map-side — the long
+    # format's unpivot + doc-keyed regroup was a full exchange over
+    # sign_dims× the rows for values already sitting in one row.
+    wide = _doc_srp_wide(docs, d=sign_dims, tf=tf)
     topic = (
-        srp.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.expr("shiftleft(1, dim)")).otherwise(0)
-            ).cast("int").alias("topic")
+        wide.select(
+            "doc_id",
+            sum(
+                (F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0)
+                 for i in range(1, sign_dims)),
+                F.when(F.col("v0") > 0, F.lit(1)).otherwise(0),
+            ).cast("int").alias("topic"),
         )
         .persist()  # lazy: topic_tf's eager count below fills it in the same job
     )
