@@ -184,7 +184,8 @@ def tfidf_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
         )
     w = tf.join(idfs, "term").select(
         "doc_id", "term", (F.sqrt(F.col("tf")) * F.col("idf")).alias("w")
-    )
+    ).persist()
+    w.count()  # materialize: norm + query-score consumers race (r11)
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     qscore = (
         w.where(F.col("term").isin(*query_terms))
@@ -221,7 +222,9 @@ def bm25_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
         .where(F.col("term").isin(*query_terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
+    qtf.count()  # materialize: df + scored consumers each re-ran the explode (r11)
     df = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     totals = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avg_dl")

@@ -67,7 +67,6 @@ def process_corpus_batch(batch_df: DataFrame, batch_id: int, index_path: str,
     ``foreachBatch`` body of :func:`stream_corpus_dedup`, exposed so
     replay behavior is directly testable)."""
     from sift_spark.operators.dedup import (
-        minhash_band_table,
         minhash_lsh_pairs_incremental,
         shingles,
     )
@@ -81,14 +80,25 @@ def process_corpus_batch(batch_df: DataFrame, batch_id: int, index_path: str,
         return  # fully-processed replay
     bands = _read_index(spark, f"{index_path}/bands", BAND_SCHEMA, batch_id)
     sh = _read_index(spark, f"{index_path}/shingles", SHINGLE_SCHEMA, batch_id)
+    # ONE batch shingle pass (r11): the pair probe, the band-table
+    # append and the shingle append each re-tokenized+re-shingled the
+    # batch — share a single localCheckpoint'ed table (batch-sized,
+    # ContextCleaner-reclaimed, same contract as the incremental
+    # operator's internal checkpoint, which new_sh= skips).
+    sh_batch = shingles(batch_df, n).localCheckpoint(eager=False)
     pairs = minhash_lsh_pairs_incremental(
-        batch_df, bands, sh, n=n, threshold=threshold
+        batch_df, bands, sh, n=n, threshold=threshold, new_sh=sh_batch
     )
     pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch_id={batch_id}")
-    minhash_band_table(batch_df, n).write.mode("overwrite").parquet(
-        f"{index_path}/bands/batch_id={batch_id}"
+    from sift_spark.operators.dedup import (
+        _bands_from_signatures,
+        _minhash_from_shingles,
     )
-    shingles(batch_df, n).select("doc_id", "shingle").write.mode(
+
+    _bands_from_signatures(_minhash_from_shingles(sh_batch)).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/bands/batch_id={batch_id}")
+    sh_batch.select("doc_id", "shingle").write.mode(
         "overwrite"
     ).parquet(f"{index_path}/shingles/batch_id={batch_id}")
     spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
