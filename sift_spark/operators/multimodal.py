@@ -182,7 +182,11 @@ def synth_media(docs: DataFrame, kind: str = "image",
     # (fork + numpy import + Arrow buffers), and 32 concurrent
     # workers on the 17 MB bench corpus measured SLOWER than 8
     # (worker startup dominated the kernels).
-    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sess = docs.sparkSession
+    n_part = min(
+        int(sess.conf.get("spark.sql.shuffle.partitions")),
+        sess.sparkContext.defaultParallelism,
+    )
     ids = docs.select("doc_id").repartition(n_part)
     return ids.mapInPandas(gen, MEDIA_SCHEMA)
 
