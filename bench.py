@@ -357,7 +357,7 @@ def main() -> None:
     import inspect
 
     art_helpers = ("_docs_tokenized", "_docs_shingles", "_docs_tf",
-                   "_docs_pairs")
+                   "_docs_pairs", "_docs_bands")
     art_lines = [q for q in times if q in artifact_lines]
     full = dict(out)
     full["queries_cold"] = cold

@@ -159,14 +159,21 @@ def _bands_from_signatures(mh: DataFrame) -> DataFrame:
     )
 
 
-def minhash_band_table(docs: DataFrame, n: int = 3) -> DataFrame:
+def minhash_band_table(docs: DataFrame, n: int = 3,
+                       sh: DataFrame | None = None) -> DataFrame:
     """Banded signatures: (doc_id, band, sig) — md5 over each band's
-    row values; the (band, sig) pair is the LSH bucket key."""
-    return _bands_from_signatures(minhash_signatures(docs, n))
+    row values; the (band, sig) pair is the LSH bucket key. ``sh``:
+    optional pre-materialized ``shingles(docs, n)`` (the session's
+    shared artifact) — the signature aggregate then reads the cache
+    instead of re-tokenizing."""
+    return _bands_from_signatures(
+        _minhash_from_shingles(shingles(docs, n) if sh is None else sh)
+    )
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.8, sh: DataFrame | None = None
+    docs: DataFrame, n: int = 3, threshold: float = 0.8,
+    sh: DataFrame | None = None, bt: DataFrame | None = None
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact-jaccard verify:
     (doc1, doc2, jaccard). Candidates come from band-bucket equi-joins
@@ -195,11 +202,18 @@ def minhash_lsh_pairs(
     unboundedly, but callers holding many results concurrently hold
     their caches too. Passing a pre-built ``sh`` (see parameter)
     skips both the persist and the eager job — the caller owns that
-    table's lifecycle."""
-    if sh is None:
+    table's lifecycle. ``bt``: optional pre-materialized band table
+    (``minhash_band_table``/the session's band artifact, r11) — the
+    signature aggregate + band explode then read the caller's cache
+    instead of rebuilding; caller owns its lifecycle."""
+    own_sh = sh is None
+    if own_sh:
         sh = shingles(docs, n).persist()
-    bt = _bands_from_signatures(_minhash_from_shingles(sh)).persist()
-    bt.count()  # materializes bt AND (when owned) sh's cache underneath it
+    if bt is None:
+        bt = _bands_from_signatures(_minhash_from_shingles(sh)).persist()
+        bt.count()  # materializes bt AND (when owned) sh's cache underneath it
+    elif own_sh:
+        sh.count()  # bt is caller-owned; still materialize our own sh cache
     cand = (
         bt.alias("l")
         .join(bt.alias("r"), (F.col("l.band") == F.col("r.band")) & (F.col("l.sig") == F.col("r.sig")))
@@ -834,7 +848,8 @@ def read_lsh_index(spark, bands_table: str = "lsh_index_bands",
 def minhash_lsh_pairs_incremental(new_docs: DataFrame, index_bands: DataFrame,
                                   index_shingles: DataFrame, n: int = 3,
                                   threshold: float = 0.8,
-                                  new_sh: DataFrame | None = None) -> DataFrame:
+                                  new_sh: DataFrame | None = None,
+                                  new_bands: DataFrame | None = None) -> DataFrame:
     """Incremental MinHash-LSH: near-dup pairs INVOLVING a new batch —
     (doc1, doc2, jaccard) where at least one side is new.
 
@@ -862,15 +877,20 @@ def minhash_lsh_pairs_incremental(new_docs: DataFrame, index_bands: DataFrame,
     materialization, no leak. ``new_sh``: optional pre-materialized
     ``shingles(new_docs, n)`` (e.g. a doc-filtered slice of the
     session's shared artifact) — already cached, so the checkpoint is
-    skipped."""
+    skipped. ``new_bands``: optional pre-materialized band table for
+    the batch (e.g. a doc-filtered slice of the session's band
+    artifact, r11 — bands are a per-doc aggregate, so slicing the
+    full-corpus table and banding the sliced docs are identical) —
+    the batch signature aggregate is then skipped entirely."""
     new_sh_base = (
         shingles(new_docs, n).localCheckpoint(eager=False)
         if new_sh is None
         else new_sh
     )
-    new_bands = _bands_from_signatures(
-        _minhash_from_shingles(new_sh_base)
-    ).localCheckpoint(eager=False)
+    if new_bands is None:
+        new_bands = _bands_from_signatures(
+            _minhash_from_shingles(new_sh_base)
+        ).localCheckpoint(eager=False)
     new_sh = new_sh_base.select("doc_id", "shingle")
 
     cross = (
@@ -1256,7 +1276,8 @@ def dedup_rate_by_source(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def lsh_recall_probe(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                      sh: DataFrame | None = None,
-                     sample_mod: int = 1) -> DataFrame:
+                     sample_mod: int = 1,
+                     bt: DataFrame | None = None) -> DataFrame:
     """Recall audit for the MinHash-LSH banding: compare the verified
     LSH pair set (:func:`minhash_lsh_pairs`) against the exact
     shared-shingle ground truth (:func:`ngram_jaccard_pairs`) at the
@@ -1283,12 +1304,17 @@ def lsh_recall_probe(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     the sliced docs — the artifact covers the full corpus, so reusing
     it would silently un-sample the audit; pre-slice your own artifact
     on the same hash bucket if you need to amortize it (r10 advice).
+    ``bt``: optional pre-materialized band table over the SAME docs
+    (the session's band artifact, r11) — the signature aggregate +
+    band explode then read the caller's cache; discarded alongside
+    ``sh`` when sampling, for the same reason.
     """
     if sample_mod > 1:
         from sift_spark.operators.sampling import hash_bucket
 
         docs = docs.where(hash_bucket(F.col("doc_id"), "lshprobe", sample_mod) == 0)
         sh = None  # the shared shingle artifact covers the FULL corpus
+        bt = None  # likewise the band artifact
     if sh is None:
         sh = shingles(docs, n).select("doc_id", "shingle", "h").persist()
         sh.count()  # materialize: exact join + signature agg race a lazy cache
@@ -1304,8 +1330,9 @@ def lsh_recall_probe(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     # scale, one verify instead of two.
     exact = ngram_jaccard_pairs(docs, n, threshold, sh=sh).select("doc1", "doc2").persist()
     exact.count()  # materialize: three consumers (count, semi, anti) race
-    bt = _bands_from_signatures(_minhash_from_shingles(sh)).persist()
-    bt.count()  # materialize: the self-join's two input stages race
+    if bt is None:
+        bt = _bands_from_signatures(_minhash_from_shingles(sh)).persist()
+        bt.count()  # materialize: the self-join's two input stages race
     cand = (
         bt.alias("l")
         .join(bt.alias("r"), (F.col("l.band") == F.col("r.band")) & (F.col("l.sig") == F.col("r.sig")))

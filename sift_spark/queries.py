@@ -126,6 +126,30 @@ def _docs_tf(spark, sf_dir):
 # corpus_* lines) so the build cost stays visible.
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# The full-corpus MinHash band table at the same standard banding —
+# the fifth shared artifact (r11): a per-doc aggregate of the shingle
+# artifact, previously rebuilt identically inside the pairs-artifact
+# build, dedup_incremental (both corpus slices) and lsh_recall_probe.
+# Bands are per-doc, so any doc-filtered corpus's band table is a
+# filter of this one. Built lazily by its first consumer — in bench
+# order that is the COLD ``dedup_minhash_lsh`` artifact line, where
+# this cost has always been accounted.
+_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _docs_bands(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _BANDS_CACHE.get(key)
+    if df is None:
+        from sift_spark.operators.dedup import minhash_band_table
+
+        df = minhash_band_table(
+            _docs(spark, sf_dir), n=3, sh=_docs_shingles(spark, sf_dir)
+        ).persist()
+        df.count()  # materialize once; consumers branch from the cache
+        _BANDS_CACHE[key] = df
+    return df
+
 
 def _docs_pairs(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -136,6 +160,7 @@ def _docs_pairs(spark, sf_dir):
         df = minhash_lsh_pairs(
             _docs(spark, sf_dir), n=3, threshold=0.8,
             sh=_docs_shingles(spark, sf_dir),
+            bt=_docs_bands(spark, sf_dir),
         ).persist()
         df.count()  # materialize once; consumers branch from the cache
         _PAIRS_CACHE[key] = df
@@ -178,7 +203,8 @@ class CorpusArtifacts:
         in any order."""
         app = self._spark.sparkContext.applicationId
         released = 0
-        for cache in (_PAIRS_CACHE, _SHINGLE_CACHE, _TF_CACHE, _TOKENS_CACHE):
+        for cache in (_PAIRS_CACHE, _BANDS_CACHE, _SHINGLE_CACHE,
+                      _TF_CACHE, _TOKENS_CACHE):
             for key in [k for k in cache if k[0] == app and k[1] == self._sf_dir]:
                 cache.pop(key).unpersist()
                 released += 1
@@ -699,17 +725,23 @@ def q_dedup_clusters_star(spark, sf_dir):
 def q_dedup_incremental(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from sift_spark.operators.dedup import lsh_index, minhash_lsh_pairs_incremental
+    from sift_spark.operators.dedup import minhash_lsh_pairs_incremental
 
     docs = _docs(spark, sf_dir)
-    old = docs.where(F.col("doc_id") % 5 != 0)
     new = docs.where(F.col("doc_id") % 5 == 0)
-    # shingles are per-doc, so the corpus split applies directly to
-    # the shared artifact — neither side re-tokenizes
+    # shingles AND bands are per-doc aggregates, so the corpus split
+    # applies directly to both shared artifacts — neither side
+    # re-tokenizes, and neither side re-runs the signature aggregate
+    # (r11: the old-side lsh_index build and the new-side banding are
+    # both slices of the session band artifact)
     art = _docs_shingles(spark, sf_dir)
-    bands, sh = lsh_index(old, sh=art.where(F.col("doc_id") % 5 != 0))
+    bands_all = _docs_bands(spark, sf_dir)
+    index_bands = bands_all.where(F.col("doc_id") % 5 != 0)
+    index_sh = art.where(F.col("doc_id") % 5 != 0).select("doc_id", "shingle")
     return minhash_lsh_pairs_incremental(
-        new, bands, sh, threshold=0.8, new_sh=art.where(F.col("doc_id") % 5 == 0)
+        new, index_bands, index_sh, threshold=0.8,
+        new_sh=art.where(F.col("doc_id") % 5 == 0),
+        new_bands=bands_all.where(F.col("doc_id") % 5 == 0),
     )
 
 
@@ -1650,6 +1682,7 @@ def q_lsh_recall_probe(spark, sf_dir):
     return lsh_recall_probe(
         _docs(spark, sf_dir), n=3, threshold=0.8,
         sh=_docs_shingles(spark, sf_dir),
+        bt=_docs_bands(spark, sf_dir),
     )
 
 
