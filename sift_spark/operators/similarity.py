@@ -31,6 +31,60 @@ def round6_half_away(a):
     return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
 
 
+def _topk_rows(S, mids, kk, largest=True, valid=None):
+    """Vectorized per-row top-``kk`` over a tile's metric matrix ``S``
+    (n_rows × n_cols) by (6dp-rounded metric best-first, ``mids`` asc)
+    — the exact replacement for the per-row ``np.lexsort`` loop the
+    GEMM/ADC kernels used (guide §4.2: one vectorized pass per batch,
+    not a Python loop per row; the loop was ~200× the matmul at sf1
+    tile sizes).
+
+    Returns ``(ii, jj, vals)``: row indices, column indices and the
+    ROUNDED metric, segments ordered (row asc, metric best-first, mid
+    asc) and cut at ``kk`` per row.
+
+    Bit-identical to the loop it replaces: candidate selection uses
+    the kth-largest RAW value per row minus a 1e-6 margin — 6dp
+    rounding is monotone and moves a value by < 1e-6, and two values
+    more than 1e-6 apart cannot round to the same 6dp grid point, so
+    anything below the margin is strictly outside the rounded top-kk;
+    the survivors (≈ kk + rounding-boundary ties per row) are then
+    re-ranked on their ROUNDED values with the same (metric, mid)
+    total order the loop used. ``valid`` masks excluded cells
+    (self-pairs, same-label, cross-bucket); ``largest=False`` ranks
+    ascending (distances). Rows with fewer than ``kk`` valid cells
+    emit all of them, as the loop did."""
+    import numpy as np
+
+    n, m = S.shape
+    empty = (
+        np.empty(0, dtype="int64"),
+        np.empty(0, dtype="int64"),
+        np.empty(0, dtype="float64"),
+    )
+    if n == 0 or m == 0 or kk <= 0:
+        return empty
+    A = np.asarray(S, dtype="float64")
+    if not largest:
+        A = -A
+    if valid is not None:
+        A = np.where(valid, A, -np.inf)
+    kk = min(kk, m)
+    thr = -np.partition(-A, kk - 1, axis=1)[:, kk - 1]
+    sel = A >= (thr[:, None] - 1e-6)
+    sel &= np.isfinite(A)
+    ii, jj = np.nonzero(sel)
+    if len(ii) == 0:
+        return empty
+    r = round6_half_away(np.asarray(S, dtype="float64")[ii, jj])
+    order = np.lexsort((mids[jj], -r if largest else r, ii))
+    ii, jj, r = ii[order], jj[order], r[order]
+    # rank within each row's (already contiguous, sorted) segment
+    starts = np.searchsorted(ii, np.arange(n))
+    keep = (np.arange(len(ii)) - starts[ii]) < kk
+    return ii[keep].astype("int64"), jj[keep].astype("int64"), r[keep]
+
+
 def cosine_pairs_col() -> Column:
     """Vectorized cosine over two array columns ``a_emb``/``b_emb``
     (Arrow batch → one numpy einsum per batch, 6dp HALF_UP rounding).
@@ -98,21 +152,18 @@ def _cogroup_topk(q_side: DataFrame, m_side: DataFrame, key: str, k: int) -> Dat
         mids = r["neighbor_id"].to_numpy()
         qn = np.sqrt((Q * Q).sum(axis=1))
         mn = np.sqrt((M * M).sum(axis=1))
-        S = round6_half_away((Q @ M.T) / np.outer(qn, mn))
-        out_q, out_m, out_s = [], [], []
-        kk = min(k, len(mids))
-        for i in range(len(qids)):
-            row = S[i]
-            order = np.lexsort((mids, -row))
-            order = order[mids[order] != qids[i]][:kk]
-            out_q.append(np.full(len(order), qids[i]))
-            out_m.append(mids[order])
-            out_s.append(row[order])
+        S = (Q @ M.T) / np.outer(qn, mn)
+        # vectorized exact top-k (see _topk_rows); rounding happens on
+        # the survivors only, never the full |Q|×|M| matrix
+        ii, jj, sims = _topk_rows(
+            S, mids, min(k, len(mids)),
+            valid=qids[:, None] != mids[None, :],
+        )
         return pd.DataFrame(
             {
-                "vec_id": np.concatenate(out_q).astype("int64"),
-                "neighbor_id": np.concatenate(out_m).astype("int64"),
-                "sim": np.concatenate(out_s),
+                "vec_id": qids[ii].astype("int64"),
+                "neighbor_id": mids[jj].astype("int64"),
+                "sim": sims,
             }
         )
 
@@ -165,24 +216,32 @@ def _cogroup_adc_topk(q_side: DataFrame, m_side: DataFrame, key: str,
         codes = np.array(
             [list(map(int, s.split(","))) for s in r["__mcodes"]], dtype="int64"
         )
-        cm = [C[m][codes[:, m]] for m in range(PQ_M)]  # per-m (nm, SD)
         out_q, out_m, out_d = [], [], []
         kk = min(k, len(mids))
         for lo in range(0, len(qids), 512):
             Qc = Q[lo:lo + 512]
+            qc_ids = qids[lo:lo + len(Qc)]
             d = np.zeros((len(Qc), len(mids)))
             for m in range(PQ_M):
                 sub = Qc[:, m * PQ_SUB_DIM:(m + 1) * PQ_SUB_DIM]
-                diff = sub[:, None, :] - cm[m][None, :, :]
-                d += (diff * diff).sum(axis=2)
-            d = round6_half_away(d)
-            for i in range(len(Qc)):
-                row = d[i]
-                order = np.lexsort((mids, row))
-                order = order[mids[order] != qids[lo + i]][:kk]
-                out_q.append(np.full(len(order), qids[lo + i]))
-                out_m.append(mids[order])
-                out_d.append(row[order])
+                # classical ADC LUT: the per-m float math (sub −
+                # centroid, square, sum over SD) runs once per
+                # CODEBOOK ENTRY (PQ_K=16) and is gathered per member
+                # — identical values/op order to the former per-member
+                # (chunk × members × SD) difference cube, PQ_K/nm of
+                # the flops
+                diff = sub[:, None, :] - C[m][None, :, :]
+                lut = (diff * diff).sum(axis=2)  # (chunk, PQ_K)
+                d += lut[:, codes[:, m]]
+            # vectorized exact top-k, ascending distance (_topk_rows);
+            # survivors-only rounding
+            ii, jj, dist = _topk_rows(
+                d, mids, kk, largest=False,
+                valid=qc_ids[:, None] != mids[None, :],
+            )
+            out_q.append(qc_ids[ii])
+            out_m.append(mids[jj])
+            out_d.append(dist)
         return pd.DataFrame(
             {
                 "vec_id": np.concatenate(out_q).astype("int64"),
@@ -292,23 +351,17 @@ def ann_topk_bruteforce(emb: DataFrame, k: int = 5, n_blocks: int = 8) -> DataFr
     top-k is a per-vector window."""
 
     def emit(key, S, lids, rids):
-        import numpy as np
         import pandas as pd
 
-        Sr = round6_half_away(S)
-        out_v, out_n, out_s = [], [], []
-        for i in range(S.shape[0]):
-            cand = np.where(rids != lids[i])[0]
-            if len(cand) == 0:
-                continue
-            # total order (sim desc, neighbor asc) on ROUNDED sims so
-            # per-tile pruning agrees with the oracle's global ranking
-            order = np.lexsort((rids[cand], -Sr[i][cand]))
-            top = cand[order[: min(k, len(cand))]]
-            out_v.extend([lids[i]] * len(top))
-            out_n.extend(rids[top])
-            out_s.extend(Sr[i][top])
-        return pd.DataFrame({"vec_id": out_v, "neighbor_id": out_n, "sim": out_s})
+        # vectorized exact per-tile top-k on ROUNDED sims (total order
+        # sim desc, neighbor asc — agrees with the oracle's global
+        # ranking); see _topk_rows. Survivors-only rounding.
+        ii, jj, sims = _topk_rows(
+            S, rids, k, valid=lids[:, None] != rids[None, :]
+        )
+        return pd.DataFrame(
+            {"vec_id": lids[ii], "neighbor_id": rids[jj], "sim": sims}
+        )
 
     pairs = _tile_sims(emb, n_blocks, emit)
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -443,22 +496,18 @@ def _cogroup_topk_masked(q_side: DataFrame, m_side: DataFrame, k: int) -> DataFr
         mb = r["__mbkey"].to_numpy()
         qn = np.sqrt((Q * Q).sum(axis=1))
         mn = np.sqrt((M * M).sum(axis=1))
-        S = round6_half_away((Q @ M.T) / np.outer(qn, mn))
-        S = np.where(np.equal.outer(qb, mb), S, -np.inf)
-        out_q, out_m, out_s = [], [], []
-        kk = min(k, len(mids))
-        for i in range(len(qids)):
-            row = S[i]
-            order = np.lexsort((mids, -row))
-            order = order[(mids[order] != qids[i]) & np.isfinite(row[order])][:kk]
-            out_q.append(np.full(len(order), qids[i]))
-            out_m.append(mids[order])
-            out_s.append(row[order])
+        S = (Q @ M.T) / np.outer(qn, mn)
+        # same-bucket constraint + self-exclusion as one validity
+        # mask; vectorized exact top-k (see _topk_rows)
+        ii, jj, sims = _topk_rows(
+            S, mids, min(k, len(mids)),
+            valid=np.equal.outer(qb, mb) & (qids[:, None] != mids[None, :]),
+        )
         return pd.DataFrame(
             {
-                "vec_id": np.concatenate(out_q).astype("int64"),
-                "neighbor_id": np.concatenate(out_m).astype("int64"),
-                "sim": np.concatenate(out_s),
+                "vec_id": qids[ii].astype("int64"),
+                "neighbor_id": mids[jj].astype("int64"),
+                "sim": sims,
             }
         )
 
@@ -1255,20 +1304,17 @@ def hard_negatives(emb: DataFrame, k: int = 5, n_blocks: int = 8,
         R = np.stack(r["remb"].to_numpy()).astype("float64")
         L = L / np.linalg.norm(L, axis=1, keepdims=True)
         R = R / np.linalg.norm(R, axis=1, keepdims=True)
-        Sr = round6_half_away(L @ R.T)
+        S = L @ R.T
         lids, rids = l["lid"].to_numpy(), r["rid"].to_numpy()
         llab, rlab = l["llab"].to_numpy(), r["rlab"].to_numpy()
-        out_v, out_n, out_s = [], [], []
-        for i in range(Sr.shape[0]):
-            cand = np.where(rlab != llab[i])[0]
-            if len(cand) == 0:
-                continue
-            order = np.lexsort((rids[cand], -Sr[i][cand]))
-            top = cand[order[: min(k, len(cand))]]
-            out_v.extend([lids[i]] * len(top))
-            out_n.extend(rids[top])
-            out_s.extend(Sr[i][top])
-        return pd.DataFrame({"vec_id": out_v, "neighbor_id": out_n, "sim": out_s})
+        # different-label constraint as the validity mask; vectorized
+        # exact per-tile top-k (see _topk_rows)
+        ii, jj, sims = _topk_rows(
+            S, rids, k, valid=llab[:, None] != rlab[None, :]
+        )
+        return pd.DataFrame(
+            {"vec_id": lids[ii], "neighbor_id": rids[jj], "sim": sims}
+        )
 
     pairs = (
         left.groupby("lb", "rb")
