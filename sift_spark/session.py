@@ -92,6 +92,16 @@ def get_spark(app_name: str = "sift_spark", shuffle_partitions: int | None = Non
         # TIMESTAMP(NANOS) inputs read as int64 nanos instead of
         # erroring — operators type-detect via epoch_seconds()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PySpark 4's DataFrame-context error capture wraps EVERY
+        # public DataFrame/Column call with a Python stack walk plus
+        # ~3 Py4J round trips (PySparkCurrentOrigin.set / conf.get /
+        # clear) purely to enrich error messages. For a driver
+        # program issuing hundreds of thousands of API calls that is
+        # pure per-call overhead (measured: 33.0s → 22.6s total
+        # query-construction time across the 200-query sweep).
+        # Debug-only feature; re-enable when diagnosing an
+        # AnalysisException to get user-code call sites back.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
