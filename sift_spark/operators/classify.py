@@ -34,10 +34,25 @@ trained model serves `filtered_corpus`-style pipelines.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sift_spark.functions.core import STOPWORDS, tokens
+
+# quantization units, hoisted: the driver IRLS twin quantizes ~14
+# contributions per grouped row per round — constructing the unit
+# Decimal (and re-resolving the decimal imports) inside each call was
+# ~40% of the measured training wall at sf0.1 (cProfile: 210k calls)
+_QUANTA: dict[int, Decimal] = {}
+
+
+def _quantum(scale: int) -> Decimal:
+    q = _QUANTA.get(scale)
+    if q is None:
+        q = _QUANTA.setdefault(scale, Decimal(f"1E-{scale}"))
+    return q
 
 # feature names in weight order; x0 is the bias
 FEATURES = ("bias", "len_capped", "distinct_ratio", "stopword_ratio")
@@ -62,10 +77,8 @@ def _round_half_up(x: float, scale: int) -> float:
     tie-adjacent values (measured: round(1.5e-9, 9) = 1e-9 vs 2e-9
     for Spark/DuckDB/here), which 1/RIDGE then amplifies ~1e4×.
     Tested tie-adjacent against live F.round in test_classify."""
-    from decimal import ROUND_HALF_UP, Decimal
-
     return float(
-        Decimal(repr(x)).quantize(Decimal(f"1E-{scale}"), rounding=ROUND_HALF_UP)
+        Decimal(repr(x)).quantize(_quantum(scale), rounding=ROUND_HALF_UP)
     )
 
 
@@ -93,9 +106,7 @@ def _dec15(x: float):
     HALF_UP on the shortest decimal repr (same mechanism as
     _round_half_up), re-quantized as a Decimal — exactly the value the
     in-plan cast produces (BigDecimal.valueOf → setScale HALF_UP)."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    q = Decimal("1E-15")
+    q = _quantum(15)
     return Decimal(repr(_round_half_up(x, 15))).quantize(q, rounding=ROUND_HALF_UP)
 
 
@@ -110,20 +121,30 @@ def _driver_partials(groups, w, names):
     quantization boundary — asserted by the driver-vs-distributed
     equality test and by every oracle hash (DuckDB is libm too)."""
     import math
-    from decimal import Decimal
 
-    accs = {k: Decimal(0) for k in names}
+    # numeric-index accumulators in the SAME name order (g0..g3, then
+    # the upper-triangle h's) and the SAME per-group addition order as
+    # the dict-keyed original — bit-identical sums, minus ~14 f-string
+    # formats + dict lookups per group per round (measured in the
+    # sf0.1 profile alongside the _dec15 hoists above)
+    hidx = [(r, c) for r in range(D) for c in range(r, D)]
+    dec15 = _dec15
+    g_acc = [Decimal(0)] * D
+    h_acc = [Decimal(0)] * len(hidx)
     n = 0
     for x1, x2, x3, y, m in groups:
         x = (1.0, x1, x2, x3)
         margin = sum(x[j] * w[j] for j in range(D))
         p = 1.0 / (1.0 + math.exp(-margin))
         for j in range(D):
-            accs[f"g{j}"] += m * _dec15(x[j] * (p - y))
-        for r in range(D):
-            for c in range(r, D):
-                accs[f"h{r}{c}"] += m * _dec15(x[r] * x[c] * p * (1 - p))
+            g_acc[j] += m * dec15(x[j] * (p - y))
+        for i, (r, c) in enumerate(hidx):
+            # expression verbatim from the distributed aggregate —
+            # float op order is part of the bit-exactness contract
+            h_acc[i] += m * dec15(x[r] * x[c] * p * (1 - p))
         n += m
+    accs = {f"g{j}": g_acc[j] for j in range(D)}
+    accs.update({f"h{r}{c}": h_acc[i] for i, (r, c) in enumerate(hidx)})
     return {k: _round9(float(v) / n) for k, v in accs.items()}
 
 
