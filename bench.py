@@ -262,6 +262,19 @@ def main() -> None:
     n_jobs: dict[str, int] = {}
     total = 0.0
     sc = spark.sparkContext
+    # r12 (advice item): builder-LOCAL persists (race-point caches
+    # inside query builders — tfidf's weight table, the comention edge
+    # list, lsh_recall_probe's intermediates, ...) are plan-keyed in
+    # Spark's CacheManager, so the warm rep of a query would otherwise
+    # read the cold rep's cached intermediates instead of recomputing
+    # them — the warm-min would measure a cache read, not the engine.
+    # Builders register those persists in sift_spark.caching; releasing
+    # them between the reps makes every timed run recompute from the
+    # parquet inputs. Session ARTIFACTS (corpus_* / dedup_minhash_lsh
+    # lines) are exempt by design: cross-query reuse is their
+    # documented contract and their build cost is accounted on their
+    # own COLD lines.
+    from sift_spark.caching import release_local_caches
     # r11: dedup_minhash_lsh joined the artifact set — its result (the
     # verified near-dup pair table at the catalog banding) is now the
     # session artifact the dedup graph family consumes, so its line
@@ -284,12 +297,14 @@ def main() -> None:
         dt1 = round(time.time() - t0, 3)
         n_jobs[name] = len(sc.statusTracker().getJobIdsForGroup(f"bench:{name}"))
         cold[name] = dt1
+        release_local_caches()  # warm rep must recompute, not cache-read
         if name in artifact_lines:
             dt = dt1
         else:
             t0 = time.time()
             fn(spark, sf_dir).count()
             dt = min(dt1, round(time.time() - t0, 3))
+            release_local_caches()  # no builder-local storage leaks across lines
         times[name] = dt
         total += dt
         print(

@@ -41,6 +41,8 @@ def main() -> None:
     )
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
 
+    from sift_spark.caching import release_local_caches
+
     res = {}
     for name in args:
         fn = QUERIES[name]
@@ -49,6 +51,9 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).count()
             ts.append(round(time.time() - t0, 3))
+            # bench-identical protocol (r12): builder-local caches are
+            # released between reps so every rep recomputes
+            release_local_caches()
         res[name] = {"min": min(ts), "median": statistics.median(ts), "all": ts}
         print(name, res[name], file=sys.stderr)
 

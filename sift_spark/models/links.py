@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sift_spark.caching import local_persist
+
 
 def entity_counts(links: DataFrame, min_count: int = 1, prefix: str | None = None) -> DataFrame:
     """Inlink counts per target (reference sift/models/links.py:13
@@ -210,8 +212,8 @@ def entity_relatedness(links: DataFrame, min_inlinks: int = 1) -> DataFrame:
     Candidates are entity pairs sharing ≥1 inlinking document (a
     keyed self-join on doc_id), so disconnected pairs are never
     materialized. Output: (e1, e2, relatedness)."""
-    il = links.select("doc_id", "target").distinct().persist()
-    il.count()  # materialize: self-join sides + size aggregate race
+    # materialize: self-join sides + size aggregate race
+    il = local_persist(links.select("doc_id", "target").distinct())
     sizes = il.groupBy("target").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         il.alias("l")
@@ -279,9 +281,11 @@ def entity_pagerank(links: DataFrame, damping: float = 0.85, n_iter: int = 5) ->
         .where(F.col("l.target") != F.col("r.target"))
         .select(F.col("l.target").alias("src"), F.col("r.target").alias("dst"))
         .distinct()
-        .persist()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    edges = local_persist(edges, eager=False)
+    deg = local_persist(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), eager=False
+    )
     # node count as a broadcast scalar, never a driver action: ONE
     # 1-row crossJoin at init, then the count rides along as a column
     # (constant within every group, so first() is deterministic) —
@@ -334,8 +338,8 @@ def entity_pmi(links: DataFrame, min_pair_count: int = 1) -> DataFrame:
     a keyed self-join on doc_id (never a cross join), marginals join
     back per side, the document count rides in as a broadcast 1-row
     aggregate. Output (e1, e2, pair_count, pmi)."""
-    il = links.select("doc_id", "target").distinct().persist()
-    il.count()  # materialize: four consumers (n_docs, marginals, join sides) race
+    # materialize: four consumers (n_docs, marginals, join sides) race
+    il = local_persist(links.select("doc_id", "target").distinct())
     n_docs = il.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
     marg = il.groupBy("target").agg(F.count(F.lit(1)).alias("c"))
     pairs = (
@@ -380,9 +384,8 @@ def comention_triangles(links: DataFrame) -> DataFrame:
         .where(F.col("l.target") < F.col("r.target"))
         .select(F.col("l.target").alias("a"), F.col("r.target").alias("b"))
         .distinct()
-        .persist()
     )
-    edges.count()  # materialize: three wedge-join consumers race a lazy cache
+    edges = local_persist(edges)  # three wedge-join consumers race a lazy cache
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -408,9 +411,8 @@ def comention_degrees(links: DataFrame) -> DataFrame:
         .where(F.col("l.target") < F.col("r.target"))
         .select(F.col("l.target").alias("a"), F.col("r.target").alias("b"))
         .distinct()
-        .persist()
     )
-    e.count()  # materialize: the symmetric union's two branches race
+    e = local_persist(e)  # materialize: the symmetric union's two branches race
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("target")).agg(F.count(F.lit(1)).alias("degree"))
     nd = il.groupBy("target").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -545,7 +547,7 @@ def entity_hits(links: DataFrame, n_iter: int = 5) -> DataFrame:
     make each round reference its predecessor twice — the 4^n
     lazy-unroll trap measured as a driver-heap OOM); one final
     normalization crossJoin emits round(a/Σa, 6)."""
-    edges = links.select("doc_id", "target").distinct().persist()
+    edges = local_persist(links.select("doc_id", "target").distinct(), eager=False)
     # comention matrix, diagonal included; persisted because every
     # iteration joins it (lazy, it would recompute the corpus
     # self-join per round). Eager count per the shingle-family rule:
@@ -556,9 +558,8 @@ def entity_hits(links: DataFrame, n_iter: int = 5) -> DataFrame:
         .join(edges.alias("r"), "doc_id")
         .groupBy(F.col("l.target").alias("e"), F.col("r.target").alias("e2"))
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m"))
-        .persist()
     )
-    M.count()
+    M = local_persist(M)
     a = edges.groupBy("target").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("a_raw")
     )
@@ -572,7 +573,7 @@ def entity_hits(links: DataFrame, n_iter: int = 5) -> DataFrame:
     # the final table is referenced twice (values + norm) — persist the
     # entity-sized result so the norm branch doesn't re-execute the
     # iteration chain
-    a = a.persist()
+    a = local_persist(a, eager=False)
     a_norm = a.agg(F.sum("a_raw").alias("a_tot"))
     # decimal(38,0) overflow yields NULL under non-ANSI arithmetic —
     # turn it into a loud in-plan error (entity-sized pass) instead
@@ -661,7 +662,7 @@ def entity_random_walks(links: DataFrame, n_walks: int = 2,
         .distinct()
     )
     w_adj = Window.partitionBy("src").orderBy("dst")
-    adj = e.withColumn("idx", F.row_number().over(w_adj) - 1).persist()
+    adj = local_persist(e.withColumn("idx", F.row_number().over(w_adj) - 1), eager=False)
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
     from sift_spark.functions.core import hash31
@@ -720,8 +721,8 @@ def entity_link_prediction(links: DataFrame, max_degree: int = 1000) -> DataFram
         .where(F.col("l.target") != F.col("r.target"))
         .select(F.col("l.target").alias("src"), F.col("r.target").alias("dst"))
         .distinct()
-        .persist()
     )
+    e = local_persist(e, eager=False)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     mid = deg.where(F.col("deg") <= max_degree).withColumn(
         "w", 1.0 / F.log("deg")
@@ -775,8 +776,8 @@ def entity_node2vec_walks(links: DataFrame, p: float = 2.0, q: float = 0.5,
         .where(F.col("l.target") != F.col("r.target"))
         .select(F.col("l.target").alias("src"), F.col("r.target").alias("dst"))
         .distinct()
-        .persist()
     )
+    e = local_persist(e, eager=False)
     walks = e.select("src").distinct().select(
         F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("w"), "src"
     ).select(

@@ -35,6 +35,7 @@ from sift_spark.functions.core import (
     guards_tf,
     hash31,
 )
+from sift_spark.caching import local_persist
 from sift_spark.models.text import word_ngrams
 from sift_spark.functions.core import tokens
 
@@ -196,11 +197,17 @@ def minhash_lsh_pairs(
     branches — minhash/simhash/ngram/prefix/containment/novelty):
     construction launches the materializing job immediately rather
     than returning a fully lazy plan; that is the price of the race
-    above. The caches are owned by the returned plan: they are
-    reclaimed by Spark's ContextCleaner when the result DataFrame is
-    garbage-collected, so repeated calls in one session do not grow
-    unboundedly, but callers holding many results concurrently hold
-    their caches too. Passing a pre-built ``sh`` (see parameter)
+    above. LIFECYCLE (r12): these builder-local caches are plan-keyed
+    in Spark's CacheManager, which holds a strong reference until an
+    explicit unpersist — they are NOT reclaimed when the result
+    DataFrame is garbage-collected, so a long-lived session calling
+    builders with varying inputs grows storage unboundedly unless it
+    releases them. Every such persist is registered in
+    ``sift_spark.caching``; call
+    ``sift_spark.caching.release_local_caches()`` once the results
+    built so far have been consumed (bench.py and scripts/query_ab.py
+    do this between timed repetitions so warm runs recompute instead
+    of cache-reading). Passing a pre-built ``sh`` (see parameter)
     skips both the persist and the eager job — the caller owns that
     table's lifecycle. ``bt``: optional pre-materialized band table
     (``minhash_band_table``/the session's band artifact, r11) — the
@@ -208,9 +215,11 @@ def minhash_lsh_pairs(
     instead of rebuilding; caller owns its lifecycle."""
     own_sh = sh is None
     if own_sh:
-        sh = shingles(docs, n).persist()
+        sh = local_persist(shingles(docs, n), eager=False)
     if bt is None:
-        bt = _bands_from_signatures(_minhash_from_shingles(sh)).persist()
+        bt = local_persist(
+            _bands_from_signatures(_minhash_from_shingles(sh)), eager=False
+        )
         bt.count()  # materializes bt AND (when owned) sh's cache underneath it
     elif own_sh:
         sh.count()  # bt is caller-owned; still materialize our own sh cache
@@ -399,20 +408,17 @@ def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     # (random 3-gram-shingle jaccard ~1e-3 → per-band collision odds
     # ~1e-12); the verify cost was redundant corpus scans, never junk
     # candidates.
-    cand = cand.persist()
-    cand.count()  # materialize: the three consumers race a lazy cache
+    cand = local_persist(cand)  # materialize: three consumers race a lazy cache
     docs_in = (
         cand.select(F.col("doc1").alias("doc_id"))
         .union(cand.select(F.col("doc2").alias("doc_id")))
         .distinct()
     )
-    doc_sh = (
+    doc_sh = local_persist(  # materialize: both pair-side joins race a lazy cache
         sh.join(docs_in, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("S"))
-        .persist()
     )
-    doc_sh.count()  # materialize: both pair-side joins race a lazy cache
     d1 = doc_sh.select(F.col("doc_id").alias("doc1"), F.col("S").alias("S1"))
     d2 = doc_sh.select(F.col("doc_id").alias("doc2"), F.col("S").alias("S2"))
     inter = F.size(F.array_intersect("S1", "S2"))
@@ -468,8 +474,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     costs zero extra shuffle."""
     # persist: one long per doc, but both sides of the band self-join
     # would otherwise recompute the full tokenize+hash+aggregate chain
-    st = simhash_table(docs).persist()
-    st.count()  # materialize: the self-join's input stages race a lazy cache
+    st = local_persist(simhash_table(docs))  # self-join inputs race a lazy cache
 
     def byte(col: Column, i) -> Column:
         return F.shiftright(col, 8 * i).bitwiseAND(F.lit(255))
@@ -523,15 +528,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     if sh is None:
         # persist: the (possibly df-capped) shingle table feeds both
         # sides of the self-join plus the per-doc size aggregate
-        sh = shingles(docs, n).select("doc_id", "shingle").persist()
-        sh.count()  # materialize: self-join + size-agg stages race a lazy cache
+        # materialize: self-join + size-agg stages race a lazy cache
+        sh = local_persist(shingles(docs, n).select("doc_id", "shingle"))
     else:
         sh = sh.select("doc_id", "shingle")
     join_sh = sh
     if max_df is not None:
         rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
-        join_sh = sh.join(rare.select("shingle"), "shingle").persist()
-        join_sh.count()
+        join_sh = local_persist(sh.join(rare.select("shingle"), "shingle"))
     # intersection sizes come straight off the shared-shingle join
     # (shingles are distinct per doc), skipping the candidate-distinct
     # + re-join passes — one shuffle join + one aggregate
@@ -600,8 +604,8 @@ def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     the same persisted shingle table); ``max_df`` capping applies
     identically at scale."""
     if sh is None:
-        sh = shingles(docs, n).select("doc_id", "shingle").persist()
-        sh.count()  # materialize: self-join + size-agg stages race a lazy cache
+        # materialize: self-join + size-agg stages race a lazy cache
+        sh = local_persist(shingles(docs, n).select("doc_id", "shingle"))
     else:
         sh = sh.select("doc_id", "shingle")
     inter = (
@@ -637,8 +641,8 @@ def doc_novelty(docs: DataFrame, n: int = 3,
     (no second corpus-wide shuffle shape beyond it), then a doc_id
     aggregate. No window over the corpus, no sort."""
     if sh is None:
-        sh = shingles(docs, n).select("doc_id", "shingle").persist()
-        sh.count()  # materialize: the first-doc agg and the join race a lazy cache
+        # materialize: the first-doc agg and the join race a lazy cache
+        sh = local_persist(shingles(docs, n).select("doc_id", "shingle"))
     else:
         sh = sh.select("doc_id", "shingle")
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
@@ -1052,8 +1056,8 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
     exact jaccard with array intersection; equality with the unfiltered
     operator is property-tested."""
     if sh is None:
-        sh = shingles(docs, n).select("doc_id", "shingle").persist()
-        sh.count()  # materialize: df-agg, prefix join and verify race a lazy cache
+        # materialize: df-agg, prefix join and verify race a lazy cache
+        sh = local_persist(shingles(docs, n).select("doc_id", "shingle"))
     else:
         sh = sh.select("doc_id", "shingle")
     from pyspark.sql import Window
@@ -1134,8 +1138,8 @@ def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
         for i in range(MINHASH_K)
     ] + [F.count(F.lit(1)).alias("n_sh")]
     corpus_sh = shingles(docs, n) if sh is None else sh
-    sig = corpus_sh.groupBy("doc_id").agg(*sig_aggs).persist()
-    bsh = shingles(benchmark, n).persist()
+    sig = local_persist(corpus_sh.groupBy("doc_id").agg(*sig_aggs), eager=False)
+    bsh = local_persist(shingles(benchmark, n), eager=False)
     bt = _bands_from_signatures(sig)
     bbt = _bands_from_signatures(_minhash_from_shingles(bsh))
     cand = (
@@ -1146,8 +1150,8 @@ def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
         )
         .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
         .distinct()
-        .persist()
     )
+    cand = local_persist(cand, eager=False)
     cand_docs = cand.select(F.col("doc1").alias("doc_id")).distinct()
     # exact-jaccard verify touches only candidate documents: with a
     # shared pre-materialized shingle table, prune it by doc_id;
@@ -1316,8 +1320,8 @@ def lsh_recall_probe(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         sh = None  # the shared shingle artifact covers the FULL corpus
         bt = None  # likewise the band artifact
     if sh is None:
-        sh = shingles(docs, n).select("doc_id", "shingle", "h").persist()
-        sh.count()  # materialize: exact join + signature agg race a lazy cache
+        # materialize: exact join + signature agg race a lazy cache
+        sh = local_persist(shingles(docs, n).select("doc_id", "shingle", "h"))
     # r11: the LSH side needs NO verify pass of its own — a verified
     # LSH pair is by definition a band-colliding pair whose exact
     # jaccard ≥ t, and the exact side already computes jaccard for
@@ -1328,20 +1332,21 @@ def lsh_recall_probe(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     # _jaccard_verify chain (two more persisted intermediates + three
     # joins + a second scan family) — identical n_lsh/n_missed at any
     # scale, one verify instead of two.
-    exact = ngram_jaccard_pairs(docs, n, threshold, sh=sh).select("doc1", "doc2").persist()
-    exact.count()  # materialize: three consumers (count, semi, anti) race
+    # materialize: three consumers (count, semi, anti) race
+    exact = local_persist(
+        ngram_jaccard_pairs(docs, n, threshold, sh=sh).select("doc1", "doc2")
+    )
     if bt is None:
-        bt = _bands_from_signatures(_minhash_from_shingles(sh)).persist()
-        bt.count()  # materialize: the self-join's two input stages race
+        # materialize: the self-join's two input stages race
+        bt = local_persist(_bands_from_signatures(_minhash_from_shingles(sh)))
     cand = (
         bt.alias("l")
         .join(bt.alias("r"), (F.col("l.band") == F.col("r.band")) & (F.col("l.sig") == F.col("r.sig")))
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
         .distinct()
-        .persist()
     )
-    cand.count()  # materialize: semi + anti consumers race
+    cand = local_persist(cand)  # materialize: semi + anti consumers race
     lsh = exact.join(cand, ["doc1", "doc2"], "left_semi")
     missed = exact.join(cand, ["doc1", "doc2"], "left_anti")
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))

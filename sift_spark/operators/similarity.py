@@ -471,10 +471,13 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, nprobe: int = 2,
 
     # persist: ranked feeds BOTH the assignment and the probe list —
     # unpersisted, the whole Arrow scan + GEMM chain runs twice
-    ranked = emb.select("vec_id", "embedding").mapInPandas(
-        rank_cells, "vec_id long, cid int, rn int"
-    ).persist()
-    ranked.count()  # materialize: assign + probes race the Arrow chain otherwise
+    from sift_spark.caching import local_persist
+
+    ranked = local_persist(  # materialize: assign + probes race the Arrow chain
+        emb.select("vec_id", "embedding").mapInPandas(
+            rank_cells, "vec_id long, cid int, rn int"
+        )
+    )
     assign = ranked.where(F.col("rn") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cid"
     )

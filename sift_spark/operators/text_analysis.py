@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sift_spark.caching import local_persist
 from sift_spark.functions.core import (
     LANG_PROFILES,
     MOD31,
@@ -182,10 +183,11 @@ def tfidf_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
-    w = tf.join(idfs, "term").select(
-        "doc_id", "term", (F.sqrt(F.col("tf")) * F.col("idf")).alias("w")
-    ).persist()
-    w.count()  # materialize: norm + query-score consumers race (r11)
+    w = local_persist(  # materialize: norm + query-score consumers race (r11)
+        tf.join(idfs, "term").select(
+            "doc_id", "term", (F.sqrt(F.col("tf")) * F.col("idf")).alias("w")
+        )
+    )
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     qscore = (
         w.where(F.col("term").isin(*query_terms))
@@ -222,9 +224,8 @@ def bm25_search(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
         .where(F.col("term").isin(*query_terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
-    qtf.count()  # materialize: df + scored consumers each re-ran the explode (r11)
+    qtf = local_persist(qtf)  # df + scored consumers each re-ran the explode (r11)
     df = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     totals = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avg_dl")
@@ -467,8 +468,9 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     # split it saves) and it crowds executor storage for the rest of
     # the session. Two corpus passes total: the bigram counts and the
     # score join; head counts are derived, never a third pass.
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
-    big.count()  # two consumers (lp join + head agg) race a lazy cache
+    big = local_persist(  # two consumers (lp join + head agg) race a lazy cache
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
     head = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     lp = big.join(head, "w1").select(
         "w1", "w2", F.log(F.col("c12") / F.col("c1")).alias("lp")
@@ -1217,10 +1219,10 @@ def ccnet_buckets(docs: DataFrame, approx: bool | None = None,
     # doc-sized (doc_id, lang, score) — persisted because both the
     # per-lang counts and the rank consume it, and recomputing it
     # replays the whole corpus-bigram LM pipeline
-    scored = bigram_logprob(docs).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    ).persist()
-    n_scored = scored.count()  # materialize: the two consumers race a lazy cache
+    scored = local_persist(  # materialize: the two consumers race a lazy cache
+        bigram_logprob(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    n_scored = scored.count()  # cache-read: the gate needs the row count
     if approx is None:
         approx = n_scored > quantile_exact_limit(docs.sparkSession)
     if approx:
@@ -1301,8 +1303,8 @@ def _doc_srp_wide(docs: DataFrame, d: int = 16, min_df: int = 2,
             .select("doc_id", F.explode("toks").alias("term"))
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
-            .persist()  # lazy: vocab's eager count below fills it in the same job
         )
+        tf = local_persist(tf, eager=False)  # lazy: vocab's eager count fills it
     # signs as d PRIMITIVE double columns, not an array: an array
     # column on the probe side of the join boxes d doubles per
     # posting row through the aggregate (GenericArrayData), measured
@@ -1333,9 +1335,8 @@ def _doc_srp_wide(docs: DataFrame, d: int = 16, min_df: int = 2,
             F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"),
             *signs,
         )
-        .persist()
     )
-    vocab.count()
+    vocab = local_persist(vocab)
     joined = tf.join(vocab, "term").select(
         "doc_id",
         (F.col("tf") * F.col("idf")).alias("w"),
@@ -1531,9 +1532,8 @@ def retrieval_triples(docs: DataFrame, n_query_terms: int = 2, k_neg: int = 2,
             .select("doc_id", F.explode(F.col("toks")).alias("term"))
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
-            .persist()
         )
-        tf.count()  # materialize: wts / df branches race a lazy cache
+        tf = local_persist(tf)  # materialize: wts / df branches race a lazy cache
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     idf = (
@@ -1541,10 +1541,11 @@ def retrieval_triples(docs: DataFrame, n_query_terms: int = 2, k_neg: int = 2,
         .crossJoin(n)
         .select("term", F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"))
     )
-    wts = tf.join(idf, "term").select(
-        "doc_id", "term", (F.sqrt(F.col("tf")) * F.col("idf")).alias("wt")
-    ).persist()
-    wts.count()  # materialize: qterms + postings race a lazy cache
+    wts = local_persist(  # materialize: qterms + postings race a lazy cache
+        tf.join(idf, "term").select(
+            "doc_id", "term", (F.sqrt(F.col("tf")) * F.col("idf")).alias("wt")
+        )
+    )
     rk = Window.partitionBy("doc_id").orderBy(F.col("wt").desc(), F.col("term").asc())
     qterms = (
         wts.withColumn("rn", F.row_number().over(rk))
@@ -1618,8 +1619,8 @@ def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
                 F.when(F.col("v0") > 0, F.lit(1)).otherwise(0),
             ).cast("int").alias("topic"),
         )
-        .persist()  # lazy: topic_tf's eager count below fills it in the same job
     )
+    topic = local_persist(topic, eager=False)  # lazy: topic_tf's count fills it
     # with the shared posting artifact the (topic, term) counts are a
     # re-aggregate of tf (Σ tf over the doc→topic join — identical
     # integers), never a second corpus explode
@@ -1631,13 +1632,12 @@ def corpus_topics(docs: DataFrame, sign_dims: int = 6, k_terms: int = 5,
         )
     else:
         tok = tf.join(topic, "doc_id")
-    topic_tf = (
-        tok.groupBy("topic", "term").agg(F.sum("tf").alias("ttf")).persist()
-    )
     # ONE eager job: materializing topic_tf fills topic's cache
     # through the join underneath it, and its three consumers (lift,
     # totals, corpus counts) plus the sizes agg then read warm caches
-    topic_tf.count()
+    topic_tf = local_persist(
+        tok.groupBy("topic", "term").agg(F.sum("tf").alias("ttf"))
+    )
     topic_tot = topic_tf.groupBy("topic").agg(F.sum("ttf").alias("ttot"))
     corpus_tf = topic_tf.groupBy("term").agg(F.sum("ttf").alias("ctf"))
     corpus_tot = corpus_tf.agg(F.sum("ctf").alias("ctot"))

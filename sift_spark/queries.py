@@ -4,6 +4,20 @@ Every entry has a DuckDB oracle twin in ``sift_spark/oracle.py``
 (same constants, same total orderings, floats rounded at the edge) —
 this pairing is the correctness gate. Column names/aliases MUST match
 the oracle exactly.
+
+EAGER-MATERIALIZATION CONTRACT: building a query is NOT plan-only.
+Builders whose plan consumes a persisted intermediate from multiple
+racing branches (the shingle/dedup family, tfidf/bm25, the comention
+family, ...) launch the materializing Spark job at CONSTRUCTION time,
+and driver-gated algorithms (CC, IRLS, BPE training) run their driver
+steps then too — so ``.explain()``-only consumers still execute heavy
+jobs, and failures can surface at build time rather than action time.
+Plan-capture tooling (scripts/capture_plans.py) accepts this cost.
+Those builder-local caches are registered in ``sift_spark.caching``;
+call ``release_local_caches()`` after consuming results (bench.py
+does, between timed reps). Session ARTIFACTS (the ``_docs_*`` getters
+below) are exempt: cross-query reuse is their documented contract,
+released via ``CorpusArtifacts.release()``.
 """
 
 from __future__ import annotations
