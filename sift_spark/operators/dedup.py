@@ -136,9 +136,47 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def shingles_with_sizes(docs: DataFrame, n: int = 3) -> DataFrame:
+    """:func:`shingles` plus the per-doc distinct-shingle count:
+    (doc_id, shingle, h, n_sh). ``n_sh`` is the size of the doc's
+    distinct-shingle array computed MAP-SIDE before the explode —
+    zero extra shuffle at any scale — so set-similarity consumers
+    (jaccard/containment) can carry both pair sizes through their
+    shared-shingle self-join instead of re-aggregating per-doc sizes
+    and joining them back per pair side (r12: two joins + one
+    aggregate deleted from each consumer's plan)."""
+    from sift_spark.models.text import with_tokens
+
+    arr = F.array_distinct(word_ngrams(F.col("toks"), n, n))
+    # explode_OUTER + isnotnull, not plain explode: InferFiltersFromGenerate
+    # adds size(child)>0 below a non-outer Generate, and predicate
+    # pushdown then substitutes the _sh alias with the full ngram
+    # expression — measured 3 evaluations of the transform per row in
+    # the build. Outer generates infer nothing; the post-explode
+    # isnotnull drops exactly the rows plain explode never emits
+    # (empty arrays — shingle elements themselves are concat_ws output
+    # and never null), so the output is identical (row-equality
+    # tested) with ONE ngram pass.
+    return (
+        with_tokens(docs)
+        .select("doc_id", arr.alias("_sh"))
+        .select(
+            "doc_id", F.size("_sh").alias("n_sh"), F.explode_outer("_sh").alias("shingle")
+        )
+        .where(F.col("shingle").isNotNull())
+        .select("doc_id", "shingle", hash31(F.col("shingle")).alias("h"), "n_sh")
+    )
+
+
 def _minhash_from_shingles(sh: DataFrame) -> DataFrame:
+    # r12: the K aggregate expressions are built as ONE parsed SQL
+    # string each instead of ~8 chained Column calls each — identical
+    # Catalyst expressions (int literals parse to IntegerType exactly
+    # like F.lit on int32-range values), ~K×8 fewer Py4J round trips
+    # per construction (guide §4: the Python boundary is also the
+    # driver's boundary).
     aggs = [
-        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(MOD31)).alias(f"mh_{i}")
+        F.expr(f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MOD31}) AS mh_{i}")
         for i in range(MINHASH_K)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -151,11 +189,20 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def _bands_from_signatures(mh: DataFrame) -> DataFrame:
-    bands = []
-    for b in range(MINHASH_BANDS):
-        cols = [F.col(f"mh_{b * MINHASH_ROWS + r}").cast("string") for r in range(MINHASH_ROWS)]
-        bands.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("sig")))
-    return mh.select("doc_id", F.explode(F.array(*bands)).alias("bs")).select(
+    # r12: one parsed SQL string instead of per-band Column chains —
+    # identical expressions, far fewer Py4J round trips (see
+    # _minhash_from_shingles).
+    bands = ", ".join(
+        "struct({b} AS band, md5(concat_ws(',', {cols})) AS sig)".format(
+            b=b,
+            cols=", ".join(
+                f"cast(mh_{b * MINHASH_ROWS + r} AS string)"
+                for r in range(MINHASH_ROWS)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return mh.select("doc_id", F.expr(f"explode(array({bands})) AS bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
@@ -448,18 +495,26 @@ def simhash_table(docs: DataFrame) -> DataFrame:
     occ = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).withColumn(
         "h", hash31(F.col("tok"))
     )
+    # r12: the 32 conditional-sum aggregates and the 32-term bit
+    # assembly are parsed SQL strings instead of ~12 chained Column
+    # calls each — identical Catalyst expressions (verified by plan
+    # diff), ~1.3k fewer Py4J round trips per construction. Bit 31's
+    # literal exceeds int32, so it is written with the L suffix the
+    # way F.lit(1 << 31) produced a LongType literal.
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"s_{b}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        )
         for b in range(SIMHASH_BITS)
     ]
     sums = occ.groupBy("doc_id").agg(*bit_aggs)
-    sim = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+    def lit(b):
+        v = 1 << b
+        return f"{v}L" if v > 2147483647 else str(v)
+    sim = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {lit(b)} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return sums.select("doc_id", F.expr(f"CAST(({sim}) AS bigint) AS simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -526,12 +581,52 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     precision at high thresholds. ``sh``: optional pre-materialized
     ``shingles(docs, n)`` table (see minhash_lsh_pairs docstring)."""
     if sh is None:
-        # persist: the (possibly df-capped) shingle table feeds both
-        # sides of the self-join plus the per-doc size aggregate
-        # materialize: self-join + size-agg stages race a lazy cache
-        sh = local_persist(shingles(docs, n).select("doc_id", "shingle"))
-    else:
-        sh = sh.select("doc_id", "shingle")
+        # persist: the shingle table feeds both sides of the self-join;
+        # sizes ride map-side (shingles_with_sizes), so no size branch
+        sh = local_persist(
+            shingles_with_sizes(docs, n).select("doc_id", "shingle", "n_sh")
+        )
+    # fast path (r12): when the table carries the map-side per-doc
+    # size (the session artifact does), both pair sizes ride the
+    # self-join rows — the per-doc size aggregate and its two
+    # pair-table joins are deleted from the plan. The jaccard size
+    # bound J ≤ min(n1,n2)/max(n1,n2) additionally prunes pairs that
+    # can never reach the rounded threshold (6dp rounding moves a
+    # value ≤5e-7, so the 1e-6 margin is rounding-safe) INSIDE the
+    # join, before the pair shuffle. max_df caps re-filter the shingle
+    # universe, which invalidates the precomputed sizes — that path
+    # keeps the aggregate-sizes form.
+    if max_df is None and "n_sh" in sh.columns:
+        join_sh = sh.select("doc_id", "shingle", "n_sh")
+        # carry ONE derived int (n1+n2) through the pair aggregate —
+        # jaccard = inter/(n1+n2-inter) needs only the sum, and the
+        # sum is functionally dependent on the pair key so min()
+        # carries it deterministically with a single extra agg buffer
+        inter = (
+            join_sh.alias("l")
+            .join(join_sh.alias("r"), F.col("l.shingle") == F.col("r.shingle"))
+            .where(
+                (F.col("l.doc_id") < F.col("r.doc_id"))
+                & (
+                    F.least(F.col("l.n_sh"), F.col("r.n_sh"))
+                    >= (F.lit(threshold) - F.lit(1e-6))
+                    * F.greatest(F.col("l.n_sh"), F.col("r.n_sh"))
+                )
+            )
+            .select(
+                F.col("l.doc_id").alias("doc1"),
+                F.col("r.doc_id").alias("doc2"),
+                (F.col("l.n_sh") + F.col("r.n_sh")).alias("s_sh"),
+            )
+            .groupBy("doc1", "doc2")
+            .agg(F.count(F.lit(1)).alias("inter"), F.min("s_sh").alias("s_sh"))
+        )
+        return inter.select(
+            "doc1",
+            "doc2",
+            F.round(F.col("inter") / (F.col("s_sh") - F.col("inter")), 6).alias("jaccard"),
+        ).where(F.col("jaccard") >= threshold)
+    sh = sh.select("doc_id", "shingle")
     join_sh = sh
     if max_df is not None:
         rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
@@ -602,12 +697,39 @@ def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     Same single shared-shingle self-join shape as
     ``ngram_jaccard_pairs`` (intersections off the join, sizes from
     the same persisted shingle table); ``max_df`` capping applies
-    identically at scale."""
+    identically at scale. When ``sh`` carries the map-side ``n_sh``
+    column (:func:`shingles_with_sizes` — the session artifact does),
+    both pair sizes ride the self-join rows and the size aggregate +
+    two pair-table joins are deleted (r12). NOTE: no size-bound prune
+    exists for containment — a tiny doc fully inside a huge one is
+    exactly what this operator must catch."""
     if sh is None:
-        # materialize: self-join + size-agg stages race a lazy cache
-        sh = local_persist(shingles(docs, n).select("doc_id", "shingle"))
-    else:
-        sh = sh.select("doc_id", "shingle")
+        # materialize: the self-join's input stages race a lazy cache
+        sh = local_persist(
+            shingles_with_sizes(docs, n).select("doc_id", "shingle", "n_sh")
+        )
+    if "n_sh" in sh.columns:
+        sh = sh.select("doc_id", "shingle", "n_sh")
+        # containment needs only min(n1,n2): compute it at join time
+        # and carry ONE int through the pair aggregate
+        inter = (
+            sh.alias("l")
+            .join(sh.alias("r"), F.col("l.shingle") == F.col("r.shingle"))
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(
+                F.col("l.doc_id").alias("doc1"),
+                F.col("r.doc_id").alias("doc2"),
+                F.least(F.col("l.n_sh"), F.col("r.n_sh")).alias("m_sh"),
+            )
+            .groupBy("doc1", "doc2")
+            .agg(F.count(F.lit(1)).alias("inter"), F.min("m_sh").alias("m_sh"))
+        )
+        return inter.select(
+            "doc1",
+            "doc2",
+            F.round(F.col("inter") / F.col("m_sh"), 6).alias("containment"),
+        ).where(F.col("containment") >= threshold)
+    sh = sh.select("doc_id", "shingle")
     inter = (
         sh.alias("l")
         .join(sh.alias("r"), F.col("l.shingle") == F.col("r.shingle"))
@@ -1059,6 +1181,14 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
         # materialize: df-agg, prefix join and verify race a lazy cache
         sh = local_persist(shingles(docs, n).select("doc_id", "shingle"))
     else:
+        # r12 note: reading the artifact's map-side n_sh column here
+        # (to delete the doc-keyed count window below) was built and
+        # MEASURED SLOWER at sf1 (tight 4-round alternating A/B:
+        # 4.19-5.77 s vs 5.25-7.21 s) — the extra 8 bytes riding every
+        # row through the two window sorts costs more than the count
+        # window saves (the count shares the rn window's exchange and
+        # sort). Reverted per the measure-first rule; the 2-column
+        # input keeps the window rows minimal.
         sh = sh.select("doc_id", "shingle")
     from pyspark.sql import Window
 
@@ -1131,10 +1261,9 @@ def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
     all-pairs. ``docs`` and ``benchmark`` doc_ids must be disjoint
     (they are different tables in practice; the registered query
     splits one table on doc_id % 20)."""
+    # parsed SQL strings, identical expressions (see _minhash_from_shingles)
     sig_aggs = [
-        F.min(
-            (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(MOD31)
-        ).alias(f"mh_{i}")
+        F.expr(f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MOD31}) AS mh_{i}")
         for i in range(MINHASH_K)
     ] + [F.count(F.lit(1)).alias("n_sh")]
     corpus_sh = shingles(docs, n) if sh is None else sh
@@ -1321,7 +1450,9 @@ def lsh_recall_probe(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         bt = None  # likewise the band artifact
     if sh is None:
         # materialize: exact join + signature agg race a lazy cache
-        sh = local_persist(shingles(docs, n).select("doc_id", "shingle", "h"))
+        # (n_sh rides along so the exact side takes the carried-sizes
+        # fast path, r12)
+        sh = local_persist(shingles_with_sizes(docs, n))
     # r11: the LSH side needs NO verify pass of its own — a verified
     # LSH pair is by definition a band-colliding pair whose exact
     # jaccard ≥ t, and the exact side already computes jaccard for

@@ -92,10 +92,16 @@ def _docs_shingles(spark, sf_dir, n=3):
     key = (spark.sparkContext.applicationId, sf_dir, n)
     df = _SHINGLE_CACHE.get(key)
     if df is None:
-        from sift_spark.operators.dedup import shingles
+        from sift_spark.operators.dedup import shingles_with_sizes
 
-        # built over the token artifact — the split pass is shared
-        df = shingles(_docs_tokenized(spark, sf_dir), n).persist()
+        # built over the token artifact — the split pass is shared.
+        # r12: the artifact carries the map-side per-doc size column
+        # n_sh (zero extra shuffle — it is the pre-explode array size),
+        # so jaccard/containment consumers carry pair sizes through
+        # their self-joins instead of re-aggregating and joining them
+        # back. The registered corpus_shingles query projects it away
+        # to keep the oracle-checked (doc_id, shingle, h) schema.
+        df = shingles_with_sizes(_docs_tokenized(spark, sf_dir), n).persist()
         df.count()  # materialize once; consumers branch from the cache
         _SHINGLE_CACHE[key] = df
     return df
@@ -684,8 +690,10 @@ def q_corpus_shingles(spark, sf_dir):
     h) table. Registered FIRST so its build cost is its own line in
     bench/amortization accounting — every other shingle-family query
     then shows its marginal cost over the artifact, the way a real
-    pipeline that materializes the tokenized corpus once reports."""
-    return _docs_shingles(spark, sf_dir)
+    pipeline that materializes the tokenized corpus once reports.
+    The artifact's internal n_sh helper column (r12) is projected
+    away: the registered/oracle-checked schema is unchanged."""
+    return _docs_shingles(spark, sf_dir).select("doc_id", "shingle", "h")
 
 
 def q_dedup_exact(spark, sf_dir):
