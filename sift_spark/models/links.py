@@ -306,12 +306,23 @@ def entity_pagerank(links: DataFrame, damping: float = 0.85, n_iter: int = 5) ->
     # A/B-measured and REVERTED — the extra cache materialization cost
     # more than the saved per-iteration join at every tested SF
     # (interleaved min: 1.35s HEAD vs 1.48s hoisted at sf0.1).
+    #
+    # r12 (guide §3): join the NODE-sized tables first — deg ⨝ ranks
+    # on the node key — and attach the per-source contribution to the
+    # edge list with ONE edge-sized join. The old shape ran TWO
+    # edge-sized joins per iteration (edges⨝deg produced an edge-sized
+    # intermediate carrying deg, then re-joined ranks edge-wide).
+    # Output-identical: the per-edge contribution r/deg is the same
+    # IEEE division either way. ``_n`` stays a carried column (NOT a
+    # per-iteration broadcast re-attach, which was tried here and
+    # dropped: each 1-row scalar join schedules its own broadcast
+    # build job — the measured 53-vs-19-job floor the init comment
+    # documents, asserted by tests/test_plans.py).
     for _ in range(n_iter):
-        contrib = (
-            edges.join(deg, "src")
-            .join(ranks, F.col("src") == F.col("node"))
-            .select(F.col("dst"), (F.col("r") / F.col("deg")).alias("c"), "_n")
+        src_c = deg.join(ranks, F.col("src") == F.col("node")).select(
+            "src", (F.col("r") / F.col("deg")).alias("c"), "_n"
         )
+        contrib = edges.join(src_c, "src").select("dst", "c", "_n")
         ranks = (
             contrib.groupBy("dst")
             .agg(F.sum("c").alias("_sum_c"), F.first("_n").alias("_n"))
