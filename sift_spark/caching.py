@@ -30,11 +30,13 @@ from pyspark.sql import DataFrame
 _LOCAL_CACHES: list[DataFrame] = []
 
 
-def local_persist(df: DataFrame, eager: bool = True) -> DataFrame:
+def local_persist(df: DataFrame, eager: bool = True, level=None) -> DataFrame:
     """Persist a builder-local intermediate and register it for
     :func:`release_local_caches`. ``eager`` materializes immediately
-    (the multi-consumer race contract — see minhash_lsh_pairs)."""
-    df = df.persist()
+    (the multi-consumer race contract — see minhash_lsh_pairs).
+    ``level``: optional StorageLevel (e.g. MEMORY_ONLY for the ANN
+    probe tables' LRU-eviction policy); default is persist()'s."""
+    df = df.persist(level) if level is not None else df.persist()
     _LOCAL_CACHES.append(df)
     if eager:
         df.count()

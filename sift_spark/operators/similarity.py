@@ -816,9 +816,18 @@ def ivf_pq_topk(emb: DataFrame, k: int = 5, nprobe: int = 2,
     # LRU-evicted (eviction = recompute) and never pile up on disk.
     from pyspark import StorageLevel
 
-    ranked = emb.select("vec_id", "embedding").mapInPandas(
-        rank_cells, "vec_id long, cid int, rn int"
-    ).persist(StorageLevel.MEMORY_ONLY)
+    from sift_spark.caching import local_persist
+
+    # registered builder-local cache (r12): released between bench
+    # reps; MEMORY_ONLY keeps the LRU-eviction policy for sessions
+    # that never release
+    ranked = local_persist(
+        emb.select("vec_id", "embedding").mapInPandas(
+            rank_cells, "vec_id long, cid int, rn int"
+        ),
+        eager=False,
+        level=StorageLevel.MEMORY_ONLY,
+    )
     codes = pq_codes(emb)
     assign = ranked.where(F.col("rn") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cid"
@@ -1016,9 +1025,16 @@ def ivf_query_index(spark, queries: DataFrame, path: str,
     # (eviction = recompute) instead of accumulating on disk
     from pyspark import StorageLevel
 
-    probes = queries.select("vec_id", "embedding").mapInPandas(
-        rank_cells, "vec_id long, cluster int"
-    ).persist(StorageLevel.MEMORY_ONLY)
+    from sift_spark.caching import local_persist
+
+    # registered builder-local cache (r12) — see ivf_pq_topk's ranked
+    probes = local_persist(
+        queries.select("vec_id", "embedding").mapInPandas(
+            rank_cells, "vec_id long, cluster int"
+        ),
+        eager=False,
+        level=StorageLevel.MEMORY_ONLY,
+    )
     probed = sorted(r["cluster"] for r in probes.select("cluster").distinct().collect())
     cells = spark.read.parquet(f"{path}/cells").where(F.col("cluster").isin(probed))
     # scoring is the per-CELL GEMM cogroup, not per-pair joins — the
@@ -1114,9 +1130,16 @@ def ivfpq_query_index(spark, queries: DataFrame, path: str,
     # (eviction = recompute) instead of accumulating on disk
     from pyspark import StorageLevel
 
-    probes = queries.select("vec_id", "embedding").mapInPandas(
-        rank_cells, "vec_id long, cluster int"
-    ).persist(StorageLevel.MEMORY_ONLY)
+    from sift_spark.caching import local_persist
+
+    # registered builder-local cache (r12) — see ivf_pq_topk's ranked
+    probes = local_persist(
+        queries.select("vec_id", "embedding").mapInPandas(
+            rank_cells, "vec_id long, cluster int"
+        ),
+        eager=False,
+        level=StorageLevel.MEMORY_ONLY,
+    )
     probed = sorted(r["cluster"] for r in probes.select("cluster").distinct().collect())
     cells = spark.read.parquet(f"{path}/cells").where(F.col("cluster").isin(probed))
     # per-cell cogrouped ADC — never a (query, member) pair row with a

@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sift_spark.caching import local_persist
+
 DEFAULTS = dict(
     eval_fraction=0.02,
     min_quality=0.5,
@@ -148,7 +150,7 @@ def llm_training_pipeline(
         q_keep, "doc_id", "left_semi"
     )
     if persist_boundaries:
-        filtered = filtered.persist()
+        filtered = local_persist(filtered, eager=False)
 
     # --- stage 2: exact dedup + banded MinHash near-dedup ---------------
     d1 = dedup_exact(filtered)  # keeps the lowest doc_id per distinct text
@@ -161,14 +163,14 @@ def llm_training_pipeline(
         "left_semi",
     )
     if persist_boundaries:
-        deduped = deduped.persist()
+        deduped = local_persist(deduped, eager=False)
 
     # --- stage 3: contamination screen vs the held-out eval set ---------
     cont = contamination_check(deduped, eval_set, sh=_sh(deduped))
     c_keep = cont.where(F.col("contamination") <= contamination_max).select("doc_id")
     decontaminated = deduped.join(c_keep, "doc_id", "left_semi")
     if persist_boundaries:
-        decontaminated = decontaminated.persist()
+        decontaminated = local_persist(decontaminated, eager=False)
 
     # --- stage 4: temperature source mix --------------------------------
     mixed = decontaminated.join(
@@ -179,7 +181,7 @@ def llm_training_pipeline(
         "left_semi",
     )
     if persist_boundaries:
-        mixed = mixed.persist()
+        mixed = local_persist(mixed, eager=False)
 
     # --- stage 5: per-shard greedy packing ------------------------------
     from sift_spark.models.text import tokens_col
