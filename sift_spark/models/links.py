@@ -564,6 +564,13 @@ def entity_hits(links: DataFrame, n_iter: int = 5) -> DataFrame:
     # self-join per round). Eager count per the shingle-family rule:
     # the self-join's two input stages race a lazy cache, and it
     # fills edges' cache for the a1 aggregate underneath.
+    # r12 NOTE: replacing this persist with an eager lineage cut
+    # (localCheckpoint, the _docs_pairs trick) was A/B-measured over 4
+    # interleaved rounds and REVERTED: shared-min 1.24→1.11 s looked
+    # flat-to-better, but 3 of 4 rounds read slower — M is mid-sized
+    # (the entity-pair matrix), and RDD-level checkpoint blocks store
+    # raw rows, losing the columnar SQL-cache compression the
+    # iteration re-reads five times.
     M = (
         edges.alias("l")
         .join(edges.alias("r"), "doc_id")
@@ -658,12 +665,21 @@ def entity_random_walks(links: DataFrame, n_walks: int = 2,
     Output: (walk_id, start, path) with path the comma-joined node
     sequence of length ``walk_len`` + 1.
 
-    Scale shape: adjacency indexing is one src-keyed window (per-node
-    neighbor lists, the natural key); each step is ONE keyed equi-join
-    of the walk-state table against the adjacency (state carries a
-    path string, never a struct array); the whole run is one lazy
-    plan with ``walk_len`` joins — linear plan growth, no driver
-    actions, no RNG state."""
+    Scale shape (r12): adjacency indexing is one src-keyed window
+    (per-node neighbor lists, the natural key); each step is ONE
+    skew-safe (node, idx) EQUI-join of the walk-state table against
+    the adjacency — the walk state CARRIES the current node's degree
+    (seeded from the adjacency, updated from the stepped-to row's
+    ``dstdeg``), so the old per-step walks⨝deg join and the
+    walk_len+1 degree aggregates are gone. ``dstdeg`` (the stepped-to
+    node's out-degree) is a dst-keyed window count over the SAME edge
+    table: the comention edge set is symmetric by construction (both
+    (a,b) and (b,a) come out of the doc self-join), so in-degree ==
+    out-degree and no edges⨝degrees join is ever needed. The state
+    carries a path string, never a struct array; the whole run is one
+    lazy plan with ``walk_len`` joins — linear plan growth, no driver
+    actions, no RNG state. No per-walk neighbor fan-out anywhere: a
+    hub node costs one hash-table probe per visit, not deg rows."""
     il = links.select("doc_id", "target").distinct()
     e = (
         il.alias("l")
@@ -673,12 +689,20 @@ def entity_random_walks(links: DataFrame, n_walks: int = 2,
         .distinct()
     )
     w_adj = Window.partitionBy("src").orderBy("dst")
-    adj = local_persist(e.withColumn("idx", F.row_number().over(w_adj) - 1), eager=False)
-    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = local_persist(
+        e.select(
+            "src",
+            "dst",
+            (F.row_number().over(w_adj) - 1).alias("idx"),
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+            F.count(F.lit(1)).over(Window.partitionBy("dst")).alias("dstdeg"),
+        ),
+        eager=False,
+    )
 
     from sift_spark.functions.core import hash31
 
-    walks = deg.select(
+    walks = adj.where(F.col("idx") == 0).select(
         F.col("src").alias("cur"),
         "deg",
         F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("w"),
@@ -686,17 +710,15 @@ def entity_random_walks(links: DataFrame, n_walks: int = 2,
         F.concat(F.col("cur"), F.lit("#"), F.col("w")).alias("walk_id"),
         F.col("cur").alias("start"),
         "cur",
+        "deg",
         F.col("cur").alias("path"),
     )
     for t in range(walk_len):
         pick = hash31(F.concat(F.col("walk_id"), F.lit(f":{t}")))
-        step = (
-            walks.join(deg, F.col("cur") == F.col("src"))
-            .select(
-                "walk_id", "start", "path",
-                F.col("cur").alias("c"),
-                (pick % F.col("deg")).alias("idx"),
-            )
+        step = walks.select(
+            "walk_id", "start", "path",
+            F.col("cur").alias("c"),
+            (pick % F.col("deg")).alias("idx"),
         )
         walks = (
             step.join(adj, (F.col("c") == adj["src"]) & (step["idx"] == adj["idx"]))
@@ -705,6 +727,7 @@ def entity_random_walks(links: DataFrame, n_walks: int = 2,
                 "start",
                 F.concat(F.col("path"), F.lit(","), F.col("dst")).alias("path"),
                 F.col("dst").alias("cur"),
+                F.col("dstdeg").alias("deg"),
             )
         )
     return walks.select("walk_id", "start", "path")
@@ -788,6 +811,11 @@ def entity_node2vec_walks(links: DataFrame, p: float = 2.0, q: float = 0.5,
         .select(F.col("l.target").alias("src"), F.col("r.target").alias("dst"))
         .distinct()
     )
+    # r12 NOTE: an eager lineage cut here (localCheckpoint, the
+    # _docs_pairs trick) was A/B-measured over 4 interleaved rounds
+    # and REVERTED (shared-min 1.43→1.57 s, slower in 3 of 4 rounds):
+    # checkpoint blocks store raw rows, so the 7 downstream references
+    # trade cheap columnar cache reads for fat RDD scans.
     e = local_persist(e, eager=False)
     walks = e.select("src").distinct().select(
         F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("w"), "src"
